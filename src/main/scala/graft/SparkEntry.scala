@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query;
+  * `oracleSql` carries the DuckDB-equivalent ANSI SQL for the hash-compare
+  * gate. Column names and deterministic ORDER BY are kept identical on both
+  * sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Daily sales rollup — the reconstruction of the reference's end-of-run
+    * SP_Process_Daily_Sales_Data (/root/reference/main.py:591-594).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.salesDaily(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sales_daily"       -> ((s, d) => Relational.salesDaily(s, d)),
+    "q_kyakusu_daily"     -> ((s, d) => Relational.kyakusuDaily(s, d)),
+    "q_kyakusu_approx"    -> ((s, d) => Relational.kyakusuApprox(s, d)),
+    "q_sku_daily"         -> ((s, d) => Relational.skuDaily(s, d)),
+    "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
+    "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_sales_daily" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS business_date,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kyakusu_daily" ->
+      """SELECT c.c_nationkey AS store_id,
+        |       CAST(o.o_orderdate AS DATE) AS business_date,
+        |       COUNT(DISTINCT o.o_custkey) AS kyakusu,
+        |       COUNT(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sku_daily" ->
+      """SELECT l_partkey AS sku,
+        |       CAST(l_shipdate AS DATE) AS business_date,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_front_sales_daily" ->
+      """SELECT s.s_nationkey AS store_id,
+        |       CAST(l.l_shipdate AS DATE) AS business_date,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_promote_upsert" ->
+      """WITH final_t AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'),
+        |temp_t AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'),
+        |promoted AS (
+        |  SELECT * FROM final_t
+        |  UNION ALL
+        |  SELECT * FROM temp_t t WHERE NOT EXISTS (
+        |    SELECT 1 FROM final_t f
+        |    WHERE f.l_orderkey = t.l_orderkey
+        |      AND f.l_linenumber = t.l_linenumber))
+        |SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
+        |FROM promoted""".stripMargin,
+  )
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact
+
+/** Native reconstructions of the reference's opaque stored-procedure layer
+  * (SURVEY.md §2.11; procs invoked at /root/reference/main.py:509-514 and
+  * main.py:591-594). The reference re-runs incremental SQL procs after every
+  * 150-row insert; the semantic fixed point of that loop is a single-pass
+  * aggregation, which is what these plans compute.
+  *
+  * Store proxy: the fixtures have no store column, so per-store rollups key on
+  * the customer's / supplier's nation key (FIXTURES.md role mapping).
+  *
+  * Scale notes (100 TB design): every query here is a single shuffle
+  * (partial aggregation map-side, final reduce on the group keys); dimension
+  * joins (customer, supplier) are explicitly broadcast so the fact table
+  * never shuffles for the join. Output is deterministically ordered only for
+  * oracle comparison — on a real cluster the sort would be dropped.
+  */
+object Relational {
+
+  /** SP_Process_Daily_Sales_Data reconstruction: daily sales rollup.
+    * Revenue = extendedprice * (1 - discount), the standard sales measure.
+    */
+  def salesDaily(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("business_date"))
+      .agg(
+        Exact.sum2(Exact.revenue).as("revenue"),
+        Exact.sum2(col("l_quantity")).as("sum_qty"),
+        countDistinct("o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("business_date")
+  }
+
+  /** SP_T_DAY_TEN_KYAKUSU_DATA reconstruction: per-store daily customer count
+    * (店客数). Exact distinct count; see [[kyakusuApprox]] for the sketch
+    * variant used at scale.
+    */
+  def kyakusuDaily(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey").as("store_id"),
+               to_date(col("o_orderdate")).as("business_date"))
+      .agg(
+        countDistinct("o_custkey").as("kyakusu"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("store_id", "business_date")
+  }
+
+  /** Approximate 客数 via HLL sketch — the 100 TB-scale variant of
+    * [[kyakusuDaily]] (single pass, no exact-distinct shuffle explosion).
+    * No SQL oracle (sketch estimates are engine-specific); rows-only check.
+    */
+  def kyakusuApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey").as("store_id"),
+               to_date(col("o_orderdate")).as("business_date"))
+      .agg(approx_count_distinct("o_custkey", 0.01).as("kyakusu_approx"))
+      .orderBy("store_id", "business_date")
+  }
+
+  /** SP_Process_Daily_SKU_Data_Temp reconstruction: per-SKU daily sales.
+    * lineitem is the parsed-record stand-in; SKU = partkey, business date =
+    * ship date.
+    */
+  def skuDaily(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("sku"),
+               to_date(col("l_shipdate")).as("business_date"))
+      .agg(
+        Exact.sum2(col("l_quantity")).as("sum_qty"),
+        Exact.sum2(Exact.revenue).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("sku", "business_date")
+  }
+
+  /** SP_T_DAY_TEN_SALES_FRONT_DATA_DAILY reconstruction: per-store daily
+    * front-sales rollup, store = supplier nation.
+    */
+  def frontSalesDaily(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_nationkey").as("store_id"),
+               to_date(col("l_shipdate")).as("business_date"))
+      .agg(
+        Exact.sum2(Exact.revenue).as("revenue"),
+        Exact.sum2(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("store_id", "business_date")
+  }
+
+  /** Temp→final promotion (SP_Process_Daily_SKU_Data): the reference promotes
+    * newly parsed temp rows into the final table, idempotently (procs re-run
+    * per batch, SURVEY.md §2.11). Modeled as upsert = final ∪ (temp ⟕anti
+    * final) on the natural key; here "final" is the already-shipped half of
+    * lineitem and "temp" the rest, so the promotion is observable.
+    * At scale this is a MERGE on a transactional table; the anti-join is the
+    * engine-level semantics.
+    */
+  def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val cutoff = lit("1998-01-01").cast("date")
+    val finalT = l.filter(to_date(col("l_shipdate")) <  cutoff)
+    val temp   = l.filter(to_date(col("l_shipdate")) >= cutoff)
+    val key = Seq("l_orderkey", "l_linenumber")
+    val promoted = finalT.select(key.map(col): _*)
+      .union(temp.join(finalT.select(key.map(col): _*), key, "left_anti")
+                 .select(key.map(col): _*))
+    promoted
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"))
+  }
+}
