@@ -28,6 +28,10 @@ object SparkEntry {
     "q_sku_daily"         -> ((s, d) => Relational.skuDaily(s, d)),
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
+    "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
+    "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
+    "q_pack_explode_roundtrip" -> ((s, d) => Ingestion.packExplodeRoundtrip(s, d)),
+    "q_zip_ingest"        -> ((s, d) => Ingestion.zipIngest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,5 +86,9 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
         |FROM promoted""".stripMargin,
+    "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
+    "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
+    "q_pack_explode_roundtrip"  -> ops.Ingestion.parsedAggOracle,
+    "q_zip_ingest"              -> ops.Ingestion.zipIngestOracle,
   )
 }

@@ -1,0 +1,125 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-width POS record operators — the reference's core transforms
+  * (SURVEY.md §2.3):
+  *
+  *  - T1 segmentation: one decoded blob string → N `width`-char records
+  *    (/root/reference/main.py:409-412), keeping the final short tail
+  *    (main.py:560-565).
+  *  - T3 ordered pack: 1000 consecutive records → one row
+  *    (main.py:414-423), order-preserving with a final partial group.
+  *  - Field-spec projection: positional layout → typed columns (the
+  *    reconstruction of SP_Process_Daily_SKU_Data_Temp's parse, §2.11);
+  *    the same spec drives formatting, so parse ∘ format = id is testable.
+  *
+  * All operators are pure Column expressions / native aggregations —
+  * codegen-friendly, no UDFs, no driver-side loops — so they distribute
+  * untouched on a real cluster.
+  */
+object FixedWidth {
+
+  val RecordWidth = 520
+  val PackFactor  = 1000
+
+  /** T1: array of `width`-char slices of `s`, short tail kept, empty input →
+    * empty array. Pure SQL expression (codegen'd, whole-stage friendly).
+    */
+  def sliceRecords(s: Column, width: Int = RecordWidth): Column = {
+    val nRecs = ceil(length(s).cast("double") / lit(width.toDouble)).cast("int")
+    filter(
+      transform(sequence(lit(0), greatest(nRecs - lit(1), lit(0))),
+                i => s.substr(i * width + 1, lit(width))),
+      r => length(r) > lit(0))
+  }
+
+  /** T1 as a DataFrame op: explode `textCol` into (`idxOut`, `recOut`),
+    * preserving the record index for downstream ordered operators
+    * (posexplode ≈ the reference's implicit sequential order).
+    */
+  def explodeFixedWidth(df: DataFrame, textCol: String,
+                        idxOut: String = "rec_idx", recOut: String = "record",
+                        width: Int = RecordWidth): DataFrame =
+    df.select(col("*"), posexplode(sliceRecords(col(textCol), width)).as(Seq(idxOut, recOut)))
+      .drop(textCol)
+
+  /** T3: order-preserving pack of `n` consecutive records into one string
+    * row per (`partCols`, group). Ordering is explicit via `row_number`
+    * over `orderCols` — never implicit row order (SURVEY.md §7.5) — and the
+    * in-group concat sorts a (rn, record) struct array, so the result is
+    * deterministic under any partitioning. Final partial group is emitted
+    * (main.py:421-423).
+    */
+  def pack(df: DataFrame, recCol: String,
+           partCols: Seq[String], orderCols: Seq[String],
+           n: Int = PackFactor,
+           packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .withColumn(grpOut, (col("_rn") / n).cast("long"))
+      .groupBy((partCols :+ grpOut).map(col): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_rn"), col(recCol).as("_r")))),
+                  x => x.getField("_r")),
+        "").as(packedOut))
+  }
+
+  /** Positional field layout: `start` is 0-based char offset. `kind` is one
+    * of "long" (zero-padded), "str" (space right-padded), "date" (yyyyMMdd).
+    */
+  final case class FieldSpec(name: String, start: Int, len: Int, kind: String)
+
+  /** The synthetic POS layout used by the parity queries (FIXTURES.md §B) —
+    * lineitem re-expressed as a 520-char record. The reference never declares
+    * a layout (SURVEY.md §1.3); this one is ours, chosen to roundtrip every
+    * lineitem column losslessly (money in cents, rates in basis points).
+    */
+  val LineitemLayout: Seq[FieldSpec] = Seq(
+    FieldSpec("f_orderkey",   0,  12, "long"),
+    FieldSpec("f_linenumber", 12,  4, "long"),
+    FieldSpec("f_sku",        16, 12, "long"),
+    FieldSpec("f_suppkey",    28, 12, "long"),
+    FieldSpec("f_qty_cents",  40, 12, "long"),
+    FieldSpec("f_price_cents", 52, 14, "long"),
+    FieldSpec("f_discount_bp", 66,  6, "long"),
+    FieldSpec("f_tax_bp",      72,  6, "long"),
+    FieldSpec("f_returnflag",  78,  1, "str"),
+    FieldSpec("f_linestatus",  79,  1, "str"),
+    FieldSpec("f_shipdate",    80,  8, "date"))
+
+  /** Format typed columns into one fixed-width record string (the inverse of
+    * [[parseRecord]]; used to synthesize reference-shaped input from the
+    * fixtures). Input column names must equal the spec names.
+    */
+  def formatRecord(specs: Seq[FieldSpec], width: Int = RecordWidth): Column = {
+    val parts = specs.map { f =>
+      f.kind match {
+        case "long" => lpad(col(f.name).cast("string"), f.len, "0")
+        case "str"  => rpad(col(f.name).cast("string"), f.len, " ")
+        case "date" => date_format(col(f.name), "yyyyMMdd")
+      }
+    }
+    rpad(concat(parts: _*), width, " ")
+  }
+
+  /** Parse a fixed-width record into typed columns per the spec — pure
+    * substring+cast projections, fully codegen'd.
+    */
+  def parseFields(rec: Column, specs: Seq[FieldSpec]): Seq[Column] =
+    specs.map { f =>
+      val raw = substring(rec, f.start + 1, f.len)
+      (f.kind match {
+        case "long" => raw.cast("long")
+        case "str"  => rtrim(raw)
+        case "date" => to_date(raw, "yyyyMMdd")
+      }).as(f.name)
+    }
+
+  /** Full parse: records DataFrame → typed DataFrame (keeps `keep` cols). */
+  def parseRecord(df: DataFrame, recCol: String, specs: Seq[FieldSpec],
+                  keep: Seq[String] = Nil): DataFrame =
+    df.select(keep.map(col) ++ parseFields(col(recCol), specs): _*)
+}

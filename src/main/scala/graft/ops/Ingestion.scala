@@ -1,0 +1,163 @@
+package graft.ops
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{FixedWidth, Sources}
+
+/** Oracle-checkable queries over the fixed-width ingestion core
+  * (SURVEY.md §2.1–§2.3). The fixtures carry no POS file, so the pipeline is
+  * exercised as roundtrips: lineitem → 520-char records (formatRecord) →
+  * [pack 1000] → [explode] → parse → aggregate, with the oracle aggregating
+  * lineitem directly. A symmetric format/parse bug cannot hide: positions
+  * and short-tail semantics are additionally pinned by FixedWidthSpec.
+  */
+object Ingestion {
+  import FixedWidth._
+
+  /** lineitem projected onto the fixed-width layout's typed columns.
+    * Money in cents / rates in basis points so the record roundtrip is
+    * lossless integers.
+    */
+  def lineitemTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("f_orderkey"),
+      col("l_linenumber").cast("long").as("f_linenumber"),
+      col("l_partkey").as("f_sku"),
+      col("l_suppkey").as("f_suppkey"),
+      round(col("l_quantity") * 100).cast("long").as("f_qty_cents"),
+      round(col("l_extendedprice") * 100).cast("long").as("f_price_cents"),
+      round(col("l_discount") * 10000).cast("long").as("f_discount_bp"),
+      round(col("l_tax") * 10000).cast("long").as("f_tax_bp"),
+      col("l_returnflag").as("f_returnflag"),
+      col("l_linestatus").as("f_linestatus"),
+      to_date(col("l_shipdate")).as("f_shipdate"))
+
+  /** Typed rows → 520-char record strings (plus pack/order keys). */
+  def lineitemRecords(spark: SparkSession, dir: String): DataFrame =
+    lineitemTyped(spark, dir)
+      .withColumn("record", formatRecord(LineitemLayout))
+      .select("f_returnflag", "f_orderkey", "f_linenumber", "record")
+
+  /** The shared "parse back and aggregate per flag" tail. */
+  private def parsedAgg(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("f_returnflag").as("returnflag"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum("f_qty_cents").as("sum_qty_cents"),
+        sum("f_price_cents").as("sum_price_cents"),
+        countDistinct("f_orderkey").as("n_orders"),
+        countDistinct("f_shipdate").as("n_ship_dates"),
+        max("f_shipdate").as("max_ship_date"))
+      .orderBy("returnflag")
+
+  val parsedAggOracle: String =
+    """SELECT l_returnflag AS returnflag,
+      |       COUNT(*) AS n_records,
+      |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_dates,
+      |       MAX(CAST(l_shipdate AS DATE)) AS max_ship_date
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** format → parse → aggregate (field-spec projection correctness). */
+  def fixedWidthParse(spark: SparkSession, dir: String): DataFrame = {
+    val recs = lineitemTyped(spark, dir)
+      .withColumn("record", formatRecord(LineitemLayout))
+      .select("record")
+    parsedAgg(parseRecord(recs, "record", LineitemLayout))
+  }
+
+  /** format → pack(1000) → length stats per flag; oracle is pure arithmetic
+    * over lineitem group counts (520 chars × pack-factor bookkeeping,
+    * main.py:414-423 semantics incl. final partial group).
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame =
+    pack(lineitemRecords(spark, dir), "record",
+         partCols = Seq("f_returnflag"),
+         orderCols = Seq("f_orderkey", "f_linenumber"))
+      .groupBy(col("f_returnflag").as("returnflag"))
+      .agg(
+        count(lit(1)).as("n_packed_rows"),
+        sum(length(col("packed"))).as("total_chars"),
+        max(length(col("packed"))).as("max_chars"),
+        min(length(col("packed"))).as("min_chars"))
+      .orderBy("returnflag")
+
+  val packStatsOracle: String =
+    """SELECT l_returnflag AS returnflag,
+      |       CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_packed_rows,
+      |       520 * COUNT(*) AS total_chars,
+      |       520 * LEAST(1000, COUNT(*)) AS max_chars,
+      |       520 * (CASE WHEN COUNT(*) % 1000 = 0 THEN 1000
+      |                   ELSE COUNT(*) % 1000 END) AS min_chars
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The full T3∘T1 roundtrip: format → pack → explode → parse → aggregate.
+    * Proves segmentation conserves records and fields across the pack seam.
+    */
+  def packExplodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val packed = pack(lineitemRecords(spark, dir), "record",
+                      partCols = Seq("f_returnflag"),
+                      orderCols = Seq("f_orderkey", "f_linenumber"))
+    val exploded = explodeFixedWidth(packed.select("packed"), "packed")
+    parsedAgg(parseRecord(exploded, "record", LineitemLayout))
+  }
+
+  // ---- zip source end-to-end (S1/S2/S3/S5 + P3) ----------------------------
+
+  /** Deterministic staging of a reference-shaped daily zip from `documents`:
+    * one UTF-8 text member, records = rpad(substr(text,1,520), 520) in
+    * doc_id order, archive named R520.20240115_000000.20240115000000.zip.
+    * Idempotent; staged under target/tmp (inside the repo).
+    */
+  def stageZip(spark: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val outDir = new java.io.File(s"target/tmp/zip_$safe")
+    val outFile = new java.io.File(outDir, "R520.20240115_000000.20240115000000.zip")
+    if (!outFile.exists()) {
+      outDir.mkdirs()
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), rpad(substring(col("text"), 1, 520), 520, " ").as("rec"))
+        .orderBy("doc_id")
+        .collect() // staging a single daily input file, not a query operator
+      val text = docs.iterator.map(_.getString(1)).mkString
+      val tmp = java.io.File.createTempFile("stage", ".zip", outDir)
+      val zos = new ZipOutputStream(new java.io.FileOutputStream(tmp))
+      zos.putNextEntry(new ZipEntry("pos_data.txt"))
+      zos.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry(); zos.close()
+      tmp.renameTo(outFile)
+    }
+    outFile.getAbsolutePath
+  }
+
+  /** binaryFile → zip extract (first entry) → strict decode → explode520 →
+    * per-record stats, with the business date parsed from the filename
+    * (main.py:358-364). Oracle recomputes from `documents` directly.
+    */
+  def zipIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = stageZip(spark, dir)
+    val txt = Sources.readZipText(spark, path)
+      .withColumn("business_date", Sources.filenameDate(col("path")))
+    explodeFixedWidth(txt, "text")
+      .groupBy(col("business_date"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(length(rtrim(col("record")))).as("sum_trimmed_len"),
+        countDistinct(substring(col("record"), 1, 20)).as("n_distinct_heads"))
+      .orderBy("business_date")
+  }
+
+  val zipIngestOracle: String =
+    """SELECT DATE '2024-01-15' AS business_date,
+      |       COUNT(*) AS n_records,
+      |       CAST(SUM(LENGTH(RTRIM(SUBSTRING(text, 1, 520)))) AS BIGINT) AS sum_trimmed_len,
+      |       COUNT(DISTINCT SUBSTRING(RPAD(SUBSTRING(text, 1, 520), 520, ' '), 1, 20))
+      |         AS n_distinct_heads
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** T1/T3 semantics from the reference: 520-char segmentation with short tail
+  * kept (/root/reference/main.py:409-412, 560-565) and order-preserving
+  * pack-of-1000 with final partial group (main.py:414-423).
+  */
+class FixedWidthSpec extends SparkSpec {
+  import FixedWidth._
+
+  private def explode520(s: String, width: Int = 520): Seq[String] = {
+    import spark.implicits._
+    val df = Seq(s).toDF("t")
+    explodeFixedWidth(df, "t", width = width)
+      .orderBy("rec_idx").select("record").collect().map(_.getString(0)).toSeq
+  }
+
+  test("exact multiple: n x 520 chars -> n records, all width 520") {
+    for (n <- Seq(0, 1, 3)) {
+      val s = "ab" * 260 * n // 520*n chars
+      val recs = explode520(s)
+      assert(recs.length == n)
+      assert(recs.forall(_.length == 520))
+    }
+  }
+
+  test("short tail is kept with its own length (main.py:560-565)") {
+    val s = ("x" * 520) + ("y" * 137)
+    val recs = explode520(s)
+    assert(recs.length == 2)
+    assert(recs(0) == "x" * 520)
+    assert(recs(1) == "y" * 137)
+  }
+
+  test("tail shorter than width alone") {
+    val recs = explode520("hello")
+    assert(recs == Seq("hello"))
+  }
+
+  test("property: concat(explode(s)) == s and count == ceil(len/w)") {
+    // seeded generator — property-style sweep without an external bridge dep
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 60) {
+      val w = 1 + rnd.nextInt(17)
+      val s = rnd.alphanumeric.take(rnd.nextInt(400)).mkString
+      val recs = explode520(s, w)
+      assert(recs.mkString == s, s"w=$w len=${s.length}")
+      assert(recs.length == math.ceil(s.length.toDouble / w).toInt)
+      assert(recs.dropRight(1).forall(_.length == w))
+    }
+  }
+
+  test("pack preserves order and emits final partial group") {
+    import spark.implicits._
+    val df = (0 until 25).map(i => ("g", i, f"$i%03d")).toDF("g", "i", "rec")
+    val packed = pack(df, "rec", Seq("g"), Seq("i"), n = 10)
+      .orderBy("pack_id").select("packed").collect().map(_.getString(0))
+    assert(packed.length == 3)
+    assert(packed(0) == (0 until 10).map(i => f"$i%03d").mkString)
+    assert(packed(1) == (10 until 20).map(i => f"$i%03d").mkString)
+    assert(packed(2) == (20 until 25).map(i => f"$i%03d").mkString)
+  }
+
+  test("pack ordering survives adversarial partitioning") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("g", i, f"<$i%04d>")).toDF("g", "i", "rec")
+      .repartition(7) // scramble physical order
+    val packed = pack(df, "rec", Seq("g"), Seq("i"), n = 30)
+      .orderBy("pack_id").select("packed").collect().map(_.getString(0))
+    assert(packed.mkString == (0 until 100).map(i => f"<$i%04d>").mkString)
+  }
+
+  test("format/parse roundtrip on the lineitem layout") {
+    import spark.implicits._
+    val row = Seq((42L, 3L, 7L, 9L, 1250L, 99999L, 500L, 25L, "R", "F",
+                   java.sql.Date.valueOf("1997-03-15")))
+      .toDF("f_orderkey", "f_linenumber", "f_sku", "f_suppkey", "f_qty_cents",
+            "f_price_cents", "f_discount_bp", "f_tax_bp", "f_returnflag",
+            "f_linestatus", "f_shipdate")
+    val rec = row.select(formatRecord(LineitemLayout).as("record"))
+    assert(rec.select(length(col("record"))).head.getInt(0) == 520)
+    val back = parseRecord(rec, "record", LineitemLayout).head()
+    assert(back.getLong(0) == 42L && back.getLong(1) == 3L)
+    assert(back.getLong(4) == 1250L && back.getLong(5) == 99999L)
+    assert(back.getString(8) == "R" && back.getString(9) == "F")
+    assert(back.getDate(10) == java.sql.Date.valueOf("1997-03-15"))
+  }
+}
