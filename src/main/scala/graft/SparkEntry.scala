@@ -32,6 +32,10 @@ object SparkEntry {
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
     "q_pack_explode_roundtrip" -> ((s, d) => Ingestion.packExplodeRoundtrip(s, d)),
     "q_zip_ingest"        -> ((s, d) => Ingestion.zipIngest(s, d)),
+    "q_text_quality"      -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_token_count"       -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +94,9 @@ object SparkEntry {
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
     "q_pack_explode_roundtrip"  -> ops.Ingestion.parsedAggOracle,
     "q_zip_ingest"              -> ops.Ingestion.zipIngestOracle,
+    "q_text_quality"            -> ops.TextAnalysis.textQualityOracle,
+    "q_lang_id"                 -> ops.TextAnalysis.langIdOracle,
+    "q_token_count"             -> ops.TextAnalysis.tokenCountOracle,
+    "q_doc_fingerprint"         -> ops.TextAnalysis.docFingerprintOracle,
   )
 }

@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface mandated beyond the reference (SURVEY.md §2.8): language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting.
+  *
+  * Design rules:
+  *  - Everything is a pure Column expression (codegen'd, no UDFs) so the
+  *    plan is a single scan + partial/final aggregation — one shuffle,
+  *    map-side combined, unchanged at 100 TB.
+  *  - Ratios are emitted as exact integer numerators/denominators plus one
+  *    final double division, so the DuckDB oracle is bit-comparable (no
+  *    order-dependent float summation).
+  *  - Hashes are md5 (hex string) — the one hash both Spark and DuckDB
+  *    compute identically, making fingerprints oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (split of "" yields [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > lit(0))
+
+  val tokensSql = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
+
+  /** Fixed stopword list (shared by quality scoring and lang-ID). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+
+  val stopwordsSql: String = Stopwords.mkString("['", "', '", "']")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  private def countInSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t)))"
+
+  // --- quality scoring -------------------------------------------------------
+
+  /** Per-document quality signals: token count, char length, stopword count,
+    * punctuation count, mean token length. Quality score = the classic
+    * heuristic blend (length band + stopword presence − punctuation excess),
+    * deterministic and oracle-checkable.
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_m"),
+        size(toks).as("n_tokens"),
+        countIn(toks, Stopwords).as("n_stopwords"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:'\"()]", ""))).as("n_punct"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"))
+  }
+
+  /** q_text_quality: corpus quality rollup per language. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(Tables.documents(spark, dir))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_stopwords").as("n_stopwords"),
+        sum("n_punct").as("n_punct"),
+        sum("sum_token_chars").as("sum_token_chars"),
+        max("n_tokens").as("max_tokens"),
+        min("n_tokens").as("min_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", col("sum_token_chars").cast("double") / col("n_tokens"))
+      .orderBy("lang")
+
+  val textQualityOracle: String =
+    s"""WITH sig AS (
+       |  SELECT lang, len(toks) AS n_tokens,
+       |         ${countInSql(Stopwords)} AS n_stopwords,
+       |         length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS n_punct,
+       |         list_sum(list_transform(toks, t -> len(t))) AS sum_token_chars
+       |  FROM (SELECT lang, text, $tokensSql AS toks FROM documents))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_stopwords) AS BIGINT) AS n_stopwords,
+       |       CAST(SUM(n_punct) AS BIGINT) AS n_punct,
+       |       CAST(SUM(sum_token_chars) AS BIGINT) AS sum_token_chars,
+       |       CAST(MAX(n_tokens) AS INT) AS max_tokens,
+       |       CAST(MIN(n_tokens) AS INT) AS min_tokens,
+       |       CAST(SUM(n_stopwords) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+       |       CAST(SUM(sum_token_chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
+       |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- language identification ----------------------------------------------
+
+  /** Marker-token sets for the n-gram/stopword language-ID heuristic.
+    * Evaluation order below is the deterministic tie-break.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "une", "est"))
+
+  /** CJK-character count (the zh signal — character-level, not token). */
+  private def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Per-document predicted language: argmax of marker scores with a fixed
+    * tie-break (en > de > es > fr > zh order); all-zero scores → "und"
+    * (undetermined).
+    */
+  def langPredicted(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scoreCols = LangMarkers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") } :+
+      cjkCount(col("text")).as("s_zh")
+    val scored = docs.select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+    val all = LangMarkers.map(_._1) :+ "zh"
+    val best = all.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = all.foldRight(lit("und")) { (l, rest) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(rest)
+    }
+    // foldRight keeps declaration order as priority: first max wins.
+    scored.withColumn("predicted", pred)
+  }
+
+  /** q_lang_id: confusion rollup of predicted vs labeled language. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langPredicted(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  val langIdOracle: String = {
+    val scoreCols = LangMarkers.map { case (l, ws) =>
+      s"${countInSql(ws).replace("toks", "toks")} AS s_$l"
+    }.mkString(",\n       ")
+    val all = LangMarkers.map(_._1) :+ "zh"
+    val bestExpr = all.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+    val predExpr = all.foldRight("'und'") { (l, rest) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $rest END"
+    }
+    s"""WITH toksed AS (SELECT lang, text, $tokensSql AS toks FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |       $scoreCols,
+       |       length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+       |  FROM toksed),
+       |best_t AS (SELECT *, $bestExpr AS best FROM scored),
+       |pred_t AS (SELECT lang, $predExpr AS predicted FROM best_t)
+       |SELECT lang, predicted, COUNT(*) AS n_docs
+       |FROM pred_t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- token counting (BPE-ish regex) ---------------------------------------
+
+  /** The BPE-ish token regex: letter runs, digit runs, or single non-space
+    * symbols — the standard pre-tokenization shape.
+    */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** q_token_count: per-source token statistics incl. corpus-distinct
+    * token count (the vocabulary size a tokenizer trainer would see).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+              expr(s"regexp_extract_all(text, '${TokenRegex.replace("\\", "\\\\")}', 0)").as("toks"))
+    toks.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct_tokens"),
+        sum(length(col("tok"))).as("sum_token_chars"))
+      .join(toks.groupBy("source").agg(count(lit(1)).as("n_docs"), max(size(col("toks"))).as("max_doc_tokens")),
+            Seq("source"))
+      .select("source", "n_docs", "n_tokens", "n_distinct_tokens", "sum_token_chars", "max_doc_tokens")
+      .orderBy("source")
+  }
+
+  val tokenCountOracle: String =
+    s"""WITH toksed AS (
+       |  SELECT source, regexp_extract_all(text, '$TokenRegex') AS toks FROM documents),
+       |ex AS (SELECT source, unnest(toks) AS tok FROM toksed)
+       |SELECT t.source,
+       |       (SELECT COUNT(*) FROM toksed x WHERE x.source = t.source) AS n_docs,
+       |       COUNT(*) AS n_tokens,
+       |       COUNT(DISTINCT tok) AS n_distinct_tokens,
+       |       CAST(SUM(len(tok)) AS BIGINT) AS sum_token_chars,
+       |       (SELECT MAX(len(toks)) FROM toksed x WHERE x.source = t.source) AS max_doc_tokens
+       |FROM ex t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- document fingerprinting (rolling hash / winnowing) -------------------
+
+  val ShingleK = 8  // char k-gram width
+  val WinnowW  = 4  // winnowing window (fingerprint = min hash per window)
+
+  /** Per-document winnowing fingerprints: md5 over each char k-gram, then
+    * the distinct set of per-window minima — the classic winnowing scheme
+    * (Schleimer et al., SIGMOD'03), here as pure array expressions.
+    */
+  def fingerprints(text: Column, k: Int = ShingleK, w: Int = WinnowW): Column = {
+    val n = length(text)
+    val hashes = transform(sequence(lit(1), greatest(n - k + 1, lit(1))),
+                           i => md5(text.substr(i, lit(k))))
+    val mins = transform(sequence(lit(1), greatest(size(hashes) - w + 1, lit(1))),
+                         j => array_min(slice(hashes, j, lit(w))))
+    array_distinct(mins)
+  }
+
+  /** q_doc_fingerprint: per-source fingerprint stats + corpus-wide distinct
+    * fingerprint count (collision space of the near-dup index).
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("source"), fingerprints(col("text")).as("fps"))
+    fp.select(col("source"), explode(col("fps")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        countDistinct("fp").as("n_distinct_fps"))
+      .join(fp.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"))
+      .select("source", "n_docs", "n_fingerprints", "n_distinct_fps")
+      .orderBy("source")
+  }
+
+  val docFingerprintOracle: String =
+    s"""WITH fp AS (
+       |  SELECT source,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(hashes) - $WinnowW + 1, 1) + 1),
+       |           j -> list_min(hashes[j:j+${WinnowW - 1}]))) AS fps
+       |  FROM (SELECT source,
+       |               list_transform(range(1, greatest(length(text) - $ShingleK + 1, 1) + 1),
+       |                              i -> md5(text[i:i+${ShingleK - 1}])) AS hashes
+       |        FROM documents)),
+       |ex AS (SELECT source, unnest(fps) AS f FROM fp)
+       |SELECT t.source,
+       |       (SELECT COUNT(*) FROM fp x WHERE x.source = t.source) AS n_docs,
+       |       COUNT(*) AS n_fingerprints,
+       |       COUNT(DISTINCT f) AS n_distinct_fps
+       |FROM ex t GROUP BY 1 ORDER BY 1""".stripMargin
+}
