@@ -44,6 +44,11 @@ object SparkEntry {
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q_business_date"     -> ((s, d) => Temporal.businessDateRollup(s, d)),
+    "q_retention"         -> ((s, d) => Temporal.retention(s, d)),
+    "q_events_hourly"     -> ((s, d) => Temporal.eventsHourly(s, d)),
+    "q_events_props"      -> ((s, d) => Temporal.eventsProps(s, d)),
+    "q_user_sessions"     -> ((s, d) => Temporal.userSessions(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +119,10 @@ object SparkEntry {
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,
     "q_media_features"          -> ops.Multimodal.mediaFeaturesOracle,
+    "q_business_date"           -> ops.Temporal.businessDateRollupOracle,
+    "q_retention"               -> ops.Temporal.retentionOracle,
+    "q_events_hourly"           -> ops.Temporal.eventsHourlyOracle,
+    "q_events_props"            -> ops.Temporal.eventsPropsOracle,
+    "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
   )
 }

@@ -39,12 +39,22 @@ object FixedWidth {
   /** T1 as a DataFrame op: explode `textCol` into (`idxOut`, `recOut`),
     * preserving the record index for downstream ordered operators
     * (posexplode ≈ the reference's implicit sequential order).
+    *
+    * Uses the custom single-pass [[graft.plans.FixedWidthExplode]] Generator:
+    * the declarative substring form is O(n²) on long packed rows (UTF-8
+    * char-offset substring re-scans from the start) — 24 s vs 1 s on the
+    * bench roundtrip. [[sliceRecords]] remains the expression form for
+    * short strings.
     */
   def explodeFixedWidth(df: DataFrame, textCol: String,
                         idxOut: String = "rec_idx", recOut: String = "record",
-                        width: Int = RecordWidth): DataFrame =
-    df.select(col("*"), posexplode(sliceRecords(col(textCol), width)).as(Seq(idxOut, recOut)))
+                        width: Int = RecordWidth): DataFrame = {
+    graft.plans.FixedWidthGenerator.register(df.sparkSession)
+    df.select(col("*"),
+        expr(s"${graft.plans.FixedWidthGenerator.Name}(`$textCol`, $width)")
+          .as(Seq(idxOut, recOut)))
       .drop(textCol)
+  }
 
   /** T3: order-preserving pack of `n` consecutive records into one string
     * row per (`partCols`, group). Ordering is explicit via `row_number`

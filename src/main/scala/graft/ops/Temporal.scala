@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.{Clock, Exact}
+
+/** Time-keyed operators over the `events` stream-shaped table: business-date
+  * assignment, retention (K5/P2), event-time tumbling windows, and JSON
+  * property extraction — the reference's date semantics (SURVEY.md §2.2 P2,
+  * §2.4 K5, §2.6) plus the standard event-pipeline ops.
+  *
+  * Retention cutoffs are derived from max(event time) in the data, never
+  * the wall clock, so every run is deterministic (§4.4-g fix).
+  */
+object Temporal {
+
+  /** q_business_date: daily rollup under the +05:30 business-date rule
+    * (main.py:444 semantics on fixture timestamps).
+    */
+  def businessDateRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(Clock.businessDate(col("ts")).as("business_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        Exact.sum2(col("value")).as("sum_value"))
+      .orderBy("business_date")
+
+  val businessDateRollupOracle: String =
+    s"""SELECT ${Clock.businessDateSql("ts")} AS business_date,
+       |       COUNT(*) AS n_events,
+       |       COUNT(DISTINCT user_id) AS n_users,
+       |       ${Exact.sum2Sql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_retention: the retention delete (daily_cleanup.py:30, exclusive `<`
+    * bound, 4 days) expressed as keep/drop partitioning relative to the max
+    * business date in the data. At scale this is a partition drop on a
+    * date-partitioned table — see graft.etl.Sinks.retentionFilter for the
+    * writer side.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("business_date", Clock.businessDate(col("ts")))
+    val asOf = e.agg(max("business_date")).head().getDate(0)
+    e.withColumn("kept", Clock.retentionKeep(col("business_date"), lit(asOf)))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_deleted"),
+        max(when(!col("kept"), col("business_date"))).as("max_deleted_date"),
+        min(when(col("kept"), col("business_date"))).as("min_kept_date"))
+      .orderBy("event_type")
+  }
+
+  val retentionOracle: String = {
+    val bd = Clock.businessDateSql("ts")
+    s"""WITH e AS (SELECT event_type, $bd AS business_date FROM events),
+       |m AS (SELECT MAX(business_date) AS as_of FROM e)
+       |SELECT event_type,
+       |       CAST(SUM(CASE WHEN business_date >= as_of - 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN business_date <  as_of - 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       |       MAX(CASE WHEN business_date < as_of - 4 THEN business_date END) AS max_deleted_date,
+       |       MIN(CASE WHEN business_date >= as_of - 4 THEN business_date END) AS min_kept_date
+       |FROM e, m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q_events_hourly: event-time tumbling window aggregation — the batch
+    * form of the streaming windowed count (graft.streaming mirrors it with
+    * a watermark on the same data).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.sum2(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  val eventsHourlyOracle: String =
+    s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       |       COUNT(*) AS n_events, ${Exact.sum2Sql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_events_props: JSON property extraction from the dynamic `props`
+    * column (the reference's checkpoint/notification JSON handling,
+    * SURVEY.md §1.1) — regexp-based so both engines share one code path.
+    */
+  def eventsProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        countDistinct("k").as("n_distinct_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |       COUNT(DISTINCT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS n_distinct_k,
+      |       MAX(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_user_sessions: sessionization — split each user's event stream at
+    * >30-minute gaps (the windowing/stateful analogue the north-star asks
+    * of an events table; in streaming this is session_window /
+    * flatMapGroupsWithState). Pure window functions: one shuffle on
+    * user_id.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("n_events"))
+  }
+
+  val userSessionsOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |c AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_sessions,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       MAX(n_events) AS max_session_events,
+      |       CAST(SUM(n_events) AS BIGINT) AS n_events
+      |FROM c""".stripMargin
+}

@@ -53,6 +53,30 @@ class FixedWidthSpec extends SparkSpec {
     }
   }
 
+  test("generator splits on char boundaries for multi-byte UTF-8") {
+    // 2- and 3-byte chars: width counts CHARS, never bytes (parity with
+    // Python str slicing in the reference, main.py:411)
+    val s = "é中a" * 10 // 30 chars, 60 bytes
+    val recs = explode520(s, 7)
+    assert(recs.mkString == s)
+    assert(recs.length == math.ceil(30.0 / 7).toInt)
+    assert(recs.dropRight(1).forall(_.length == 7))
+  }
+
+  test("generator output equals the declarative sliceRecords expression") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 20).map(_ => rnd.alphanumeric.take(rnd.nextInt(2000)).mkString)
+    val df = strs.toDF("t")
+    val viaExpr = df.select(posexplode(sliceRecords(col("t"), 37)).as(Seq("rec_idx", "record")))
+      .groupBy().agg(count(lit(1)), sum(length(col("record"))), countDistinct(col("record")))
+      .head().toSeq
+    val viaGen = explodeFixedWidth(df, "t", width = 37)
+      .groupBy().agg(count(lit(1)), sum(length(col("record"))), countDistinct(col("record")))
+      .head().toSeq
+    assert(viaGen == viaExpr)
+  }
+
   test("pack preserves order and emits final partial group") {
     import spark.implicits._
     val df = (0 until 25).map(i => ("g", i, f"$i%03d")).toDF("g", "i", "rec")

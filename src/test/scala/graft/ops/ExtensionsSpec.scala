@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Unit coverage for the north-star extension ops (SURVEY.md §2.8) beyond
+  * the DuckDB-oracle gate: structural properties the hash-compare can't
+  * express (recall, subset relations, stub behavior).
+  */
+class ExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH candidates recall the planted near-dups found by exact jaccard") {
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is a subset of the exact result (same threshold), and with
+    // 4 bands x 3 rows at jaccard>=0.5 expected recall is >80% on planted dups.
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+             s"LSH recall ${lsh.size}/${exact.size} below 0.5")
+  }
+
+  test("simhash near-dup pairs include the strongest jaccard near-dups") {
+    val jac = Dedup.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhash(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical texts must land within Hamming<=6 of each other
+    assert(jac.intersect(sim) == jac,
+           s"simhash missed ${jac.diff(sim)} of the >=0.9-jaccard pairs")
+  }
+
+  test("IVF ANN results are a subset of the brute-force candidate space with bounded recall loss") {
+    val bf = Similarity.knnBruteForce(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    // embeddings are near-random at fixture scale, so IVF recall is modest;
+    // assert the pipeline finds a meaningful fraction and never exceeds k.
+    assert(recall > 0.05, s"IVF recall $recall suspiciously low")
+    val perQuery = ivf.groupBy(_._1).map(_._2.size)
+    assert(perQuery.forall(_ <= Similarity.TopK))
+  }
+
+  test("brute-force knn: self excluded, exactly k per query, sim within [-1,1]") {
+    val rows = Similarity.knnBruteForce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _) => q != n })
+    assert(rows.forall { case (_, _, s) => s >= -1.0000001 && s <= 1.0000001 })
+    rows.groupBy(_._1).foreach { case (_, g) => assert(g.length == Similarity.TopK) }
+  }
+
+  test("exact dedup: removed + distinct == total per source") {
+    Dedup.dedupExact(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_distinct") + r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("multimodal feature extraction: deterministic fake decode round-trips byte stats") {
+    import spark.implicits._
+    val items = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaItem]
+    val feats = Multimodal.extractFeatures(items).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      // mean is sum/n by construction of the fake codec
+      assert(math.abs(f.mean_val - f.sum_vals.toDouble / f.n_bytes) < 1e-9)
+      // ASCII text payload: entropy of a byte histogram is within [0, 8]
+      assert(f.entropy >= 0 && f.entropy <= 8)
+      assert(f.thumb.length == Multimodal.ThumbBins)
+      assert(f.thumb.forall(v => v >= 0 && v <= 255))
+    }
+  }
+
+  test("language-ID is deterministic and covers every doc") {
+    val docs = graft.Tables.documents(spark, dir)
+    val pred = TextAnalysis.langPredicted(docs)
+    assert(pred.count() == docs.count())
+    assert(pred.filter(col("predicted").isNull).count() == 0)
+  }
+
+  test("winnowing fingerprints: short text yields a single fingerprint") {
+    import spark.implicits._
+    val one = Seq((1L, "s", "abc")).toDF("doc_id", "source", "text")
+    // text shorter than the k-gram width -> one hash -> one window -> one fp
+    val fp = TextAnalysis.docFingerprintRows(one)
+    assert(fp.count() == 1)
+  }
+}
