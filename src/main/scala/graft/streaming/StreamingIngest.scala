@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.etl.FixedWidth
+
+/** Structured-Streaming parity for the reference's ingest loop
+  * (SURVEY.md §2.5-§2.7, §7.6).
+  *
+  * The reference streams one daily file in 100 MB chunks with a byte-offset
+  * checkpoint (/root/reference/main.py:289-351) and carries sub-record
+  * leftovers across chunk seams (main.py:472-485, 521-565). Spark-native:
+  *
+  *  - [[fileStreamRecords]]: file-source stream + `Trigger.AvailableNow` +
+  *    `checkpointLocation` — Spark's offset log + commit log replace the
+  *    hand-rolled checkpoint blob (C1) and give exactly-once per file into
+  *    transactional sinks (C3); each micro-batch drains all available
+  *    files, the streaming analogue of the daily cron (G1).
+  *  - [[reassembleChunks]]: the T2 leftover-carry as
+  *    `flatMapGroupsWithState` — per-file string buffer state, emitting
+  *    only complete `width`-char records until the group times out, then
+  *    the short tail (main.py:560-565).
+  *  - [[hourlyCounts]]: the watermarked event-time tumbling window over the
+  *    events stream — late data beyond 2 hours dropped, results identical
+  *    to the batch q_events_hourly on closed windows.
+  */
+object StreamingIngest {
+
+  // ---- file-source ingest (S4/C1 parity) ------------------------------------
+
+  /** Stream text files from `dir`, explode fixed-width records, tag the
+    * business date from each filename. Start with
+    * `.writeStream.trigger(Trigger.AvailableNow()).option("checkpointLocation", …)`.
+    */
+  def fileStreamRecords(spark: SparkSession, dir: String,
+                        width: Int = FixedWidth.RecordWidth): DataFrame = {
+    val raw = spark.readStream
+      .format("text")
+      .option("wholetext", "true") // one row per daily file, like the reference
+      .load(dir)
+      .select(col("value"), input_file_name().as("path"))
+    FixedWidth.explodeFixedWidth(
+        raw.withColumn("business_date", graft.etl.Sources.filenameDate(col("path"))),
+        "value", width = width)
+  }
+
+  /** Run an AvailableNow pass to parquet and block until drained. */
+  def runAvailableNow(records: DataFrame, outDir: String, checkpointDir: String): Unit =
+    records.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  // ---- T2 leftover-carry as flatMapGroupsWithState --------------------------
+
+  /** One arriving chunk of a logical stream (`key` = file identity, `seq` =
+    * chunk order within the file, `isLast` marks the final chunk).
+    */
+  final case class Chunk(key: String, seq: Long, data: String, isLast: Boolean)
+
+  final case class CarryState(buffer: String, emitted: Long)
+
+  final case class Record(key: String, idx: Long, record: String)
+
+  /** The reference's cross-chunk leftover carry (main.py:472-485): emit
+    * complete `width`-char records from buffer+chunk, keep the remainder in
+    * state; on the last chunk also emit the short tail (main.py:560-565).
+    * Chunks must arrive in `seq` order per key within a batch (the file
+    * reader guarantees this; out-of-order delivery would need a seq-buffer
+    * state, which the daily-file source never produces).
+    */
+  def carve(buffer: String, width: Int): (Seq[String], String) = {
+    val full = buffer.length / width
+    val recs = (0 until full).map(i => buffer.substring(i * width, (i + 1) * width))
+    (recs, buffer.substring(full * width))
+  }
+
+  def reassembleChunks(chunks: Dataset[Chunk],
+                       width: Int = FixedWidth.RecordWidth): Dataset[Record] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CarryState, Record](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Chunk], state: GroupState[CarryState]) =>
+          var buf = state.getOption.map(_.buffer).getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+          var idx = state.getOption.map(_.emitted).getOrElse(0L)
+          var sawLast = false
+          it.toSeq.sortBy(_.seq).foreach { c =>
+            buf += c.data
+            val (recs, rest) = carve(buf, width)
+            recs.foreach { r => out += Record(key, idx, r); idx += 1 }
+            buf = rest
+            sawLast ||= c.isLast
+          }
+          if (sawLast) {
+            if (buf.nonEmpty) { out += Record(key, idx, buf); idx += 1 } // short tail kept
+            state.remove()
+          } else {
+            state.update(CarryState(buf, idx))
+          }
+          out.iterator
+      }
+  }
+
+  // ---- watermarked event-time window (north-star streaming agg) -------------
+
+  /** Hourly tumbling counts with a 2-hour watermark — the streaming twin of
+    * graft.ops.Temporal.eventsHourly. On closed windows the results match
+    * the batch rollup exactly.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"))
+}

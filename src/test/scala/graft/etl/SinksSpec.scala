@@ -1,0 +1,72 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sink semantics (SURVEY.md §2.4): archive move layout + idempotence (K3,
+  * main.py:353-398), exclusive retention bound (K5, daily_cleanup.py:30),
+  * observed run metrics + never-throws notification (K4/T6/T7).
+  */
+class SinksSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("archive move: Daily/YYYY/YYYYMMDD layout, source deleted, idempotent (main.py:366-398)") {
+    val work = tmpDir("archive")
+    val src = s"$work/R520.20240115_000000.20240115000000.zip"
+    Files.writeString(java.nio.file.Paths.get(src), "payload")
+    val dst = Sinks.archiveFile(spark, src, s"$work/backup")
+    assert(dst.endsWith("/backup/Daily/2024/20240115/R520.20240115_000000.20240115000000.zip"))
+    assert(new java.io.File(dst.stripPrefix("file:")).exists())
+    assert(!new java.io.File(src).exists())
+    // second call with destination present: no-op, no error (main.py:375)
+    Files.writeString(java.nio.file.Paths.get(src), "payload2")
+    Sinks.archiveFile(spark, src, s"$work/backup")
+    assert(new java.io.File(src).exists(), "existing destination must skip the move")
+  }
+
+  test("archive move rejects filenames without a date at [5:13] (main.py:358-364)") {
+    val work = tmpDir("archive2")
+    val src = s"$work/badname.zip"
+    Files.writeString(java.nio.file.Paths.get(src), "x")
+    intercept[IllegalArgumentException] {
+      Sinks.archiveFile(spark, src, s"$work/backup")
+    }
+  }
+
+  test("retention rewrite keeps >= asOf-4d exclusively and partitions by date (daily_cleanup.py:23,30)") {
+    import spark.implicits._
+    val out = tmpDir("retention")
+    val df = (1 to 10).map(d => (f"2024-01-$d%02d", d)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+    val (kept, deleted) = Sinks.retentionRewrite(
+      df, "business_date", java.sql.Date.valueOf("2024-01-10"), out)
+    assert(kept == 5 && deleted == 5) // keeps 06..10; 05 < 06 is deleted (exclusive)
+    val days = spark.read.parquet(out).select("business_date").distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(days.head == "2024-01-06")
+    // partition-pruned layout on disk
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("business_date=")))
+  }
+
+  test("observed metrics count rows and payload bytes in one pass (T6/T7)") {
+    import spark.implicits._
+    val df = Seq("ab", "cde", "").toDF("payload")
+    val (rows, bytes) = Notify.metricsOf(df, "payload")
+    assert(rows == 3 && bytes == 5)
+  }
+
+  test("notification payload honors the failure flag (fixes §4.4-e) and notify never throws") {
+    val ok = Notify.RunMetrics("R520.x.zip", isFileFailed = false, "", 100, 2097152, 90)
+    val bad = ok.copy(isFileFailed = true, errorMessage = "boom")
+    assert(Notify.payload(ok, "a@x", "b@x")("Subject").contains("succeeded"))
+    assert(Notify.payload(bad, "a@x", "b@x")("Subject").contains("FAILED"))
+    assert(Notify.payload(ok, "a@x", "b@x")("Body").contains("2.0 MB"))
+    assert(!Notify.notify(bad, "a@x", "b@x")(_ => throw new RuntimeException("down")))
+    assert(Notify.notify(ok, "a@x", "b@x")(_ => true))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.streaming.StreamingIngest._
+
+/** Streaming parity (SURVEY.md §7.6): file-source ingest with AvailableNow
+  * + checkpoint, the flatMapGroupsWithState leftover carry (T2,
+  * main.py:472-485, 560-565), and the watermarked hourly window vs its
+  * batch twin.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("file stream ingest: AvailableNow drains staged files, records match batch explode") {
+    val in = tmpDir("stream_in")
+    val out = tmpDir("stream_out")
+    val ckp = tmpDir("stream_ckp")
+    val text = ("A" * 520) * 3 + "B" * 17 // 3 full records + short tail
+    Files.writeString(java.nio.file.Paths.get(s"$in/R520.20240115_000000.x.txt"), text)
+
+    val records = fileStreamRecords(spark, in)
+    runAvailableNow(records, out, ckp)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4)
+    assert(got.filter(col("record") === "B" * 17).count() == 1)
+    assert(got.select("business_date").distinct().collect()
+      .map(_.getDate(0).toString).toSeq == Seq("2024-01-15"))
+
+    // restart with the same checkpoint: nothing new to process (exactly-once per file)
+    runAvailableNow(fileStreamRecords(spark, in), out, ckp)
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
+  test("flatMapGroupsWithState leftover carry equals batch segmentation across chunk seams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payload = (0 until 23).map(i => f"<$i%06d>" * 65).mkString // 23 records of 520 chars
+      .concat("tail-odd-bytes") // short tail
+    // adversarial seams: cut at non-record boundaries
+    val cuts = Seq(0, 13, 519, 520, 1041, 5000, payload.length)
+    val chunks = cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      Chunk("f1", i.toLong, payload.substring(a, b), b == payload.length)
+    }.toSeq
+
+    val stream = MemoryStream[Chunk]
+    stream.addData(chunks)
+    val q = reassembleChunks(stream.toDS())
+      .writeStream.format("memory").queryName("reassembled")
+      .outputMode(OutputMode.Append).trigger(Trigger.Once()).start()
+    q.awaitTermination()
+
+    val got = spark.table("reassembled").orderBy("idx")
+      .select("record").collect().map(_.getString(0))
+    val expect = payload.grouped(520).toSeq
+    assert(got.toSeq == expect)
+  }
+
+  test("carry state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payload = "R" * 520 + "S" * 520 + "tt"
+    val stream = MemoryStream[Chunk]
+    val q = reassembleChunks(stream.toDS())
+      .writeStream.format("memory").queryName("carry2")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(Chunk("f", 0, payload.substring(0, 700), isLast = false))
+    q.processAllAvailable()
+    assert(spark.table("carry2").count() == 1) // one full record so far
+    stream.addData(Chunk("f", 1, payload.substring(700), isLast = true))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("carry2").orderBy("idx").select("record")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("R" * 520, "S" * 520, "tt"))
+  }
+
+  test("watermarked hourly window matches the batch rollup on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = (h: Int, m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(0, 10), "click"), (ts(0, 40), "click"), (ts(0, 55), "view"),
+      (ts(1, 5), "click"), (ts(1, 59), "view"),
+      (ts(9, 0), "view")) // late-hour event closes earlier windows past the watermark
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(rows)
+    val q = hourlyCounts(stream.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly")
+      .select(col("hour_start").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = Set(
+      ("2024-01-01 00:00:00", "click", 2L), ("2024-01-01 00:00:00", "view", 1L),
+      ("2024-01-01 01:00:00", "click", 1L), ("2024-01-01 01:00:00", "view", 1L))
+    assert(got == expect) // the 09:00 window is still open -> not emitted
+  }
+}
