@@ -62,9 +62,19 @@ object Similarity {
   private def cosineSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
+  /** (vec_id, v, nv): vectors with their norm precomputed BEFORE any join —
+    * joins are projection barriers, so each norm is folded once per vector
+    * instead of once per compared pair (3× less fold work in the top-k
+    * scans).
+    */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+
+  /** Pairwise cosine from precomputed norms. */
+  private def pairSim(qv: Column, v: Column, nq: Column, nv: Column): Column =
+    dot(qv, v) / (nq * nv)
 
   // --- brute-force top-k -----------------------------------------------------
 
@@ -75,10 +85,10 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
     val queries = vecs.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
     val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              cosine(col("qv"), col("v")).as("sim"))
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -107,30 +117,32 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
     val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
 
     // assignment: argmax cosine over centroids (ties -> min cent_id)
     val aw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val assigned = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+      .select(col("vec_id"), col("v"), col("nv"), col("cent_id"),
+              pairSim(col("v"), col("cv"), col("nv"), col("nc")).as("csim"))
       .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("v"), col("nv"), col("cent_id").as("cell"))
 
     // probe: top-NProbe cells per query
     val queries = vecs.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
     val pw = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("csim"))
+      .select(col("query_id"), col("qv"), col("nq"), col("cent_id"),
+              pairSim(col("qv"), col("cv"), col("nq"), col("nc")).as("csim"))
       .withColumn("prn", row_number().over(pw)).filter(col("prn") <= NProbe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("nq"), col("cent_id").as("cell"))
 
     // exact re-rank inside probed cells
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              cosine(col("qv"), col("v")).as("sim"))
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -192,15 +204,15 @@ object Similarity {
       }
       bits.reduce(_ + _).as(s"bucket_$t")
     }
-    val bucketed = vecs.select(Seq(col("vec_id"), col("v")) ++ bucketCols: _*)
-    val tables = bucketed.select(col("vec_id"), col("v"),
+    val bucketed = vecs.select(Seq(col("vec_id"), col("v"), col("nv")) ++ bucketCols: _*)
+    val tables = bucketed.select(col("vec_id"), col("v"), col("nv"),
       posexplode(array((0 until LshTables).map(t => col(s"bucket_$t")): _*)).as(Seq("tbl", "bucket")))
     val cand = tables.as("a").join(tables.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.tbl").as("tbl"),
               col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-              cosine(col("a.v"), col("b.v")).as("sim"))
+              pairSim(col("a.v"), col("b.v"), col("a.nv"), col("b.nv")).as("sim"))
     cand.groupBy("tbl")
       .agg(
         count(lit(1)).as("n_candidates"),
