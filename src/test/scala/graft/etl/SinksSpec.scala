@@ -60,6 +60,25 @@ class SinksSpec extends SparkSpec {
     assert(rows == 3 && bytes == 5)
   }
 
+  test("retry: exponential 2^n backoff, re-raise after max attempts (main.py:213-262)") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val r = graft.util.Retry.withBackoff(maxRetries = 3, baseDelayMs = 10, sleep = delays += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    assert(delays.toSeq == Seq(10L, 20L)) // 2^0, 2^1
+    var calls2 = 0
+    intercept[RuntimeException] {
+      graft.util.Retry.withBackoff(maxRetries = 2, baseDelayMs = 1, sleep = _ => ()) {
+        calls2 += 1; throw new RuntimeException("permanent")
+      }
+    }
+    assert(calls2 == 3) // initial + 2 retries, then re-raise
+  }
+
   test("notification payload honors the failure flag (fixes §4.4-e) and notify never throws") {
     val ok = Notify.RunMetrics("R520.x.zip", isFileFailed = false, "", 100, 2097152, 90)
     val bad = ok.copy(isFileFailed = true, errorMessage = "boom")
