@@ -28,6 +28,8 @@ object SparkEntry {
     "q_sku_daily"         -> ((s, d) => Relational.skuDaily(s, d)),
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
+    "q_top_skus"          -> ((s, d) => Relational.topSkus(s, d)),
+    "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
     "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
     "q_pack_explode_roundtrip" -> ((s, d) => Ingestion.packExplodeRoundtrip(s, d)),
@@ -103,6 +105,8 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
         |FROM promoted""".stripMargin,
+    "q_top_skus"                -> ops.Relational.topSkusOracle,
+    "q_sales_rollup"            -> ops.Relational.salesRollupOracle,
     "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
     "q_pack_explode_roundtrip"  -> ops.Ingestion.parsedAggOracle,

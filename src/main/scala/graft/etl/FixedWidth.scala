@@ -77,6 +77,45 @@ object FixedWidth {
         "").as(packedOut))
   }
 
+  /** T3 alternative: typed `Aggregator` for the ordered concat — the
+    * SURVEY §7.3 form. Buffers (rn, record) pairs, merges partial buffers
+    * from any partitioning, sorts once at `finish`. Registered as a UDAF so
+    * it composes with groupBy like any built-in; equivalent to the
+    * collect_list+array_sort idiom (see FixedWidthSpec equivalence test)
+    * but without building the intermediate struct array per input row.
+    */
+  object OrderedConcat extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, String), List[(Long, String)], String] {
+    override def zero: List[(Long, String)] = Nil
+    override def reduce(b: List[(Long, String)], a: (Long, String)): List[(Long, String)] = a :: b
+    override def merge(x: List[(Long, String)], y: List[(Long, String)]): List[(Long, String)] = x ::: y
+    override def finish(b: List[(Long, String)]): String = {
+      val arr = b.toArray.sortBy(_._1)
+      val sb = new java.lang.StringBuilder(arr.iterator.map(_._2.length).sum)
+      arr.foreach(p => sb.append(p._2))
+      sb.toString
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, String)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Long, String)]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** [[pack]] built on [[OrderedConcat]]: same grouping and ordering rule,
+    * typed aggregation instead of collect_list+array_sort.
+    */
+  def packTyped(df: DataFrame, recCol: String,
+                partCols: Seq[String], orderCols: Seq[String],
+                n: Int = PackFactor,
+                packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val agg = udaf(OrderedConcat)
+    df.withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .withColumn(grpOut, (col("_rn") / n).cast("long"))
+      .groupBy((partCols :+ grpOut).map(col): _*)
+      .agg(agg(col("_rn"), col(recCol)).as(packedOut))
+  }
+
   /** Positional field layout: `start` is 0-based char offset. `kind` is one
     * of "long" (zero-padded), "str" (space right-padded), "date" (yyyyMMdd).
     */

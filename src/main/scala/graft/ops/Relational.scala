@@ -108,6 +108,57 @@ object Relational {
     * At scale this is a MERGE on a transactional table; the anti-join is the
     * engine-level semantics.
     */
+  /** Top-k: highest-revenue SKUs (sort + limit with deterministic
+    * tie-break — the engine's order/limit surface, §2.7). Catalyst turns
+    * this into a TakeOrderedAndProject: per-partition top-k, no full sort.
+    */
+  def topSkus(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("sku"))
+      .agg(Exact.sum2(Exact.revenue).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("sku"))
+      .limit(k)
+
+  val topSkusOracle: String =
+    s"""SELECT l_partkey AS sku,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem GROUP BY 1
+       |ORDER BY revenue DESC, sku LIMIT 10""".stripMargin
+
+  /** Hierarchical rollup: revenue by region → nation → total (ROLLUP
+    * grouping sets over the broadcast dimension chain, §2.7 coverage
+    * beyond the reference surface).
+    */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_suppkey", "l_extendedprice", "l_discount")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(Exact.sum2(Exact.revenue).as("revenue"), count(lit(1)).as("n_lines"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("revenue"), col("n_lines"))
+      .orderBy("region", "nation")
+  }
+
+  val salesRollupOracle: String =
+    s"""SELECT COALESCE(r.r_name, 'ALL') AS region,
+       |       COALESCE(n.n_name, 'ALL') AS nation,
+       |       ${Exact.sum2Sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY ROLLUP(r.r_name, n.n_name)
+       |ORDER BY 1, 2""".stripMargin
+
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val cutoff = lit("1998-01-01").cast("date")

@@ -97,6 +97,17 @@ class FixedWidthSpec extends SparkSpec {
     assert(packed.mkString == (0 until 100).map(i => f"<$i%04d>").mkString)
   }
 
+  test("typed OrderedConcat Aggregator pack equals the window/collect_list pack") {
+    import spark.implicits._
+    val df = (0 until 97).map(i => (if (i % 2 == 0) "a" else "b", i, f"[$i%05d]"))
+      .toDF("g", "i", "rec").repartition(5)
+    val a = pack(df, "rec", Seq("g"), Seq("i"), n = 20)
+      .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val b = packTyped(df, "rec", Seq("g"), Seq("i"), n = 20)
+      .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("format/parse roundtrip on the lineitem layout") {
     import spark.implicits._
     val row = Seq((42L, 3L, 7L, 9L, 1250L, 99999L, 500L, 25L, "R", "F",
