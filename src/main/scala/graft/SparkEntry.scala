@@ -29,6 +29,8 @@ object SparkEntry {
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
     "q_top_skus"          -> ((s, d) => Relational.topSkus(s, d)),
+    "q_store_rev_window"  -> ((s, d) => Relational.storeRevenueWindow(s, d)),
+    "q_inactive_customers" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
     "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
@@ -106,6 +108,8 @@ object SparkEntry {
         |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
         |FROM promoted""".stripMargin,
     "q_top_skus"                -> ops.Relational.topSkusOracle,
+    "q_store_rev_window"        -> ops.Relational.storeRevenueWindowOracle,
+    "q_inactive_customers"      -> ops.Relational.customersWithoutOrdersOracle,
     "q_sales_rollup"            -> ops.Relational.salesRollupOracle,
     "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,

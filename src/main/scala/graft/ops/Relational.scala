@@ -159,6 +159,60 @@ object Relational {
        |GROUP BY ROLLUP(r.r_name, n.n_name)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Window functions over the daily rollup: per-store cumulative revenue
+    * and share-of-day (§2.7 window surface). Decimal-exact cumulative sums
+    * — the per-day pre-aggregation makes the window ordering unique, so
+    * the running total is deterministic under any partitioning.
+    */
+  def storeRevenueWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = frontSalesDaily(spark, dir).select("store_id", "business_date", "revenue")
+    val cum = Window.partitionBy("store_id").orderBy("business_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val day = Window.partitionBy("business_date")
+    daily
+      .withColumn("cum_revenue",
+        round(sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(cum), 2)
+          .cast("double"))
+      .withColumn("day_share",
+        col("revenue") / sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(day).cast("double"))
+      .filter(col("business_date") < lit("1992-03-01").cast("date"))
+      .orderBy("store_id", "business_date")
+  }
+
+  val storeRevenueWindowOracle: String =
+    s"""WITH daily AS (
+       |  SELECT s.s_nationkey AS store_id, CAST(l.l_shipdate AS DATE) AS business_date,
+       |         ${Exact.sum2Sql(Exact.revenueSql.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount"))} AS revenue
+       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2)
+       |SELECT store_id, business_date, revenue,
+       |       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+       |         PARTITION BY store_id ORDER BY business_date
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue,
+       |       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (PARTITION BY business_date) AS DOUBLE) AS day_share
+       |FROM daily QUALIFY business_date < DATE '1992-03-01'
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Anti-join: nations ranked by customers who have never ordered (§2.7
+    * semi/anti surface; the dedup-vs-existing pattern at scale).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation_id"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("nation_id")
+  }
+
+  val customersWithoutOrdersOracle: String =
+    """SELECT c_nationkey AS nation_id, COUNT(*) AS n_inactive
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val cutoff = lit("1998-01-01").cast("date")
