@@ -111,6 +111,8 @@ object FixedWidthGenerator {
   * graft custom expression at session build time.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     FixedWidthGenerator.inject(ext)
+    AsciiTokenCount.inject(ext)
+  }
 }

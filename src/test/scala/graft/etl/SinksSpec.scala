@@ -53,6 +53,21 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("business_date=")))
   }
 
+  test("K1: JDBC sink roundtrips through embedded Derby with batchsize=150 (main.py:53,213-262)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_k1;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (1 to 400).map(i => (i.toLong, s"record_$i")).toDF("id", "payload")
+    Sinks.jdbcWriter(df, url, "raw_files_data_daily", props)
+    val back = spark.read.jdbc(url, "raw_files_data_daily", props)
+    assert(back.count() == 400)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 400L * 401 / 2)
+    // append mode: a second write adds, never replaces (at-least-once, C3)
+    Sinks.jdbcWriter(df.limit(10), url, "raw_files_data_daily", props)
+    assert(spark.read.jdbc(url, "raw_files_data_daily", props).count() == 410)
+  }
+
   test("observed metrics count rows and payload bytes in one pass (T6/T7)") {
     import spark.implicits._
     val df = Seq("ab", "cde", "").toDF("payload")

@@ -92,6 +92,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(pred.filter(col("predicted").isNull).count() == 0)
   }
 
+  test("ascii_token_count codegen expression equals the declarative tokenizer") {
+    import spark.implicits._
+    graft.plans.AsciiTokenCount.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    val mismatches = docs.select(
+        expr("ascii_token_count(text)").as("fast"),
+        size(TextAnalysis.tokens(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches == 0)
+    // edge cases incl. leading/trailing/multiple whitespace and empty
+    val edge = Seq("", "  ", "a", " a  b\tc\n", "\t\r\n x ").toDF("t")
+      .select(expr("ascii_token_count(t)")).collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 0, 1, 3, 1))
+    // stays inside whole-stage codegen
+    val q = docs.select(expr("ascii_token_count(text)").as("c")).groupBy().agg(sum(col("c")))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("winnowing fingerprints: short text yields a single fingerprint") {
     import spark.implicits._
     val one = Seq((1L, "s", "abc")).toDF("doc_id", "source", "text")
