@@ -82,6 +82,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("R" * 520, "S" * 520, "tt"))
   }
 
+  test("native session_window equals the lag-based sessionization on the events fixture") {
+    // Temporal.userSessions splits at gaps > 30 min via lag(); Spark's
+    // session_window(ts, '30 minutes') closes a session when the next event
+    // is >= gap later — same partitioning for the fixture's continuous
+    // timestamps. Cross-check total session counts and event conservation.
+    val e = graft.Tables.events(spark, sf0001)
+    val native = e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val nativeTotals = native.agg(
+      count(lit(1)), sum("n_events"), max("n_events")).head()
+    val manual = graft.ops.Temporal.userSessions(spark, sf0001).head()
+    assert(nativeTotals.getLong(0) == manual.getAs[Long]("n_sessions"))
+    assert(nativeTotals.getLong(1) == manual.getAs[Long]("n_events"))
+    assert(nativeTotals.getLong(2) == manual.getAs[Long]("max_session_events"))
+  }
+
   test("watermarked hourly window matches the batch rollup on closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
