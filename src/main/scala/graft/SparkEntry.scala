@@ -40,10 +40,13 @@ object SparkEntry {
     "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_token_count"       -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "q_quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "q_vocab_topk"        -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "q_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -119,10 +122,13 @@ object SparkEntry {
     "q_lang_id"                 -> ops.TextAnalysis.langIdOracle,
     "q_token_count"             -> ops.TextAnalysis.tokenCountOracle,
     "q_doc_fingerprint"         -> ops.TextAnalysis.docFingerprintOracle,
+    "q_quality_filter"          -> ops.TextAnalysis.qualityFilterOracle,
+    "q_vocab_topk"              -> ops.TextAnalysis.vocabTopKOracle,
     "q_dedup_exact"             -> ops.Dedup.dedupExactOracle,
     "q_dedup_ngram_jaccard"     -> ops.Dedup.ngramJaccardOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
+    "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,

@@ -91,6 +91,66 @@ object TextAnalysis {
        |       CAST(SUM(sum_token_chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
        |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_quality_filter: the keep/drop decision a training-data pipeline
+    * derives from the quality signals — length band, mean-token-length
+    * band, stopword presence. Pure integer/boolean logic → exact oracle.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(Tables.documents(spark, dir))
+      .withColumn("len_ok", col("n_tokens") >= 20 && col("n_tokens") <= 2000)
+      .withColumn("tok_ok", col("sum_token_chars") >= col("n_tokens") * 2 &&
+                            col("sum_token_chars") <= col("n_tokens") * 12)
+      .withColumn("stop_ok", col("n_stopwords") > 0)
+      .withColumn("keep", col("len_ok") && col("tok_ok") && col("stop_ok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_fail"),
+        sum(when(!col("tok_ok"), 1L).otherwise(0L)).as("n_tok_fail"),
+        sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_stop_fail"))
+      .orderBy("lang")
+
+  val qualityFilterOracle: String =
+    s"""WITH sig AS (
+       |  SELECT lang, len(toks) AS n_tokens,
+       |         ${countInSql(Stopwords)} AS n_stopwords,
+       |         list_sum(list_transform(toks, t -> len(t))) AS sum_token_chars
+       |  FROM (SELECT lang, $tokensSql AS toks FROM documents)),
+       |f AS (
+       |  SELECT lang,
+       |         (n_tokens >= 20 AND n_tokens <= 2000) AS len_ok,
+       |         (sum_token_chars >= n_tokens * 2 AND sum_token_chars <= n_tokens * 12) AS tok_ok,
+       |         (n_stopwords > 0) AS stop_ok
+       |  FROM sig)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN len_ok AND tok_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+       |       CAST(SUM(CASE WHEN NOT tok_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_fail,
+       |       CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_fail
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_vocab_topk: the corpus vocabulary head — top 20 tokens by frequency
+    * (ties by token) with ranks. One explode + one aggregation + top-k.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select("rank", "tok", "cnt")
+      .orderBy("rank")
+  }
+
+  val vocabTopKOracle: String =
+    s"""WITH ex AS (SELECT unnest($tokensSql) AS tok FROM documents),
+       |c AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY 1)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank, tok, cnt
+       |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+
   // --- language identification ----------------------------------------------
 
   /** Marker-token sets for the n-gram/stopword language-ID heuristic.
