@@ -82,6 +82,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("R" * 520, "S" * 520, "tt"))
   }
 
+  test("stream-static broadcast join enriches a stream with a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData(Seq((1L, 10.0), (2L, 5.0), (1L, 2.5), (3L, 99.0))) // 3 has no segment
+    val q = stream.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id")) // inner: unknown users dropped
+      .groupBy("segment").agg(sum("value").as("total"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete).trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("gold" -> 12.5, "silver" -> 5.0))
+  }
+
   test("native session_window equals the lag-based sessionization on the events fixture") {
     // Temporal.userSessions splits at gaps > 30 min via lag(); Spark's
     // session_window(ts, '30 minutes') closes a session when the next event
