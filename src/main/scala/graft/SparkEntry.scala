@@ -32,6 +32,7 @@ object SparkEntry {
     "q_store_rev_window"  -> ((s, d) => Relational.storeRevenueWindow(s, d)),
     "q_inactive_customers" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
+    "q_revenue_pivot"     -> ((s, d) => Relational.revenuePivot(s, d)),
     "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
     "q_pack_explode_roundtrip" -> ((s, d) => Ingestion.packExplodeRoundtrip(s, d)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_store_rev_window"        -> ops.Relational.storeRevenueWindowOracle,
     "q_inactive_customers"      -> ops.Relational.customersWithoutOrdersOracle,
     "q_sales_rollup"            -> ops.Relational.salesRollupOracle,
+    "q_revenue_pivot"           -> ops.Relational.revenuePivotOracle,
     "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
     "q_pack_explode_roundtrip"  -> ops.Ingestion.parsedAggOracle,

@@ -159,6 +159,30 @@ object Relational {
        |GROUP BY ROLLUP(r.r_name, n.n_name)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Pivot: revenue by month × return-flag — the wide-format reshape
+    * (§2.7-adjacent; Spark `pivot` is a groupBy extension, the oracle
+    * expresses it as conditional aggregation).
+    */
+  def revenuePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy("month")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Exact.sum2(Exact.revenue))
+      .na.fill(0.0, Seq("A", "N", "R"))
+      .orderBy("month")
+
+  val revenuePivotOracle: String = {
+    val flagCol = (f: String) =>
+      s"""CAST(ROUND(SUM(CASE WHEN l_returnflag = '$f'
+         | THEN CAST(${Exact.revenueSql} AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS "$f"""".stripMargin.replace("\n", "")
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       |       ${flagCol("A")},
+       |       ${flagCol("N")},
+       |       ${flagCol("R")}
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Window functions over the daily rollup: per-store cumulative revenue
     * and share-of-day (§2.7 window surface). Decimal-exact cumulative sums
     * — the per-day pre-aggregation makes the window ordering unique, so
