@@ -116,6 +116,79 @@ object FixedWidth {
       .agg(agg(col("_rn"), col(recCol)).as(packedOut))
   }
 
+  /** T3 skew-escape hatch: [[pack]]'s window puts each part-key's entire
+    * record stream on ONE reducer — fine while a key's data fits one
+    * executor's sort, a ceiling at extreme skew. This variant computes the
+    * same global per-key row numbers with full parallelism: range-partition
+    * + in-partition sort on (partCols, orderCols), count rows per
+    * (partition, key) — a tiny driver-side table — assign each partition
+    * its key-offset, then the same grouped ordered concat. Output is
+    * identical to [[pack]] (equivalence-tested) because (partCols,
+    * orderCols) is a total order.
+    *
+    * Measured trade-off (sf0.1, 600k × 520-char records): the external-Row
+    * `mapPartitions` pass leaves Tungsten/codegen and costs ~2.5× the
+    * window form — so [[pack]] stays the default; reach for this only when
+    * a single key genuinely exceeds one task's sort capacity. (A custom
+    * physical operator assigning offsets over UnsafeRows would close that
+    * gap; not warranted at current scale.)
+    */
+  def packScalable(df: DataFrame, recCol: String,
+                   partCols: Seq[String], orderCols: Seq[String],
+                   n: Int = PackFactor,
+                   packedOut: String = "packed", grpOut: String = "pack_id",
+                   numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val sortCols = (partCols ++ orderCols).map(col)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      // two passes (per-partition key counts, then offset assignment) — the
+      // cache is reclaimed by the caller's clearCache (Bench/Verify do)
+      .cache()
+    val counts = sorted.groupBy(col("_pid") +: partCols.map(col): _*)
+      .count().collect()
+    // per (key, pid) starting offset = rows of that key in earlier partitions
+    val offsets: Map[(Seq[Any], Int), Long] = counts
+      .groupBy(r => partCols.map(c => r.getAs[Any](c)))
+      .flatMap { case (key, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getAs[Int]("_pid")).map { r =>
+          val entry = ((key, r.getAs[Int]("_pid")), acc)
+          acc += r.getAs[Long]("count")
+          entry
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add("_rn", org.apache.spark.sql.types.LongType)
+    val withRn = sorted.mapPartitions { it =>
+      // partition rows are sorted, so each key is one contiguous run
+      var curKey: Seq[Any] = null
+      var rn = 0L
+      it.map { row =>
+        val k = partCols.map(row.getAs[Any])
+        if (k != curKey) {
+          curKey = k
+          rn = bc.value((k, row.getAs[Int]("_pid")))
+        }
+        val out = Row.fromSeq(row.toSeq :+ rn)
+        rn += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withRn
+      .withColumn(grpOut, (col("_rn") / n).cast("long"))
+      .groupBy((partCols :+ grpOut).map(col): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_rn"), col(recCol).as("_r")))),
+                  x => x.getField("_r")),
+        "").as(packedOut))
+  }
+
   /** Positional field layout: `start` is 0-based char offset. `kind` is one
     * of "long" (zero-padded), "str" (space right-padded), "date" (yyyyMMdd).
     */

@@ -108,6 +108,17 @@ class FixedWidthSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("packScalable (two-phase global row-number) equals the window pack") {
+    import spark.implicits._
+    val df = (0 until 257).map(i => (s"g${i % 3}", i, f"[$i%05d]"))
+      .toDF("g", "i", "rec").repartition(7)
+    val a = pack(df, "rec", Seq("g"), Seq("i"), n = 25)
+      .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val b = packScalable(df, "rec", Seq("g"), Seq("i"), n = 25, numParts = 5)
+      .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("format/parse roundtrip on the lineitem layout") {
     import spark.implicits._
     val row = Seq((42L, 3L, 7L, 9L, 1250L, 99999L, 500L, 25L, "R", "F",
