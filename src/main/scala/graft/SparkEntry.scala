@@ -57,6 +57,7 @@ object SparkEntry {
     "q_events_hourly"     -> ((s, d) => Temporal.eventsHourly(s, d)),
     "q_events_props"      -> ((s, d) => Temporal.eventsProps(s, d)),
     "q_user_sessions"     -> ((s, d) => Temporal.userSessions(s, d)),
+    "q_events_funnel"     -> ((s, d) => Temporal.eventsFunnel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +141,6 @@ object SparkEntry {
     "q_events_hourly"           -> ops.Temporal.eventsHourlyOracle,
     "q_events_props"            -> ops.Temporal.eventsPropsOracle,
     "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
+    "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
   )
 }

@@ -106,6 +106,38 @@ object Temporal {
       |       MAX(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_events_funnel: ordered-step conversion funnel — per user, did a
+    * view precede a click precede a purchase (strict event-time order)?
+    * The sequential-pattern op of event analytics, as three min-timestamp
+    * aggregates + ordering predicates (one shuffle).
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstOf = (t: String) => min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+    e.groupBy("user_id")
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("first_view") < col("first_click"), 1L).otherwise(0L)).as("n_view_then_click"),
+        sum(when(col("first_view") < col("first_click") &&
+                 col("first_click") < col("first_purchase"), 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val eventsFunnelOracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT COUNT(*) AS n_users,
+      |       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |       CAST(SUM(CASE WHEN first_view < first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+      |       CAST(SUM(CASE WHEN first_view < first_click AND first_click < first_purchase
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM f""".stripMargin
+
   /** q_user_sessions: sessionization — split each user's event stream at
     * >30-minute gaps (the windowing/stateful analogue the north-star asks
     * of an events table; in streaming this is session_window /

@@ -82,6 +82,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("R" * 520, "S" * 520, "tt"))
   }
 
+  test("streaming exact dedup: watermarked dropDuplicates emits each key once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = stream.toDF().toDF("doc_hash", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_hash") // state pruned by the watermark at scale
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(Seq(("h1", ts), ("h2", ts), ("h1", ts)))
+    q.processAllAvailable()
+    stream.addData(Seq(("h2", ts), ("h3", ts))) // h2 is a cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("streamdedup").select("doc_hash")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("h1", "h2", "h3"))
+  }
+
   test("stream-static broadcast join enriches a stream with a dimension table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
