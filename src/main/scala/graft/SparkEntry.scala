@@ -58,6 +58,9 @@ object SparkEntry {
     "q_events_props"      -> ((s, d) => Temporal.eventsProps(s, d)),
     "q_user_sessions"     -> ((s, d) => Temporal.userSessions(s, d)),
     "q_events_funnel"     -> ((s, d) => Temporal.eventsFunnel(s, d)),
+    "q_cohort_retention"  -> ((s, d) => Temporal.cohortRetention(s, d)),
+    "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "q_knn_recall"        -> ((s, d) => Similarity.knnRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +145,8 @@ object SparkEntry {
     "q_events_props"            -> ops.Temporal.eventsPropsOracle,
     "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
     "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
+    "q_cohort_retention"        -> ops.Temporal.cohortRetentionOracle,
+    "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
+    "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
   )
 }

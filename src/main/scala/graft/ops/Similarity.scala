@@ -174,6 +174,34 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** q_knn_recall: self-measured ANN quality — IVF results joined against
+    * the brute-force ground truth, recall@k per corpus. Both inputs are
+    * deterministic, so even the quality metric is oracle-checkable.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_hits"))
+    val truth = bf.groupBy().agg(
+      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
+    truth.crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
+  }
+
+  val knnRecallOracle: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($knnIvfOracle) t),
+       |h AS (SELECT COUNT(*) AS n_hits FROM bf
+       |      WHERE EXISTS (SELECT 1 FROM ivf
+       |                    WHERE ivf.query_id = bf.query_id
+       |                      AND ivf.neighbor_id = bf.neighbor_id)),
+       |tr AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM bf)
+       |SELECT n_queries, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
+       |FROM tr, h""".stripMargin
+
   // --- sign-random-projection LSH near-dup -----------------------------------
 
   /** Deterministic ±1 hyperplanes: sign(t, p, d) = parity of the first hex

@@ -106,6 +106,33 @@ object Temporal {
       |       MAX(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_cohort_retention: weekly cohort grid — users grouped by first-seen
+    * week, counted in each later active week (the standard retention
+    * matrix; two aggregations + one broadcast join of the tiny cohort map).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.distinct()
+      .join(broadcast(cohort), "user_id")
+      .groupBy("cohort_week", "week")
+      .agg(countDistinct("user_id").as("n_active"))
+      .withColumn("week_no", datediff(col("week"), col("cohort_week")) / 7)
+      .select(col("cohort_week"), col("week_no").cast("int").as("week_no"), col("n_active"))
+      .orderBy("cohort_week", "week_no")
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+      |SELECT cohort_week,
+      |       CAST((week - cohort_week) / 7 AS INT) AS week_no,
+      |       COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q_events_funnel: ordered-step conversion funnel — per user, did a
     * view precede a click precede a purchase (strict event-time order)?
     * The sequential-pattern op of event analytics, as three min-timestamp

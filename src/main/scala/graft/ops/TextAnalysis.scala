@@ -151,6 +151,46 @@ object TextAnalysis {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank, tok, cnt
        |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin
 
+  /** q_tfidf: per-document top-TF-IDF terms — the classic feature-extraction
+    * op (tf = in-doc count, idf = ln(N/df)). Top-3 terms for a fixed doc
+    * slice, ties broken by token; one explode + two aggregations + a
+    * broadcast join of the tiny df table.
+    */
+  def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tokRows = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tokRows.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tokRows.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .filter(col("doc_id") < 20)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfOracle: String =
+    s"""WITH tokrows AS (
+       |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tokrows GROUP BY 1, 2),
+       |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokrows GROUP BY 1),
+       |n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+       |         tf.tf * ln(n.n_docs / dfreq.df) AS tfidf
+       |  FROM tf JOIN dfreq USING (tok), n
+       |  WHERE tf.doc_id < 20),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, tfidf
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // --- language identification ----------------------------------------------
 
   /** Marker-token sets for the n-gram/stopword language-ID heuristic.
