@@ -48,6 +48,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
+    "q_data_split"        -> ((s, d) => Dedup.dataSplit(s, d)),
+    "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -135,6 +137,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
+    "q_data_split"              -> ops.Dedup.dataSplitOracle,
+    "q_decontamination"         -> ops.Dedup.decontaminationOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,
