@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.FixedWidth._
-import graft.util.{Clock, Retry}
+import graft.util.Retry
 
 /** The complete daily run — the reference's flagship entry point
   * (/root/reference/main.py:425-636, SURVEY.md §3.1) re-expressed as one
@@ -69,7 +69,9 @@ object DailyIngest {
         typed.write.mode(SaveMode.Overwrite).parquet(lay.temp)
       }
 
-      // 6: promote temp -> final, idempotent anti-join upsert on the key
+      // 6: promote temp -> final, idempotent anti-join upsert on the key;
+      //    the final table is laid out `f_shipdate=YYYY-MM-DD/` so step 8's
+      //    retention is a pure partition drop, never a table rewrite
       val temp = spark.read.parquet(lay.temp)
       val promoted = if (exists(spark, lay.finalT)) {
         val finalT = spark.read.parquet(lay.finalT)
@@ -77,7 +79,8 @@ object DailyIngest {
                                      NaturalKey, "left_anti"))
       } else temp
       val staged = s"${lay.finalT}_staged"
-      promoted.write.mode(SaveMode.Overwrite).parquet(staged)
+      promoted.repartition(col("f_shipdate"))
+        .write.mode(SaveMode.Overwrite).partitionBy("f_shipdate").parquet(staged)
       replace(spark, staged, lay.finalT)
 
       // 7: rollups from the promoted table
@@ -92,12 +95,10 @@ object DailyIngest {
              countDistinct("f_orderkey").as("n_orders"))
         .write.mode(SaveMode.Overwrite).parquet(lay.salesAgg)
 
-      // 8: retention on the final table (exclusive < asOf - days)
+      // 8: retention on the final table (exclusive < asOf - days) — a pure
+      //    partition drop on the date layout: kept days are never rewritten
       val asOf = finalT.agg(max("f_shipdate")).head().getDate(0)
-      val kept = finalT.filter(Clock.retentionKeep(col("f_shipdate"), lit(asOf), retentionDays))
-      val keptStaged = s"${lay.finalT}_retained"
-      kept.write.mode(SaveMode.Overwrite).parquet(keptStaged)
-      replace(spark, keptStaged, lay.finalT)
+      Sinks.retentionDropPartitions(spark, lay.finalT, "f_shipdate", asOf, retentionDays)
 
       // 9: archive the input
       Sinks.archiveFile(spark, file, lay.archive)
@@ -124,13 +125,6 @@ object DailyIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Atomic-ish directory swap: delete `dst`, rename `src` → `dst`. */
-  private def replace(spark: SparkSession, src: String, dst: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val dstP = new org.apache.hadoop.fs.Path(dst)
-    val fs = srcP.getFileSystem(conf)
-    if (fs.exists(dstP)) fs.delete(dstP, true)
-    require(fs.rename(srcP, dstP), s"rename $src -> $dst failed")
-  }
+  private def replace(spark: SparkSession, src: String, dst: String): Unit =
+    Sinks.replaceDir(spark, src, dst)
 }

@@ -54,9 +54,12 @@ object Notify {
 
   /** The notification payload (email_sender.py:32-78 shape): subject picks
     * the success/failure variant from the FLAG (bug §4.4-e fixed), body
-    * carries rows / MB (main.py:603 rounding) / minutes (email_sender.py:40).
+    * carries rows / MB (main.py:603 rounding) / minutes (email_sender.py:40)
+    * and the send date rendered in Asia/Tokyo (email_sender.py:43-45).
+    * `sentAt` is injectable for testability; callers default to now().
     */
-  def payload(m: RunMetrics, emailFrom: String, emailTo: String): Map[String, String] = {
+  def payload(m: RunMetrics, emailFrom: String, emailTo: String,
+              sentAt: java.time.Instant = java.time.Instant.now()): Map[String, String] = {
     val subject =
       if (m.isFileFailed) s"POS ETL FAILED: ${m.fileName}"
       else s"POS ETL succeeded: ${m.fileName}"
@@ -73,14 +76,16 @@ object Notify {
            |<p>Rows processed: ${m.totalRows}</p>
            |<p>Data processed: $mb MB</p>
            |<p>Duration: $minutes minutes</p>
+           |<p>Sent: ${graft.util.Clock.jstDate(sentAt)} (JST)</p>
            |</body></html>""".stripMargin)
   }
 
   /** Deliver via `poster` — NEVER throws (email_sender.py:85-93 parity).
     * Returns true on confirmed delivery.
     */
-  def notify(m: RunMetrics, emailFrom: String, emailTo: String)(
+  def notify(m: RunMetrics, emailFrom: String, emailTo: String,
+             sentAt: java.time.Instant = java.time.Instant.now())(
       poster: Map[String, String] => Boolean): Boolean =
-    try poster(payload(m, emailFrom, emailTo))
+    try poster(payload(m, emailFrom, emailTo, sentAt))
     catch { case scala.util.control.NonFatal(_) => false }
 }

@@ -75,9 +75,33 @@ object Sinks {
     dst
   }
 
+  /** Directory swap that never deletes the only live copy: rename the
+    * current `dst` aside to `<dst>_old`, rename `src` into place, then drop
+    * the old copy. A crash mid-swap leaves the data recoverable under
+    * `<dst>_old` or `src` (a delete-then-rename swap has a window where the
+    * production table simply vanishes). Leftover `_old` from a prior crash
+    * is cleared first — `dst` is live at that point, so `_old` is stale.
+    */
+  def replaceDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new Path(src)
+    val dstP = new Path(dst)
+    val oldP = new Path(dst + "_old")
+    val fs = srcP.getFileSystem(conf)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    val hadDst = fs.exists(dstP)
+    if (hadDst) require(fs.rename(dstP, oldP), s"rename $dst -> ${dst}_old failed")
+    require(fs.rename(srcP, dstP), s"rename $src -> $dst failed")
+    if (hadDst) fs.delete(oldP, true)
+  }
+
   /** K5: retention rewrite — keep rows with `dateCol >= asOf - days`
     * (exclusive delete bound, daily_cleanup.py:30) and overwrite `outDir`
     * date-partitioned. Returns (kept, deleted) counts.
+    *
+    * This is the NON-partitioned fallback: it rewrites every kept row. On a
+    * `dateCol=`-partitioned table use [[retentionDropPartitions]], which
+    * touches only expired directories.
     */
   def retentionRewrite(df: DataFrame, dateCol: String, asOf: java.sql.Date,
                        outDir: String, days: Int = 4): (Long, Long) = {
@@ -86,5 +110,41 @@ object Sinks {
     writeDatePartitioned(kept, dateCol, outDir)
     val n = kept.sparkSession.read.parquet(outDir).count()
     (n, total - n)
+  }
+
+  /** K5 at scale: TRUE partition drop. On a table laid out as
+    * `tableDir/dateCol=YYYY-MM-DD/…`, delete only the directories whose
+    * date is `< asOf - days` (exclusive bound, daily_cleanup.py:30). Kept
+    * partitions' files are never read, rewritten, or touched — retention
+    * cost is O(expired data), not O(table). Returns (deletedRows,
+    * deletedPartitions); the deleted rowcount (reported by the reference's
+    * cleanup email, daily_cleanup.py:35-49) is counted from the expired
+    * directories only, before deletion.
+    */
+  def retentionDropPartitions(spark: SparkSession, tableDir: String,
+                              dateCol: String, asOf: java.sql.Date,
+                              days: Int = 4): (Long, Long) = {
+    val cutoff = asOf.toLocalDate.minusDays(days)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return (0L, 0L)
+    val prefix = dateCol + "="
+    val expired = fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .filter { p =>
+        val v = p.getName.stripPrefix(prefix)
+        scala.util.Try(java.time.LocalDate.parse(v)).toOption.exists(_.isBefore(cutoff))
+      }
+      .toSeq
+    if (expired.isEmpty) return (0L, 0L)
+    val nDeleted = spark.read
+      .option("basePath", tableDir)
+      .parquet(expired.map(_.toString): _*)
+      .count()
+    expired.foreach(p => fs.delete(p, true))
+    (nDeleted, expired.size.toLong)
   }
 }

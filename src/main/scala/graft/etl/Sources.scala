@@ -35,9 +35,10 @@ object Sources {
   def dailyFile(spark: SparkSession, dir: String, date: java.time.LocalDate,
                 prefix: String = "R520."): Option[String] = {
     val yyyymmdd = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the path's OWN filesystem (s3a://, hdfs://, file:) — the
+    // default-FS form breaks when inputDir lives on a different scheme
     val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).iterator
       .map(_.getPath.toString)

@@ -201,7 +201,9 @@ object Relational {
       .withColumn("day_share",
         col("revenue") / sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .over(day).cast("double"))
-      .filter(col("business_date") < lit("1992-03-01").cast("date"))
+      // fixtures' shipdates span 1995-01-02..2001-11-04; the cutoff keeps the
+      // window comparison non-vacuous (813 rows at sf0.01) while bounding output
+      .filter(col("business_date") < lit("1995-03-01").cast("date"))
       .orderBy("store_id", "business_date")
   }
 
@@ -216,15 +218,21 @@ object Relational {
        |         PARTITION BY store_id ORDER BY business_date
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue,
        |       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (PARTITION BY business_date) AS DOUBLE) AS day_share
-       |FROM daily QUALIFY business_date < DATE '1992-03-01'
+       |FROM daily QUALIFY business_date < DATE '1995-03-01'
        |ORDER BY 1, 2""".stripMargin
 
-  /** Anti-join: nations ranked by customers who have never ordered (§2.7
-    * semi/anti surface; the dedup-vs-existing pattern at scale).
+  /** Anti-join: nations ranked by customers inactive since a cutoff — no
+    * orders on/after 2000-01-01 (§2.7 semi/anti surface; the
+    * dedup-vs-existing pattern at scale). Every fixture customer has SOME
+    * order, so the cutoff-keyed form is what keeps the anti-join observable
+    * (135 inactive customers at sf0.01 vs 0 for the never-ordered form).
     */
+  val InactiveCutoff = "2000-01-01"
+
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val o = Tables.orders(spark, dir).select("o_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderdate")
+      .filter(to_date(col("o_orderdate")) >= lit(InactiveCutoff).cast("date"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("nation_id"))
       .agg(count(lit(1)).as("n_inactive"))
@@ -232,9 +240,10 @@ object Relational {
   }
 
   val customersWithoutOrdersOracle: String =
-    """SELECT c_nationkey AS nation_id, COUNT(*) AS n_inactive
+    s"""SELECT c_nationkey AS nation_id, COUNT(*) AS n_inactive
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND CAST(o.o_orderdate AS DATE) >= DATE '$InactiveCutoff')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {

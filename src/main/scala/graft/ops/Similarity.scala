@@ -244,7 +244,9 @@ object Similarity {
     cand.groupBy("tbl")
       .agg(
         count(lit(1)).as("n_candidates"),
-        countDistinct(col("id_a") * 1000000 + col("id_b")).as("n_distinct_pairs"),
+        // distinct on the (id_a, id_b) struct — an arithmetic encoding would
+        // collide once vec_id reaches the multiplier at corpus scale
+        countDistinct(struct(col("id_a"), col("id_b"))).as("n_distinct_pairs"),
         sum(when(col("sim") >= NearDupCos, 1L).otherwise(0L)).as("n_confirmed"))
       .orderBy("tbl")
   }
@@ -273,7 +275,7 @@ object Similarity {
        |  FROM tables a JOIN tables b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT tbl, COUNT(*) AS n_candidates,
-       |       COUNT(DISTINCT id_a * 1000000 + id_b) AS n_distinct_pairs,
+       |       COUNT(DISTINCT (id_a, id_b)) AS n_distinct_pairs,
        |       CAST(SUM(CASE WHEN sim >= $NearDupCos THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
        |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
   }

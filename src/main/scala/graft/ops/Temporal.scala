@@ -176,9 +176,12 @@ object Temporal {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val sessions = Tables.events(spark, dir)
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // fractional-second gap test: cast-to-double keeps microseconds, exactly
+      // matching the oracle's epoch(ts); unix_timestamp would floor to whole
+      // seconds and flip sessions whose gap is in (1800, 1801)
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+             col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("new_session").over(
         Window.partitionBy("user_id").orderBy("ts")

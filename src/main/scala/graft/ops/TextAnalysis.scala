@@ -132,15 +132,23 @@ object TextAnalysis {
 
   /** q_vocab_topk: the corpus vocabulary head — top 20 tokens by frequency
     * (ties by token) with ranks. One explode + one aggregation + top-k.
+    *
+    * Top-k is sort+limit (Catalyst plans TakeOrderedAndProject: per-partition
+    * heaps, never a global sort) — NOT a row_number over an unpartitioned
+    * window, which would move the whole vocabulary (10⁸ distinct tokens at
+    * corpus scale) to a single task. Ranks are assigned after the limit, when
+    * the data is provably ≤ k rows, so the rank window's single partition is
+    * bounded by construction.
     */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(spark, dir)
+    val top = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    counts.withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rank") <= k)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))))
       .select("rank", "tok", "cnt")
       .orderBy("rank")
   }
@@ -159,14 +167,17 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    // corpus size as a broadcast 1-row plan, not a separate driver action
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokRows = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = tokRows.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tokRows.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
     tf.join(broadcast(dfreq), "tok")
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .drop("n_docs")
       .filter(col("doc_id") < 20)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)

@@ -76,11 +76,31 @@ object StreamingIngest {
     * Chunks must arrive in `seq` order per key within a batch (the file
     * reader guarantees this; out-of-order delivery would need a seq-buffer
     * state, which the daily-file source never produces).
+    *
+    * Widths count Unicode CODE POINTS, not UTF-16 units — matching the batch
+    * [[graft.plans.FixedWidthGenerator]] and Python slicing, so streaming
+    * reassembly and batch segmentation agree on non-BMP text. A chunk seam
+    * may split a surrogate pair; a trailing high surrogate is held back in
+    * the carry until its low half arrives, never consumed as a record char.
     */
   def carve(buffer: String, width: Int): (Seq[String], String) = {
-    val full = buffer.length / width
-    val recs = (0 until full).map(i => buffer.substring(i * width, (i + 1) * width))
-    (recs, buffer.substring(full * width))
+    // never let an unpaired trailing high surrogate count as a code point
+    val safeLen =
+      if (buffer.nonEmpty && Character.isHighSurrogate(buffer.charAt(buffer.length - 1)))
+        buffer.length - 1
+      else buffer.length
+    val total = buffer.codePointCount(0, safeLen)
+    val full = total / width
+    val recs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < full) {
+      val end = buffer.offsetByCodePoints(start, width)
+      recs += buffer.substring(start, end)
+      start = end
+      i += 1
+    }
+    (recs.toSeq, buffer.substring(start))
   }
 
   def reassembleChunks(chunks: Dataset[Chunk],

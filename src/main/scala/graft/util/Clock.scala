@@ -28,6 +28,13 @@ object Clock {
     */
   def jst(ts: Column): Column = from_utc_timestamp(ts, "Asia/Tokyo")
 
+  /** Driver-side JST date render for notification bodies
+    * (email_sender.py:43-45: strftime %Y-%m-%d in Asia/Tokyo).
+    */
+  def jstDate(instant: java.time.Instant): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .format(instant.atZone(java.time.ZoneId.of("Asia/Tokyo")))
+
   /** Retention cutoff: strictly-less-than `days` before `asOf` (exclusive
     * bound, daily_cleanup.py:30: `WHERE 当稼動日 < ?`).
     */
