@@ -25,6 +25,7 @@ object SparkEntry {
     "q_sales_daily"       -> ((s, d) => Relational.salesDaily(s, d)),
     "q_kyakusu_daily"     -> ((s, d) => Relational.kyakusuDaily(s, d)),
     "q_kyakusu_approx"    -> ((s, d) => Relational.kyakusuApprox(s, d)),
+    "q_kyakusu_approx_check" -> ((s, d) => Relational.kyakusuApproxCheck(s, d)),
     "q_sku_daily"         -> ((s, d) => Relational.skuDaily(s, d)),
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q_vocab_topk"        -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "q_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
@@ -134,6 +136,8 @@ object SparkEntry {
     "q_vocab_topk"              -> ops.TextAnalysis.vocabTopKOracle,
     "q_dedup_exact"             -> ops.Dedup.dedupExactOracle,
     "q_dedup_ngram_jaccard"     -> ops.Dedup.ngramJaccardOracle,
+    "q_dedup_jaccard_capped"    -> ops.Dedup.ngramJaccardCappedOracle,
+    "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,

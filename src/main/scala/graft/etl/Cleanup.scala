@@ -36,6 +36,36 @@ object Cleanup {
       s.isDirectory && s.getPath.getName.startsWith(dateCol + "="))
   }
 
+  /** Data-derived `asOf` (max business date present). On a partitioned
+    * table the max comes from the partition DIRECTORY NAMES — no data files
+    * are read, preserving the partition-drop path's O(expired) cost claim.
+    * The non-partitioned fallback scans (it must rewrite anyway). An empty
+    * table fails fast with a clear message instead of surfacing as an NPE
+    * inside retention.
+    */
+  def deriveAsOf(spark: SparkSession, tableDir: String, dateCol: String,
+                 partitioned: Boolean): java.sql.Date =
+    if (partitioned) {
+      val p = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = dateCol + "="
+      val dates = fs.listStatus(p).iterator
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix))
+        .filter(v => scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
+        .toSeq
+      require(dates.nonEmpty,
+        s"cannot derive asOf: no $prefix<date> partitions under $tableDir")
+      // ISO dates order lexicographically == chronologically
+      java.sql.Date.valueOf(dates.max)
+    } else {
+      val d = spark.read.parquet(tableDir).agg(max(col(dateCol))).head().getDate(0)
+      require(d != null, s"cannot derive asOf: $tableDir has no rows")
+      d
+    }
+
   /** Run retention on `tableDir`; notify success/failure via `poster`
     * (never throws from the notification itself); re-raise on failure.
     */
@@ -44,11 +74,10 @@ object Cleanup {
           poster: Map[String, String] => Boolean = _ => true): Result = {
     val t0 = System.nanoTime()
     try {
-      val effAsOf = asOf.getOrElse {
-        spark.read.parquet(tableDir).agg(max(col(dateCol))).head().getDate(0)
-      }
+      val partitioned = isDatePartitioned(spark, tableDir, dateCol)
+      val effAsOf = asOf.getOrElse(deriveAsOf(spark, tableDir, dateCol, partitioned))
       val result =
-        if (isDatePartitioned(spark, tableDir, dateCol)) {
+        if (partitioned) {
           val (rows, parts) =
             Sinks.retentionDropPartitions(spark, tableDir, dateCol, effAsOf, days)
           Result(rows, parts, (System.nanoTime() - t0) / 1e9, partitionDrop = true)

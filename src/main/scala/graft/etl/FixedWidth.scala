@@ -57,16 +57,31 @@ object FixedWidth {
   }
 
   /** T3: order-preserving pack of `n` consecutive records into one string
-    * row per (`partCols`, group). Ordering is explicit via `row_number`
-    * over `orderCols` — never implicit row order (SURVEY.md §7.5) — and the
-    * in-group concat sorts a (rn, record) struct array, so the result is
-    * deterministic under any partitioning. Final partial group is emitted
-    * (main.py:421-423).
+    * row per (`partCols`, group). Ordering is explicit over `orderCols` —
+    * never implicit row order (SURVEY.md §7.5) — and the in-group concat
+    * sorts a (rn, record) struct array, so the result is deterministic under
+    * any partitioning. Final partial group is emitted (main.py:421-423).
+    *
+    * Default path is [[packScalable]]: global per-key row numbers with full
+    * parallelism (range partition + Tungsten-resident stateful projection),
+    * so a single hot part-key never ceilings at one reducer's sort. The
+    * window form survives as [[packWindow]] for inputs known to be small.
     */
   def pack(df: DataFrame, recCol: String,
            partCols: Seq[String], orderCols: Seq[String],
            n: Int = PackFactor,
-           packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame = {
+           packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame =
+    packScalable(df, recCol, partCols, orderCols, n, packedOut, grpOut)
+
+  /** T3 small-input path: `row_number` over a per-key window. One shuffle,
+    * but each part-key's ENTIRE record stream sorts on one reducer — fine
+    * while every key fits one executor's sort, a ceiling at scale (which is
+    * why [[pack]] defaults to [[packScalable]]).
+    */
+  def packWindow(df: DataFrame, recCol: String,
+                 partCols: Seq[String], orderCols: Seq[String],
+                 n: Int = PackFactor,
+                 packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
     df.withColumn("_rn", row_number().over(w).cast("long") - 1)
       .withColumn(grpOut, (col("_rn") / n).cast("long"))
@@ -116,71 +131,63 @@ object FixedWidth {
       .agg(agg(col("_rn"), col(recCol)).as(packedOut))
   }
 
-  /** T3 skew-escape hatch: [[pack]]'s window puts each part-key's entire
-    * record stream on ONE reducer — fine while a key's data fits one
-    * executor's sort, a ceiling at extreme skew. This variant computes the
-    * same global per-key row numbers with full parallelism: range-partition
-    * + in-partition sort on (partCols, orderCols), count rows per
-    * (partition, key) — a tiny driver-side table — assign each partition
-    * its key-offset, then the same grouped ordered concat. Output is
-    * identical to [[pack]] (equivalence-tested) because (partCols,
-    * orderCols) is a total order.
+  /** T3 scale path (the default behind [[pack]]): the same global per-key
+    * row numbers as the window form, computed with full parallelism and
+    * entirely on Tungsten rows.
     *
-    * Measured trade-off (sf0.1, 600k × 520-char records): the external-Row
-    * `mapPartitions` pass leaves Tungsten/codegen and costs ~2.5× the
-    * window form — so [[pack]] stays the default; reach for this only when
-    * a single key genuinely exceeds one task's sort capacity. (A custom
-    * physical operator assigning offsets over UnsafeRows would close that
-    * gap; not warranted at current scale.)
+    *  1. Range-partition + sort within partitions on (partCols, orderCols):
+    *     every key is a set of contiguous runs whose partition order IS the
+    *     global order (a total order, so output is identical to the window
+    *     form — equivalence-tested in FixedWidthSpec).
+    *  2. Count rows per (partition, key) — a tiny driver-side table — and
+    *     turn it into per-(partition, key) starting offsets.
+    *  3. One narrow projection with the stateful codegen'd
+    *     [[graft.plans.KeyedOffsetRowNumber]] expression (offsets ride along
+    *     as a codegen reference object): rows never leave UnsafeRow, no
+    *     second sort, no extra shuffle, no per-key single-reducer ceiling.
+    *  4. The same grouped ordered concat as the window form.
+    *
+    * The sorted intermediate is cached for the two passes (counts, then the
+    * offset projection — the cache also guarantees both passes see the same
+    * range boundaries); the caller's `clearCache` reclaims it (Bench/Verify
+    * do). Part keys must be non-null (reference semantics: keys come from
+    * fixed-width fields, never null — main.py:414-423).
     */
   def packScalable(df: DataFrame, recCol: String,
                    partCols: Seq[String], orderCols: Seq[String],
                    n: Int = PackFactor,
                    packedOut: String = "packed", grpOut: String = "pack_id",
                    numParts: Int = 0): DataFrame = {
-    import org.apache.spark.sql.Row
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
     val sortCols = (partCols ++ orderCols).map(col)
+    // single string key: the driver-side offsets table and the executor-side
+    // expression must agree on the key encoding, so the key column is
+    // materialized once and both read the same value
+    val keyCol = concat_ws("\u0001", partCols.map(c => col(c).cast("string")): _*)
     val sorted = df
+      .withColumn("_key", keyCol)
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      // two passes (per-partition key counts, then offset assignment) — the
-      // cache is reclaimed by the caller's clearCache (Bench/Verify do)
       .cache()
-    val counts = sorted.groupBy(col("_pid") +: partCols.map(col): _*)
-      .count().collect()
-    // per (key, pid) starting offset = rows of that key in earlier partitions
-    val offsets: Map[(Seq[Any], Int), Long] = counts
-      .groupBy(r => partCols.map(c => r.getAs[Any](c)))
-      .flatMap { case (key, rows) =>
-        var acc = 0L
-        rows.sortBy(_.getAs[Int]("_pid")).map { r =>
-          val entry = ((key, r.getAs[Int]("_pid")), acc)
-          acc += r.getAs[Long]("count")
-          entry
+    val counts = sorted
+      .select(spark_partition_id().as("_pid"), col("_key"))
+      .groupBy("_pid", "_key").count().collect()
+    // per (pid, key) starting offset = rows of that key in earlier partitions
+    val offsets = new java.util.HashMap[Integer, java.util.HashMap[String, java.lang.Long]]()
+    counts.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getAs[Int]("_pid")).foreach { r =>
+        if (acc != 0L) {
+          offsets.computeIfAbsent(r.getAs[Int]("_pid"),
+            _ => new java.util.HashMap[String, java.lang.Long]()).put(key, acc)
         }
+        acc += r.getAs[Long]("count")
       }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = sorted.schema.add("_rn", org.apache.spark.sql.types.LongType)
-    val withRn = sorted.mapPartitions { it =>
-      // partition rows are sorted, so each key is one contiguous run
-      var curKey: Seq[Any] = null
-      var rn = 0L
-      it.map { row =>
-        val k = partCols.map(row.getAs[Any])
-        if (k != curKey) {
-          curKey = k
-          rn = bc.value((k, row.getAs[Int]("_pid")))
-        }
-        val out = Row.fromSeq(row.toSeq :+ rn)
-        rn += 1
-        out
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-    withRn
+    }
+    sorted
+      .withColumn("_rn", graft.plans.KeyedOffsetRowNumber.column(col("_key"), offsets))
       .withColumn(grpOut, (col("_rn") / n).cast("long"))
       .groupBy((partCols :+ grpOut).map(col): _*)
       .agg(array_join(

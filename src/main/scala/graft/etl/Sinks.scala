@@ -79,8 +79,15 @@ object Sinks {
     * current `dst` aside to `<dst>_old`, rename `src` into place, then drop
     * the old copy. A crash mid-swap leaves the data recoverable under
     * `<dst>_old` or `src` (a delete-then-rename swap has a window where the
-    * production table simply vanishes). Leftover `_old` from a prior crash
-    * is cleared first — `dst` is live at that point, so `_old` is stale.
+    * production table simply vanishes).
+    *
+    * Leftover `_old` handling is state-dependent: if `dst` exists, `_old`
+    * is stale from a prior completed swap and is cleared; if `dst` is
+    * MISSING, the prior run crashed between rename(dst→old) and
+    * rename(src→dst) — `_old` is the ONLY live copy and is renamed back
+    * into place (recovered) before this swap proceeds. Deleting it
+    * unconditionally would silently lose the table in exactly that crash
+    * window.
     */
   def replaceDir(spark: SparkSession, src: String, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -88,7 +95,15 @@ object Sinks {
     val dstP = new Path(dst)
     val oldP = new Path(dst + "_old")
     val fs = srcP.getFileSystem(conf)
-    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(oldP)) {
+      if (fs.exists(dstP)) fs.delete(oldP, true) // prior swap completed: stale
+      else require(fs.rename(oldP, dstP),        // crash window: recover
+        s"recover ${dst}_old -> $dst failed")
+    }
+    // validate the source BEFORE moving dst aside — otherwise a missing src
+    // would strand the live table under `_old` (the very window recovered
+    // above)
+    require(fs.exists(srcP), s"replaceDir source $src does not exist")
     val hadDst = fs.exists(dstP)
     if (hadDst) require(fs.rename(dstP, oldP), s"rename $dst -> ${dst}_old failed")
     require(fs.rename(srcP, dstP), s"rename $src -> $dst failed")
@@ -140,10 +155,27 @@ object Sinks {
       }
       .toSeq
     if (expired.isEmpty) return (0L, 0L)
-    val nDeleted = spark.read
-      .option("basePath", tableDir)
-      .parquet(expired.map(_.toString): _*)
-      .count()
+    // An expired dir may hold no data files (leftover of a previously
+    // interrupted delete); including it in the counting read throws
+    // "unable to infer schema" and would wedge every later cleanup run.
+    // Count only dirs with data; delete all expired dirs either way.
+    def hasDataFiles(p: Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        found = f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    val withData = expired.filter(hasDataFiles)
+    val nDeleted =
+      if (withData.isEmpty) 0L
+      else spark.read
+        .option("basePath", tableDir)
+        .parquet(withData.map(_.toString): _*)
+        .count()
     expired.foreach(p => fs.delete(p, true))
     (nDeleted, expired.size.toLong)
   }

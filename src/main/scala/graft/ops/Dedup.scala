@@ -31,7 +31,20 @@ object Dedup {
   val JaccardThreshold = 0.5
   val SimHashBits = 32
   val SimHashBands = 4
-  val HammingMax = 6
+  // Verified Hamming radius. 4 bands over 32 bits pigeonhole-guarantee that
+  // every pair within distance 3 shares ≥1 exact band (the classic f-bit /
+  // k=3 SimHash configuration); radius and band count are locked together —
+  // raising the radius without adding bands silently loses recall.
+  val HammingMax = SimHashBands - 1
+  // Stop-shingle document-frequency cap for the capped near-dup variant:
+  // shingles present in more than this many docs are "stop shingles" —
+  // boilerplate at web scale — and are removed from every set before the
+  // inverted-index self-join (whose cost is Σ df², quadratic in the hottest
+  // bucket). The Zipf head is tiny, so the removed-set side broadcasts.
+  // 5 is chosen to FIRE at fixture scale (sf0.01 has shingles up to df=7),
+  // so q_dedup_jaccard_capped exercises real stop-shingle removal, not a
+  // vacuous no-op; a production corpus would set this orders higher.
+  val MaxShingleDF = 5
 
   // --- shared shingling ------------------------------------------------------
 
@@ -140,6 +153,62 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
        |ORDER BY 1, 2""".stripMargin
 
+  /** Exact pairwise Jaccard with the stop-shingle DF cap, over an explicit
+    * (doc_id, shingles) relation (injectable for skew tests). Shingles with
+    * document frequency > `cap` are removed from EVERY set before candidate
+    * generation and scoring — the 100 TB skew defense: a shingle shared by
+    * d docs contributes d² candidate rows to the self-join, so one
+    * boilerplate shingle at web scale is quadratic; capping bounds every
+    * bucket at cap². Jaccard is then computed over the capped sets (sizes
+    * recomputed post-cap, so the threshold semantics stay exact).
+    */
+  def jaccardPairsCapped(sh: DataFrame, cap: Int): DataFrame = {
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("s")
+    // the Zipf head is tiny at any sane cap — broadcast the anti-join side
+    val ex1 = ex0.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = ex1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ex = ex1.join(sizes, "doc_id")
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= lit(JaccardThreshold) * col("b.n") &&
+          col("b.n") >= lit(JaccardThreshold) * col("a.n"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // n is constant within a pair group, so max() carries it through the
+      // aggregation — no second join against a corpus-wide sizes table
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** q_dedup_jaccard_capped: [[ngramJaccard]] with the [[MaxShingleDF]]
+    * stop-shingle cap applied — the scale-defended variant.
+    */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
+      .orderBy("doc_a", "doc_b")
+
+  val ngramJaccardCappedOracle: String =
+    s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1) WHERE df > $MaxShingleDF),
+       |ex AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, x.n AS n_a, y.n AS n_b,
+       |       CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+       |FROM pairs p
+       |JOIN sz x ON p.doc_a = x.doc_id
+       |JOIN sz y ON p.doc_b = y.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+
   // --- MinHash + LSH ---------------------------------------------------------
 
   /** MinHash signature: NumHashes × min over shingles of md5(i ++ ":" ++ s).
@@ -179,14 +248,27 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // bare id pairs, persisted: the signature + banded-self-join pipeline
+      // above is the expensive stage and feeds THREE consumers downstream
+      // (candIds + the two verify joins) — without the persist it re-executes
+      // per consumer. Pairs are the LSH-bucketed candidate set (bounded by
+      // bucket sizes, never all-pairs), two longs per row.
+      .persist()
     verifyJaccardPairs(spark, dir, cand)
       .orderBy("doc_a", "doc_b")
   }
 
   /** Exact-Jaccard verification of bare candidate id pairs: compute shingles
-    * for CANDIDATE docs only (broadcast semi-join on the raw table before
-    * the shingle transform — non-candidates never pay the tokenizer), then
-    * one pair join. Shared by the LSH and DF-capped pipelines.
+    * for CANDIDATE docs only (semi-join on the raw table before the shingle
+    * transform — non-candidates never pay the tokenizer), then one pair
+    * join. Shared by the LSH and DF-capped pipelines.
+    *
+    * Scale shape: only `candIds` (bare longs) is ever broadcast. The
+    * shingle-carrying joins are plain shuffle joins — at 100 TB the
+    * candidate set is unbounded, so a forced broadcast of the shingle table
+    * would hit the driver/broadcast ceiling; AQE still turns these into
+    * broadcasts whenever the candidate side is actually small. `candSh` is
+    * persisted because it feeds both the doc_a and doc_b joins.
     */
   private def verifyJaccardPairs(spark: SparkSession, dir: String,
                                  cand: DataFrame): DataFrame = {
@@ -195,9 +277,10 @@ object Dedup {
     val candSh = Tables.documents(spark, dir)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .persist()
     cand
-      .join(broadcast(candSh).as("x"), col("doc_a") === col("x.doc_id"))
-      .join(broadcast(candSh).as("y"), col("doc_b") === col("y.doc_id"))
+      .join(candSh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(candSh.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("x.shingles"), col("y.shingles"))).as("inter"),
         size(col("x.shingles")).as("n_a"), size(col("y.shingles")).as("n_b"))
@@ -324,13 +407,14 @@ object Dedup {
     */
   val DriverResolveMaxEdges = 5000000L
 
-  def dedupResolution(spark: SparkSession, dir: String): DataFrame = {
+  def dedupResolution(spark: SparkSession, dir: String,
+                      maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
     import org.apache.spark.sql.DataFrame
     val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").cache()
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val nEdges = pairs.count()
     val labels: DataFrame =
-      if (nEdges <= DriverResolveMaxEdges) {
+      if (nEdges <= maxDriverEdges) {
         // driver-side union-find with path compression
         import spark.implicits._
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -349,11 +433,16 @@ object Dedup {
         if (resolved.isEmpty) spark.emptyDataset[(Long, Long)].toDF("doc_id", "label")
         else resolved.toDF("doc_id", "label")
       } else {
-        // distributed min-label propagation over the edge subgraph
+        // distributed min-label propagation over the edge subgraph.
+        // Each round's label table is localCheckpoint'ed, not just cached:
+        // cache() keeps the logical plan growing one join per round (30
+        // rounds → a 30-join-deep plan and quadratic planning time), while
+        // localCheckpoint truncates lineage so every round plans against a
+        // flat leaf — the standard iterative-algorithm hygiene on Spark.
         val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst").cache()
         var l: DataFrame = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).cache()
+          .withColumn("label", col("doc_id")).localCheckpoint()
         var changed = 1L
         var iters = 0
         while (changed > 0 && iters < 30) {
@@ -361,10 +450,9 @@ object Dedup {
             .select(col("src").as("doc_id"), col("label"))
           val next = l.select(col("doc_id"), col("label")).union(viaNeighbor)
             .groupBy("doc_id").agg(min("label").as("label"))
-          next.cache()
+            .localCheckpoint()
           changed = next.join(l.withColumnRenamed("label", "old"), "doc_id")
             .filter(col("label") =!= col("old")).count()
-          l.unpersist()
           l = next
           iters += 1
         }
@@ -427,7 +515,11 @@ object Dedup {
     * generation (a pair within Hamming distance 3 must share ≥1 exact band —
     * the pigeonhole guarantee), then exact Hamming verification ≤ [[HammingMax]].
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, fp): the 32-bit SimHash fingerprint per document — exposed so
+    * the banding-completeness property is testable at the fingerprint level
+    * (ExtensionsSpec).
+    */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     // One shuffle: 32 per-bit contribution sums as parallel aggregate
     // columns (map-side combined) instead of exploding 32 rows per token —
     // the row-explosion form shuffles 32× the data for the same result.
@@ -437,12 +529,16 @@ object Dedup {
     val bitSums = (0 until SimHashBits).map { b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s_$b")
     }
-    val fp = occ.groupBy("doc_id")
+    occ.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until SimHashBits).map(b =>
           when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("fp"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(spark, dir)
     val bandBits = SimHashBits / SimHashBands
     val banded = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))

@@ -69,6 +69,36 @@ object Relational {
       .orderBy("store_id", "business_date")
   }
 
+  /** Relative error accepted by [[kyakusuApproxCheck]]: 3× the 1% rsd
+    * configured on the sketch in [[kyakusuApprox]].
+    */
+  val ApproxCheckBound = 0.03
+
+  /** q_kyakusu_approx_check: the sketch variant's correctness signal — join
+    * the HLL estimate against the exact distinct count and count the groups
+    * whose relative error exceeds [[ApproxCheckBound]] (3× the configured
+    * rsd). The OUTPUT is deterministic (group count + violation count 0), so
+    * the sketch pipeline gains a real oracle row even though the raw
+    * estimates are engine-specific — the q_knn_recall pattern.
+    */
+  def kyakusuApproxCheck(spark: SparkSession, dir: String): DataFrame = {
+    val exact = kyakusuDaily(spark, dir)
+      .select(col("store_id"), col("business_date"), col("kyakusu"))
+    val approx = kyakusuApprox(spark, dir)
+    exact.join(approx, Seq("store_id", "business_date"))
+      .select((abs(col("kyakusu_approx") - col("kyakusu")) /
+               col("kyakusu").cast("double")).as("rel_err"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(when(col("rel_err") > ApproxCheckBound, 1L).otherwise(0L)).as("n_violations"))
+  }
+
+  val kyakusuApproxCheckOracle: String =
+    """WITH g AS (
+      |  SELECT c.c_nationkey AS store_id, CAST(o.o_orderdate AS DATE) AS business_date
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_groups, CAST(0 AS BIGINT) AS n_violations FROM g""".stripMargin
+
   /** SP_Process_Daily_SKU_Data_Temp reconstruction: per-SKU daily sales.
     * lineitem is the parsed-record stand-in; SKU = partkey, business date =
     * ship date.

@@ -119,13 +119,20 @@ object Similarity {
     val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
 
-    // assignment: argmax cosine over centroids (ties -> min cent_id)
-    val aw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    // assignment: argmax cosine over centroids (ties -> min cent_id) as a
+    // max_by AGGREGATION, not a row_number window: the aggregation partial-
+    // combines map-side, so only one candidate per vec_id leaves each map
+    // task — a window cannot partial-aggregate and would shuffle all N×C
+    // scored rows. Tie-break matches (csim DESC, cent_id ASC) via the
+    // lexicographic struct ordering on (csim, -cent_id).
     val assigned = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nv"), col("cent_id"),
               pairSim(col("v"), col("cv"), col("nv"), col("nc")).as("csim"))
-      .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nv"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("nv"), col("cent_id")),
+                  struct(col("csim"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nv").as("nv"),
+              col("best.cent_id").as("cell"))
 
     // probe: top-NProbe cells per query
     val queries = vecs.filter(col("vec_id") % QueryStride === 0)

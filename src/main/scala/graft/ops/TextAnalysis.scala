@@ -170,7 +170,11 @@ object TextAnalysis {
     // corpus size as a broadcast 1-row plan, not a separate driver action
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tokRows = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tf = tokRows.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // the doc-slice filter sits BELOW the tf aggregation: tf is per-doc, so
+    // only the sliced docs need tokenizing/aggregating on the tf side.
+    // df stays corpus-wide (idf is a corpus statistic).
+    val tf = tokRows.filter(col("doc_id") < 20)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tokRows.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
@@ -178,7 +182,6 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       .drop("n_docs")
-      .filter(col("doc_id") < 20)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
       .select("doc_id", "rank", "tok", "tf", "df", "tfidf")

@@ -112,10 +112,23 @@ class FixedWidthSpec extends SparkSpec {
     import spark.implicits._
     val df = (0 until 257).map(i => (s"g${i % 3}", i, f"[$i%05d]"))
       .toDF("g", "i", "rec").repartition(7)
-    val a = pack(df, "rec", Seq("g"), Seq("i"), n = 25)
+    val a = packWindow(df, "rec", Seq("g"), Seq("i"), n = 25)
       .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val b = packScalable(df, "rec", Seq("g"), Seq("i"), n = 25, numParts = 5)
       .orderBy("g", "pack_id").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("default pack (scalable path) equals the window pack on multi-column keys") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (s"k${i % 2}", s"m${i % 5}", i, f"(${i}%04d)"))
+      .toDF("k", "m", "i", "rec").repartition(9)
+    val a = packWindow(df, "rec", Seq("k", "m"), Seq("i"), n = 17)
+      .orderBy("k", "m", "pack_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val b = pack(df, "rec", Seq("k", "m"), Seq("i"), n = 17)
+      .orderBy("k", "m", "pack_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
     assert(a.toSeq == b.toSeq)
   }
 

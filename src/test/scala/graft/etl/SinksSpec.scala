@@ -53,6 +53,59 @@ class SinksSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("business_date=")))
   }
 
+  test("retentionDropPartitions tolerates an empty expired partition dir (interrupted prior delete)") {
+    import spark.implicits._
+    val out = tmpDir("retentionempty") + "/t"
+    val df = (6 to 10).map(d => (f"2024-01-$d%02d", d)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+    Sinks.writeDatePartitioned(df, "business_date", out)
+    // leftover of a previously interrupted delete: expired dir, no data files
+    new java.io.File(s"$out/business_date=2024-01-02").mkdirs()
+    // one expired dir WITH data
+    Seq(("2024-01-03", 1)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+      .write.mode("append").partitionBy("business_date").parquet(out)
+    val (rows, parts) = Sinks.retentionDropPartitions(
+      spark, out, "business_date", java.sql.Date.valueOf("2024-01-10"))
+    assert(rows == 1 && parts == 2) // counted only the data dir; deleted both
+    assert(!new java.io.File(s"$out/business_date=2024-01-02").exists())
+    assert(!new java.io.File(s"$out/business_date=2024-01-03").exists())
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
+  test("replaceDir recovers _old after a crash between the two renames — never deletes the only copy") {
+    val work = tmpDir("swapcrash")
+    def write(path: String, content: String): Unit = {
+      new java.io.File(path).mkdirs()
+      Files.writeString(java.nio.file.Paths.get(s"$path/data.txt"), content)
+    }
+    // simulated crash state: dst renamed aside, new table never moved in
+    write(s"$work/t_old", "the only live copy")
+    // next run fails before staging src: recovery must still restore dst
+    intercept[IllegalArgumentException] {
+      Sinks.replaceDir(spark, s"$work/staged_missing", s"$work/t")
+    }
+    assert(Files.readString(java.nio.file.Paths.get(s"$work/t/data.txt"))
+      == "the only live copy", "crashed swap must be rolled back, not deleted")
+    assert(!new java.io.File(s"$work/t_old").exists())
+    // same crash state but with a staged src: recovery then a full swap
+    val work2 = tmpDir("swapcrash2")
+    write(s"$work2/t_old", "old")
+    write(s"$work2/staged", "new")
+    Sinks.replaceDir(spark, s"$work2/staged", s"$work2/t")
+    assert(Files.readString(java.nio.file.Paths.get(s"$work2/t/data.txt")) == "new")
+    assert(!new java.io.File(s"$work2/t_old").exists())
+    assert(!new java.io.File(s"$work2/staged").exists())
+    // stale _old (dst live) is cleared, normal swap semantics intact
+    val work3 = tmpDir("swapstale")
+    write(s"$work3/t", "live")
+    write(s"$work3/t_old", "stale")
+    write(s"$work3/staged", "newer")
+    Sinks.replaceDir(spark, s"$work3/staged", s"$work3/t")
+    assert(Files.readString(java.nio.file.Paths.get(s"$work3/t/data.txt")) == "newer")
+    assert(!new java.io.File(s"$work3/t_old").exists())
+  }
+
   test("K1: JDBC sink roundtrips through embedded Derby with batchsize=150 (main.py:53,213-262)") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graft_k1;create=true"

