@@ -56,22 +56,51 @@ object FixedWidth {
       .drop(textCol)
   }
 
+  /** Rows-per-key ceiling for the window pack: above this, one part-key's
+    * entire stream no longer sorts safely/fast on a single reducer and
+    * [[pack]] switches to [[packScalable]]. 2M × 520-char records ≈ 1 GB of
+    * single-task sort — the conservative edge of one executor's comfort.
+    */
+  val WindowMaxRowsPerKey = 2000000L
+
   /** T3: order-preserving pack of `n` consecutive records into one string
     * row per (`partCols`, group). Ordering is explicit over `orderCols` —
     * never implicit row order (SURVEY.md §7.5) — and the in-group concat
     * sorts a (rn, record) struct array, so the result is deterministic under
     * any partitioning. Final partial group is emitted (main.py:421-423).
     *
-    * Default path is [[packScalable]]: global per-key row numbers with full
-    * parallelism (range partition + Tungsten-resident stateful projection),
-    * so a single hot part-key never ceilings at one reducer's sort. The
-    * window form survives as [[packWindow]] for inputs known to be small.
+    * Path selection is ADAPTIVE on measured data, the same way Spark picks
+    * broadcast vs shuffle joins: one narrow column-pruned job counts rows
+    * per part-key; if the heaviest key exceeds [[WindowMaxRowsPerKey]], the
+    * scalable two-phase path runs — a hot key never ceilings at one
+    * reducer's sort — otherwise the cheaper single-shuffle window form.
+    * The probe job is the same cost class as the counts pass
+    * [[packScalable]] needs anyway, so the large-input path pays nothing
+    * extra. (A non-numeric leading order column always takes the window
+    * form — quantile bucketing needs a numeric column.)
     */
   def pack(df: DataFrame, recCol: String,
            partCols: Seq[String], orderCols: Seq[String],
            n: Int = PackFactor,
-           packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame =
-    packScalable(df, recCol, partCols, orderCols, n, packedOut, grpOut)
+           packedOut: String = "packed", grpOut: String = "pack_id",
+           windowMaxRowsPerKey: Long = WindowMaxRowsPerKey): DataFrame = {
+    val numericOrd = df.schema(orderCols.head).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (!numericOrd)
+      // quantile bucketing needs a numeric leading order column
+      packWindow(df, recCol, partCols, orderCols, n, packedOut, grpOut)
+    else {
+      val maxKeyRows = df.groupBy(partCols.map(col): _*).count()
+        .agg(max(col("count"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
+      if (maxKeyRows > windowMaxRowsPerKey)
+        packScalable(df, recCol, partCols, orderCols, n, packedOut, grpOut)
+      else
+        packWindow(df, recCol, partCols, orderCols, n, packedOut, grpOut)
+    }
+  }
 
   /** T3 small-input path: `row_number` over a per-key window. One shuffle,
     * but each part-key's ENTIRE record stream sorts on one reducer — fine
@@ -83,8 +112,12 @@ object FixedWidth {
                  n: Int = PackFactor,
                  packedOut: String = "packed", grpOut: String = "pack_id"): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("_rn", row_number().over(w).cast("long") - 1)
       .withColumn(grpOut, (col("_rn") / n).cast("long"))
+      // pinned pre-agg repartition — see packScalable: keeps the packed
+      // output at full partition count for fan-out consumers
+      .repartition(parts, (partCols :+ grpOut).map(col): _*)
       .groupBy((partCols :+ grpOut).map(col): _*)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("_rn"), col(recCol).as("_r")))),
@@ -131,27 +164,34 @@ object FixedWidth {
       .agg(agg(col("_rn"), col(recCol)).as(packedOut))
   }
 
-  /** T3 scale path (the default behind [[pack]]): the same global per-key
-    * row numbers as the window form, computed with full parallelism and
-    * entirely on Tungsten rows.
+  /** T3 scale path (the default behind [[pack]] for numeric leading order
+    * columns): the same global per-key row numbers as the window form,
+    * computed with full parallelism and entirely on Tungsten rows — and
+    * with the same number of full-data shuffles as the window form (one
+    * clustering shuffle + the concat-agg shuffle), so the parallelism is
+    * not bought with extra passes over the records.
     *
-    *  1. Range-partition + sort within partitions on (partCols, orderCols):
-    *     every key is a set of contiguous runs whose partition order IS the
-    *     global order (a total order, so output is identical to the window
-    *     form — equivalence-tested in FixedWidthSpec).
-    *  2. Count rows per (partition, key) — a tiny driver-side table — and
-    *     turn it into per-(partition, key) starting offsets.
-    *  3. One narrow projection with the stateful codegen'd
-    *     [[graft.plans.KeyedOffsetRowNumber]] expression (offsets ride along
-    *     as a codegen reference object): rows never leave UnsafeRow, no
-    *     second sort, no extra shuffle, no per-key single-reducer ceiling.
-    *  4. The same grouped ordered concat as the window form.
+    *  1. Bucket bounds: `parts` quantiles of the LEADING order column, from
+    *     one narrow aggregation (the record column is pruned away). Bounds
+    *     are collected once and inlined as literals, so every pass buckets
+    *     identically — no repartitionByRange re-sampling nondeterminism and
+    *     no need to cache the full data for consistency.
+    *  2. Per-(bucket, key) row counts — a second narrow job — turned into
+    *     per-run global starting offsets on the driver (a tiny table:
+    *     buckets x keys).
+    *  3. One full-data pass: cluster by bucket, sort within partitions on
+    *     (bucket, partCols, orderCols) — every (bucket, key) run is
+    *     contiguous in exactly one partition, runs follow the global order
+    *     (bucketing is monotone in the leading order column) — then the
+    *     stateful codegen'd [[graft.plans.KeyedOffsetRowNumber]] projection
+    *     assigns exact global row numbers (offsets ride along as a codegen
+    *     reference object; rows never leave UnsafeRow), and the same
+    *     grouped ordered concat as the window form finishes.
     *
-    * The sorted intermediate is cached for the two passes (counts, then the
-    * offset projection — the cache also guarantees both passes see the same
-    * range boundaries); the caller's `clearCache` reclaims it (Bench/Verify
-    * do). Part keys must be non-null (reference semantics: keys come from
-    * fixed-width fields, never null — main.py:414-423).
+    * Output is identical to [[packWindow]] (equivalence-tested in
+    * FixedWidthSpec) because (partCols, orderCols) is a total order. Part
+    * keys must be non-null and `df` deterministic (both hold for the
+    * reference's fixed-width records, main.py:414-423).
     */
   def packScalable(df: DataFrame, recCol: String,
                    partCols: Seq[String], orderCols: Seq[String],
@@ -161,40 +201,57 @@ object FixedWidth {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    val sortCols = (partCols ++ orderCols).map(col)
+    val ord = col(orderCols.head)
     // single string key: the driver-side offsets table and the executor-side
-    // expression must agree on the key encoding, so the key column is
-    // materialized once and both read the same value
+    // expression must agree on the key encoding, so both read this column
     val keyCol = concat_ws("\u0001", partCols.map(c => col(c).cast("string")): _*)
-    val sorted = df
-      .withColumn("_key", keyCol)
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .cache()
-    val counts = sorted
-      .select(spark_partition_id().as("_pid"), col("_key"))
-      .groupBy("_pid", "_key").count().collect()
-    // per (pid, key) starting offset = rows of that key in earlier partitions
-    val offsets = new java.util.HashMap[Integer, java.util.HashMap[String, java.lang.Long]]()
+
+    val bounds: Seq[Any] =
+      if (parts <= 1) Nil
+      else {
+        val probs = (1 until parts).map(_.toDouble / parts)
+        val r = df.agg(
+          percentile_approx(ord, array(probs.map(lit): _*), lit(1000)).as("b")).head()
+        if (r.isNullAt(0)) Nil else r.getSeq[Any](0)
+      }
+    // bucket = #bounds strictly below the value: monotone in the leading
+    // order column, so bucket order == global order within every key
+    val bucketCol: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(ord > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val runCol = concat_ws("\u0001", bucketCol.cast("string"), keyCol)
+
+    val counts = df.select(keyCol.as("_key"), bucketCol.as("_b"))
+      .groupBy("_b", "_key").count().collect()
+    val offsets = new java.util.HashMap[String, java.lang.Long]()
     counts.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
       var acc = 0L
-      rows.sortBy(_.getAs[Int]("_pid")).foreach { r =>
-        if (acc != 0L) {
-          offsets.computeIfAbsent(r.getAs[Int]("_pid"),
-            _ => new java.util.HashMap[String, java.lang.Long]()).put(key, acc)
-        }
+      rows.sortBy(_.getAs[Int]("_b")).foreach { r =>
+        if (acc != 0L) offsets.put(r.getAs[Int]("_b") + "\u0001" + key, acc)
         acc += r.getAs[Long]("count")
       }
     }
-    sorted
-      .withColumn("_rn", graft.plans.KeyedOffsetRowNumber.column(col("_key"), offsets))
+
+    df.withColumn("_b", bucketCol)
+      .repartition(parts, col("_b"))
+      .sortWithinPartitions(col("_b") +: (partCols ++ orderCols).map(col): _*)
+      .withColumn("_rn", graft.plans.KeyedOffsetRowNumber.column(runCol, offsets))
       .withColumn(grpOut, (col("_rn") / n).cast("long"))
+      // pinned pre-agg repartition: satisfies the aggregation's required
+      // distribution (so the planner inserts no second exchange) while
+      // pinning the partition count — AQE would otherwise coalesce the agg
+      // output to a handful of byte-sized partitions, starving downstream
+      // fan-out consumers (a 1000x explode) of parallelism. Partial
+      // aggregation loses nothing here: ordered concat cannot shrink bytes
+      // map-side anyway.
+      .repartition(parts, (partCols :+ grpOut).map(col): _*)
       .groupBy((partCols :+ grpOut).map(col): _*)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("_rn"), col(recCol).as("_r")))),
                   x => x.getField("_r")),
         "").as(packedOut))
   }
+
 
   /** Positional field layout: `start` is 0-based char offset. `kind` is one
     * of "long" (zero-padded), "str" (space right-padded), "date" (yyyyMMdd).

@@ -104,6 +104,10 @@ object Ingestion {
     val packed = pack(lineitemRecords(spark, dir), "record",
                       partCols = Seq("f_returnflag"),
                       orderCols = Seq("f_orderkey", "f_linenumber"))
+    // No re-spread needed before the 1000x explode fan-out: pack pins its
+    // output partition count (pinned pre-agg repartition in FixedWidth),
+    // so AQE cannot coalesce the 520 KB-row packed table down to a handful
+    // of partitions and starve the explode+parse of parallelism.
     val exploded = explodeFixedWidth(packed.select("packed"), "packed")
     parsedAgg(parseRecord(exploded, "record", LineitemLayout))
   }

@@ -66,16 +66,25 @@ object StreamingIngest {
     */
   final case class Chunk(key: String, seq: Long, data: String, isLast: Boolean)
 
-  final case class CarryState(buffer: String, emitted: Long)
+  /** Carry state: `buffer` holds the sub-record leftover, `emitted` the
+    * record index, `nextSeq` the next chunk expected in order, `pending`
+    * any chunks that arrived ahead of a gap (keyed by seq), `lastSeq` the
+    * final chunk's seq once seen (−1 until then).
+    */
+  final case class CarryState(buffer: String, emitted: Long, nextSeq: Long,
+                              pending: Map[Long, String], lastSeq: Long)
 
   final case class Record(key: String, idx: Long, record: String)
 
   /** The reference's cross-chunk leftover carry (main.py:472-485): emit
     * complete `width`-char records from buffer+chunk, keep the remainder in
     * state; on the last chunk also emit the short tail (main.py:560-565).
-    * Chunks must arrive in `seq` order per key within a batch (the file
-    * reader guarantees this; out-of-order delivery would need a seq-buffer
-    * state, which the daily-file source never produces).
+    * Delivery order is NOT assumed: chunks ahead of a sequence gap are held
+    * in the `pending` state map and drained strictly in `seq` order as gaps
+    * fill — so any chunked source (multi-part uploads, parallel fetchers,
+    * cross-batch reordering) reassembles byte-identically to the in-order
+    * daily file. Held-back bytes are bounded by the source's reorder window
+    * (one chunk for the reference's sequential reader).
     *
     * Widths count Unicode CODE POINTS, not UTF-16 units — matching the batch
     * [[graft.plans.FixedWidthGenerator]] and Python slicing, so streaming
@@ -111,22 +120,30 @@ object StreamingIngest {
       .flatMapGroupsWithState[CarryState, Record](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Chunk], state: GroupState[CarryState]) =>
-          var buf = state.getOption.map(_.buffer).getOrElse("")
+          val s0 = state.getOption.getOrElse(CarryState("", 0L, 0L, Map.empty, -1L))
+          var buf = s0.buffer
+          var idx = s0.emitted
+          var nextSeq = s0.nextSeq
+          var lastSeq = s0.lastSeq
+          val pending = scala.collection.mutable.Map.empty[Long, String] ++ s0.pending
           val out = scala.collection.mutable.ArrayBuffer.empty[Record]
-          var idx = state.getOption.map(_.emitted).getOrElse(0L)
-          var sawLast = false
-          it.toSeq.sortBy(_.seq).foreach { c =>
-            buf += c.data
+          it.foreach { c =>
+            pending(c.seq) = c.data
+            if (c.isLast) lastSeq = c.seq
+          }
+          // drain strictly in seq order; anything past a gap stays pending
+          while (pending.contains(nextSeq)) {
+            buf += pending.remove(nextSeq).get
             val (recs, rest) = carve(buf, width)
             recs.foreach { r => out += Record(key, idx, r); idx += 1 }
             buf = rest
-            sawLast ||= c.isLast
+            nextSeq += 1
           }
-          if (sawLast) {
+          if (lastSeq >= 0 && nextSeq > lastSeq) {
             if (buf.nonEmpty) { out += Record(key, idx, buf); idx += 1 } // short tail kept
             state.remove()
           } else {
-            state.update(CarryState(buf, idx))
+            state.update(CarryState(buf, idx, nextSeq, pending.toMap, lastSeq))
           }
           out.iterator
       }

@@ -119,17 +119,23 @@ class FixedWidthSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("default pack (scalable path) equals the window pack on multi-column keys") {
+  test("adaptive pack: forced-scalable route equals the window pack on multi-column keys") {
     import spark.implicits._
     val df = (0 until 300).map(i => (s"k${i % 2}", s"m${i % 5}", i, f"(${i}%04d)"))
       .toDF("k", "m", "i", "rec").repartition(9)
     val a = packWindow(df, "rec", Seq("k", "m"), Seq("i"), n = 17)
       .orderBy("k", "m", "pack_id").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
-    val b = pack(df, "rec", Seq("k", "m"), Seq("i"), n = 17)
+    // windowMaxRowsPerKey = 0 makes the adaptive probe pick packScalable
+    val b = pack(df, "rec", Seq("k", "m"), Seq("i"), n = 17, windowMaxRowsPerKey = 0L)
       .orderBy("k", "m", "pack_id").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
     assert(a.toSeq == b.toSeq)
+    // and the default probe picks the window path for small keys — same rows
+    val c = pack(df, "rec", Seq("k", "m"), Seq("i"), n = 17)
+      .orderBy("k", "m", "pack_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(c.toSeq == a.toSeq)
   }
 
   test("format/parse roundtrip on the lineitem layout") {

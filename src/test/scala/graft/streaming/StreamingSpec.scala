@@ -82,6 +82,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("R" * 520, "S" * 520, "tt"))
   }
 
+  test("out-of-order chunk delivery reassembles byte-identically (pending seq-buffer state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payload = (0 until 9).map(i => f"[$i%06d]" * 65).mkString + "short-tail"
+    val cuts = Seq(0, 77, 600, 1200, 2333, payload.length)
+    val inOrder = cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      Chunk("f", i.toLong, payload.substring(a, b), b == payload.length)
+    }.toSeq
+    // adversarial delivery: the LAST chunk arrives first, then the rest
+    // scrambled across separate micro-batches (gaps must hold in state)
+    val stream = MemoryStream[Chunk]
+    val q = reassembleChunks(stream.toDS())
+      .writeStream.format("memory").queryName("ooo")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(inOrder(4), inOrder(2))
+    q.processAllAvailable()
+    assert(spark.table("ooo").count() == 0) // nothing drains past the seq-0 gap
+    stream.addData(inOrder(0), inOrder(3))
+    q.processAllAvailable()
+    stream.addData(inOrder(1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ooo").orderBy("idx").select("record")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == payload.grouped(520).toSeq)
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates emits each key once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
