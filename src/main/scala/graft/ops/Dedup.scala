@@ -353,6 +353,41 @@ object Dedup {
       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_source_mix: deterministic source re-weighting — the "mixing weights"
+    * pass of a training-data pipeline (downsample over-represented sources
+    * before training). Keep-fraction per source comes from a fixed rule
+    * (full / half / quarter by source index mod 3); membership is decided
+    * by a content-hash bucket (md5 basis points), so the SAME documents are
+    * kept under any partitioning, cluster size, or execution order — the
+    * reproducibility property that `sample()` cannot give. One narrow scan,
+    * one aggregation; no shuffle beyond the final per-source rollup.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val keepBp = when(idx % 3 === 0, 10000)
+      .when(idx % 3 === 1, 5000)
+      .otherwise(2500)
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+    Tables.documents(spark, dir)
+      .withColumn("kept", (bucket < keepBp).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+           sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val sourceMixOracle: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CASE WHEN substr(source, 4)::INT % 3 = 0 THEN 10000
+      |              WHEN substr(source, 4)::INT % 3 = 1 THEN 5000
+      |              ELSE 2500 END AS keep_bp,
+      |         ('0x' || substr(md5(text), 1, 4))::INT % 10000 AS bucket
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |       CAST(SUM(CASE WHEN bucket < keep_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_decontamination: eval-set leakage detection — flag "train" documents
     * sharing any word [[ShingleN]]-gram with the held-out eval slice
     * (doc_id % 50 == 0), the standard n-gram decontamination pass. The

@@ -205,6 +205,65 @@ object TextAnalysis {
        |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, tfidf
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --- repetition filter (Gopher-style top n-gram coverage) ------------------
+
+  /** Coverage above which a document is flagged as repetitious. Gopher-style
+    * rule: fraction of tokens covered by the single most frequent word
+    * 2-gram; boilerplate/spam repeats one phrase, prose doesn't. 0.125
+    * flags ~10% of the synthetic corpus (p90 ≈ 0.13) — non-vacuous at
+    * fixture scale.
+    */
+  val RepetitionThreshold = 0.125
+
+  /** q_repetition_filter: per-source repetition audit — the Gopher/
+    * RefinedWeb "remove documents dominated by a repeated phrase" pass.
+    * Positional (non-distinct) 2-grams → per-doc top count → coverage =
+    * 2·top/n_tokens. One explode + two aggregations, all shuffle-keyed on
+    * doc_id/gram — no all-pairs anything, scales linearly in corpus size.
+    * Aggregate outputs are order-independent (counts + max), so the oracle
+    * hash-compares exactly despite double arithmetic.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val grams = docs.filter(col("n_toks") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n_toks") - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+                      element_at(col("toks"), i + 1)))).as("gram"))
+    val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topc"))
+    docs.join(top, Seq("doc_id"), "left")
+      .withColumn("topc", coalesce(col("topc"), lit(0L)))
+      .withColumn("coverage",
+        when(col("n_toks") > 0, lit(2.0) * col("topc") / col("n_toks")).otherwise(lit(0.0)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("coverage") > RepetitionThreshold, 1L).otherwise(0L)).as("n_flagged"),
+           sum("topc").as("sum_top_gram"),
+           max("coverage").as("max_coverage"))
+      .orderBy("source")
+  }
+
+  val repetitionFilterOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |      FROM t WHERE len(toks) >= 2),
+       |top AS (SELECT doc_id, MAX(c) AS topc
+       |        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1),
+       |cov AS (SELECT t.source, COALESCE(top.topc, 0) AS topc,
+       |               CASE WHEN len(t.toks) > 0
+       |                    THEN (2 * COALESCE(top.topc, 0))::DOUBLE / len(t.toks)
+       |                    ELSE 0.0 END AS coverage
+       |        FROM t LEFT JOIN top USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN coverage > $RepetitionThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       CAST(SUM(topc) AS BIGINT) AS sum_top_gram,
+       |       MAX(coverage) AS max_coverage
+       |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- language identification ----------------------------------------------
 
   /** Marker-token sets for the n-gram/stopword language-ID heuristic.

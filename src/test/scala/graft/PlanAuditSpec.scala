@@ -69,4 +69,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
            s"query side must broadcast:\n$plan")
   }
+
+  test("IVF cell assignment partial-aggregates map-side (no row_number window over N×C)") {
+    val plan = planOf(ops.Similarity.knnIvf(spark, dir))
+    // the argmax must be a max_by AGGREGATION with a partial phase, never a
+    // window: a window cannot combine map-side, so all N×C scored rows
+    // would shuffle
+    assert(plan.contains("partial_max_by"), s"assignment must partial-aggregate:\n$plan")
+  }
+
+  test("scalable pack pins its output partition count against AQE coalescing") {
+    val packed = etl.FixedWidth.packScalable(
+      ops.Ingestion.lineitemRecords(spark, dir), "record",
+      Seq("f_returnflag"), Seq("f_orderkey", "f_linenumber"))
+    val plan = planOf(packed)
+    // REPARTITION_BY_NUM = user-pinned numPartitions: AQE may not coalesce
+    // it, so fan-out consumers (the 1000x explode) keep full parallelism
+    assert(plan.contains("REPARTITION_BY_NUM"), s"pack output not pinned:\n$plan")
+  }
+
+  test("minhash verify stage plans no user-forced broadcast of the shingle table") {
+    // the candidate-shingle relation is unbounded at corpus scale; only the
+    // bare-id candIds semi-join side may carry an explicit broadcast hint.
+    // (AQE may still CHOOSE to broadcast small sides at runtime — that is
+    // the point: runtime-sized, never forced.)
+    val df = ops.Dedup.minhashLsh(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    // exactly one logical hint — broadcast(candIds), bare longs — which
+    // appears twice because candSh feeds both the doc_a and doc_b joins.
+    // A reintroduced broadcast(candSh) would add two more.
+    val hintCount = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(hintCount <= 2, s"expected only the candIds broadcast hint (×2 refs), got $hintCount:\n$analyzed")
+  }
 }

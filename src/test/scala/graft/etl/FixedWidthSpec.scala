@@ -138,6 +138,24 @@ class FixedWidthSpec extends SparkSpec {
     assert(c.toSeq == a.toSeq)
   }
 
+  test("KeyedOffsetRowNumber: interpreted eval equals the codegen path") {
+    import spark.implicits._
+    val df = (0 until 201).map(i => (s"g${i % 3}", i, f"[$i%05d]"))
+      .toDF("g", "i", "rec").repartition(6)
+    def run(): Seq[(String, Long, String)] =
+      packScalable(df, "rec", Seq("g"), Seq("i"), n = 20, numParts = 4)
+        .orderBy("g", "pack_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == withCodegen)
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("format/parse roundtrip on the lineitem layout") {
     import spark.implicits._
     val row = Seq((42L, 3L, 7L, 9L, 1250L, 99999L, 500L, 25L, "R", "F",
