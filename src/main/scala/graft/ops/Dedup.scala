@@ -243,6 +243,10 @@ object Dedup {
             b => md5(concat_ws("|",
               (1 to rows).map(r => element_at(sg, b * rows + r)) :+ b.cast("string"): _*)))
         }).as(Seq("band", "bucket")))
+      // tiny (Bands rows per doc, id+band+bucket) but feeds BOTH sides of
+      // the self-join — persisted so the signature computation (12 md5s per
+      // shingle over the whole corpus) runs once, not twice
+      .persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
