@@ -105,7 +105,7 @@ object FixedWidth {
   /** T3 small-input path: `row_number` over a per-key window. One shuffle,
     * but each part-key's ENTIRE record stream sorts on one reducer — fine
     * while every key fits one executor's sort, a ceiling at scale (which is
-    * why [[pack]] defaults to [[packScalable]]).
+    * why [[pack]] switches to [[packScalable]] past [[WindowMaxRowsPerKey]]).
     */
   def packWindow(df: DataFrame, recCol: String,
                  partCols: Seq[String], orderCols: Seq[String],
@@ -219,7 +219,7 @@ object FixedWidth {
     val bucketCol: Column =
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(ord > lit(b), 1).otherwise(0)).reduce(_ + _)
-    val runCol = concat_ws("\u0001", bucketCol.cast("string"), keyCol)
+    val runCol = concat_ws("\u0001", col("_b").cast("string"), keyCol)
 
     val counts = df.select(keyCol.as("_key"), bucketCol.as("_b"))
       .groupBy("_b", "_key").count().collect()

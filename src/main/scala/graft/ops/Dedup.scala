@@ -553,6 +553,14 @@ object Dedup {
     * (weighted by token frequency), banded into 4×8-bit blocks for candidate
     * generation (a pair within Hamming distance 3 must share ≥1 exact band —
     * the pigeonhole guarantee), then exact Hamming verification ≤ [[HammingMax]].
+    *
+    * Scale note: a degenerate corpus (many empty or near-identical token
+    * distributions) can concentrate one (band, bandkey) bucket — the same
+    * quadratic hot-bucket risk as stop-shingles. The defense is the same
+    * bucket-frequency cap demonstrated (with oracle + skew test) in
+    * [[jaccardPairsCapped]]: drop buckets whose document frequency exceeds
+    * a cap before the self-join, at a bounded recall cost. Not applied here
+    * so the oracle stays the pure Manku-style reconstruction.
     */
   /** (doc_id, fp): the 32-bit SimHash fingerprint per document — exposed so
     * the banding-completeness property is testable at the fingerprint level
