@@ -36,6 +36,7 @@ object SparkEntry {
     "q_revenue_pivot"     -> ((s, d) => Relational.revenuePivot(s, d)),
     "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
+    "q_pack_scalable_stats" -> ((s, d) => Ingestion.packScalableStats(s, d)),
     "q_pack_explode_roundtrip" -> ((s, d) => Ingestion.packExplodeRoundtrip(s, d)),
     "q_zip_ingest"        -> ((s, d) => Ingestion.zipIngest(s, d)),
     "q_text_quality"      -> ((s, d) => TextAnalysis.textQuality(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_revenue_pivot"           -> ops.Relational.revenuePivotOracle,
     "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
+    "q_pack_scalable_stats"     -> ops.Ingestion.packStatsOracle,
     "q_pack_explode_roundtrip"  -> ops.Ingestion.parsedAggOracle,
     "q_zip_ingest"              -> ops.Ingestion.zipIngestOracle,
     "q_text_quality"            -> ops.TextAnalysis.textQualityOracle,

@@ -97,6 +97,23 @@ object Ingestion {
       |                   ELSE COUNT(*) % 1000 END) AS min_chars
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** [[packStats]] with the two-phase scalable pack FORCED (the adaptive
+    * dispatch picks the window form at fixture scale, so this query keeps
+    * the large-input path visible — and honestly priced — in the driver
+    * bench). Same semantics, same oracle as q_pack_stats.
+    */
+  def packScalableStats(spark: SparkSession, dir: String): DataFrame =
+    FixedWidth.packScalable(lineitemRecords(spark, dir), "record",
+        partCols = Seq("f_returnflag"),
+        orderCols = Seq("f_orderkey", "f_linenumber"))
+      .groupBy(col("f_returnflag").as("returnflag"))
+      .agg(
+        count(lit(1)).as("n_packed_rows"),
+        sum(length(col("packed"))).as("total_chars"),
+        max(length(col("packed"))).as("max_chars"),
+        min(length(col("packed"))).as("min_chars"))
+      .orderBy("returnflag")
+
   /** The full T3∘T1 roundtrip: format → pack → explode → parse → aggregate.
     * Proves segmentation conserves records and fields across the pack seam.
     */
