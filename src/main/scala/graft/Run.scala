@@ -24,8 +24,14 @@ object Run {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
-      val m = etl.DailyIngest.run(spark, inputDir, date, workDir)
-      println(s"""{"file":"${m.fileName}","rows":${m.totalRows},"bytes":${m.totalBytes},"seconds":${m.totalTimeSeconds}}""")
+      // single-flight (C2): a concurrent/overlapping scheduler invocation
+      // finds the lock held and exits without side effects
+      etl.DailyIngest.runLocked(spark, inputDir, date, workDir) match {
+        case Some(m) =>
+          println(s"""{"file":"${m.fileName}","rows":${m.totalRows},"bytes":${m.totalBytes},"seconds":${m.totalTimeSeconds}}""")
+        case None =>
+          println(s"""{"skipped":"lock held","workDir":"$workDir"}""")
+      }
     } finally spark.stop()
   }
 }

@@ -41,6 +41,24 @@ object DailyIngest {
 
   val NaturalKey = Seq("f_orderkey", "f_linenumber")
 
+  /** The reference's run SLA (functionTimeout 02:30:00, host.json:15) in
+    * seconds — notifications flag runs that exceed it (G3).
+    */
+  val SlaSeconds: Double = 150.0 * 60
+
+  /** [[run]] under the cross-process single-flight lock (C2 — the
+    * distributed upgrade of the reference's in-process `etl_lock`,
+    * main.py:17-18, 433): None when another run holds the lock for this
+    * workDir; the skipped run sends no notification (parity with the
+    * reference, where the lock just blocks).
+    */
+  def runLocked(spark: SparkSession, inputDir: String, date: java.time.LocalDate,
+                workDir: String, retentionDays: Int = 4,
+                poster: Map[String, String] => Boolean = _ => true): Option[Notify.RunMetrics] =
+    graft.util.SingleFlight.tryLocked(spark, s"$workDir/.graft_ingest.lock") {
+      run(spark, inputDir, date, workDir, retentionDays, poster)
+    }
+
   /** Run the full pipeline for `date`. Returns the success metrics (and has
     * notified via `poster`). */
   def run(spark: SparkSession, inputDir: String, date: java.time.LocalDate,
@@ -107,14 +125,14 @@ object DailyIngest {
       val row = obs.get
       val m = Notify.RunMetrics(file.split("/").last, isFileFailed = false, "",
         row("n_rows").asInstanceOf[Long], row("n_bytes").asInstanceOf[Long],
-        (System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9, slaSeconds = SlaSeconds)
       Notify.notify(m, "graft@local", "ops@local")(poster)
       m
     } catch {
       case scala.util.control.NonFatal(e) =>
         val m = Notify.RunMetrics(fileName.getOrElse("<none>").split("/").last,
           isFileFailed = true, String.valueOf(e.getMessage), 0L, 0L,
-          (System.nanoTime() - t0) / 1e9)
+          (System.nanoTime() - t0) / 1e9, slaSeconds = SlaSeconds)
         Notify.notify(m, "graft@local", "ops@local")(poster)
         throw e
     }

@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Notify {
 
+  /** `slaSeconds`: the run-duration SLA (G3 — the reference's
+    * functionTimeout 02:30:00, host.json:15). Infinity = no SLA; when the
+    * run exceeds it, the notification subject and body carry an explicit
+    * SLA-EXCEEDED marker (the Functions host would have killed the run; the
+    * library surfaces the breach instead of silently running long).
+    */
   final case class RunMetrics(
       fileName: String,
       isFileFailed: Boolean,
       errorMessage: String,
       totalRows: Long,
       totalBytes: Long,
-      totalTimeSeconds: Double)
+      totalTimeSeconds: Double,
+      slaSeconds: Double = Double.PositiveInfinity) {
+    def slaExceeded: Boolean = totalTimeSeconds > slaSeconds
+  }
 
   /** Attach observed metrics to a DataFrame: row count + UTF-8 payload
     * bytes of `payloadCol` (T6/T7 — the reference's running totals).
@@ -60,11 +69,16 @@ object Notify {
     */
   def payload(m: RunMetrics, emailFrom: String, emailTo: String,
               sentAt: java.time.Instant = java.time.Instant.now()): Map[String, String] = {
+    val slaSuffix = if (m.slaExceeded) " [SLA EXCEEDED]" else ""
     val subject =
-      if (m.isFileFailed) s"POS ETL FAILED: ${m.fileName}"
-      else s"POS ETL succeeded: ${m.fileName}"
+      (if (m.isFileFailed) s"POS ETL FAILED: ${m.fileName}"
+       else s"POS ETL succeeded: ${m.fileName}") + slaSuffix
     val mb = math.round(m.totalBytes / 1048576.0 * 100) / 100.0
     val minutes = math.round(m.totalTimeSeconds / 60.0 * 100) / 100.0
+    val slaLine =
+      if (m.slaExceeded)
+        s"<p>SLA: EXCEEDED — ${minutes} min over a ${math.round(m.slaSeconds / 60.0 * 100) / 100.0} min bound</p>"
+      else ""
     Map(
       "EmailFrom" -> emailFrom,
       "EmailTo"   -> emailTo,
@@ -75,7 +89,7 @@ object Notify {
            |<p>Status: ${if (m.isFileFailed) "FAILED — " + m.errorMessage else "SUCCESS"}</p>
            |<p>Rows processed: ${m.totalRows}</p>
            |<p>Data processed: $mb MB</p>
-           |<p>Duration: $minutes minutes</p>
+           |<p>Duration: $minutes minutes</p>$slaLine
            |<p>Sent: ${graft.util.Clock.jstDate(sentAt)} (JST)</p>
            |</body></html>""".stripMargin)
   }
