@@ -127,6 +127,49 @@ object Sinks {
     (n, total - n)
   }
 
+  /** Small-file compaction for the date-partitioned layout — the
+    * operational complement of [[retentionDropPartitions]] at scale: daily
+    * appends and promotes accumulate files per partition, and scan cost at
+    * 100 TB is dominated by file-open overhead once partitions fragment.
+    * Each partition whose file count exceeds `maxFiles` is rewritten alone
+    * (read -> coalesce to ceil(bytes/targetBytes) files -> staged dir ->
+    * atomic [[replaceDir]] swap); compliant partitions are NEVER read or
+    * touched, so cost is O(fragmented data) only, and a crash mid-compact
+    * loses nothing (the swap is the recoverable two-rename).
+    * Returns (partitionsCompacted, filesBefore, filesAfter).
+    */
+  def compactDatePartitions(spark: SparkSession, tableDir: String,
+                            dateCol: String, maxFiles: Int = 4,
+                            targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L, 0L)
+    val prefix = dateCol + "="
+    var compacted = 0L; var before = 0L; var after = 0L
+    fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .foreach { part =>
+        val dataFiles = fs.listStatus(part.getPath).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (dataFiles.length > maxFiles) {
+          val bytes = dataFiles.map(_.getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          val staged = new Path(part.getPath.getParent,
+            "." + part.getPath.getName + "_compact")
+          spark.read.parquet(part.getPath.toString)
+            .repartition(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          replaceDir(spark, staged.toString, part.getPath.toString)
+          compacted += 1
+          before += dataFiles.length
+          after += nOut
+        }
+      }
+    (compacted, before, after)
+  }
+
   /** K5 at scale: TRUE partition drop. On a table laid out as
     * `tableDir/dateCol=YYYY-MM-DD/…`, delete only the directories whose
     * date is `< asOf - days` (exclusive bound, daily_cleanup.py:30). Kept

@@ -73,6 +73,31 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("compaction rewrites only fragmented partitions; content identical, compliant days untouched") {
+    import spark.implicits._
+    val out = tmpDir("compact") + "/t"
+    // day 1: fragmented (8 files); day 2: compliant (1 file)
+    (1 to 80).map(v => ("2024-01-01", v)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+      .repartition(8).write.partitionBy("business_date").parquet(out)
+    (1 to 5).map(v => ("2024-01-02", v)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+      .coalesce(1).write.mode("append").partitionBy("business_date").parquet(out)
+    def files(day: String) = new java.io.File(s"$out/business_date=$day").listFiles()
+      .filter(f => f.isFile && f.length > 0 && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val day2Before = files("2024-01-02").map(f => (f.getName, f.length, f.lastModified)).toSet
+    val sumBefore = spark.read.parquet(out).agg(sum("v")).head.getLong(0)
+    val (nParts, before, after) = Sinks.compactDatePartitions(
+      spark, out, "business_date", maxFiles = 4)
+    assert(nParts == 1 && before == 8 && after < 8)
+    assert(files("2024-01-01").length.toLong == after)
+    // compliant partition byte-untouched; content conserved
+    assert(files("2024-01-02").map(f => (f.getName, f.length, f.lastModified)).toSet == day2Before)
+    assert(spark.read.parquet(out).agg(sum("v")).head.getLong(0) == sumBefore)
+    // idempotent: second pass finds nothing fragmented
+    assert(Sinks.compactDatePartitions(spark, out, "business_date", maxFiles = 4)._1 == 0)
+  }
+
   test("replaceDir recovers _old after a crash between the two renames — never deletes the only copy") {
     val work = tmpDir("swapcrash")
     def write(path: String, content: String): Unit = {
