@@ -74,10 +74,13 @@ object FixedWidth {
     * per part-key; if the heaviest key exceeds [[WindowMaxRowsPerKey]], the
     * scalable two-phase path runs — a hot key never ceilings at one
     * reducer's sort — otherwise the cheaper single-shuffle window form.
-    * The probe job is the same cost class as the counts pass
-    * [[packScalable]] needs anyway, so the large-input path pays nothing
-    * extra. (A non-numeric leading order column always takes the window
-    * form — quantile bucketing needs a numeric column.)
+    * The probe is one extra narrow job on every call (~0.3 s at sf0.1,
+    * measured in q_pack_stats vs a direct packWindow call) — the price of
+    * never letting a hot key reach an unsortable single reducer. Callers
+    * that already know their key distribution can call
+    * [[packWindow]]/[[packScalable]] directly and skip it. (A non-numeric
+    * leading order column always takes the window form — quantile
+    * bucketing needs a numeric column.)
     */
   def pack(df: DataFrame, recCol: String,
            partCols: Seq[String], orderCols: Seq[String],

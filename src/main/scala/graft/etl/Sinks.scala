@@ -135,8 +135,18 @@ object Sinks {
     * (read -> coalesce to ceil(bytes/targetBytes) files -> staged dir ->
     * atomic [[replaceDir]] swap); compliant partitions are NEVER read or
     * touched, so cost is O(fragmented data) only, and a crash mid-compact
-    * loses nothing (the swap is the recoverable two-rename).
+    * loses nothing: entry first sweeps crash leftovers — a `<part>_old`
+    * whose base partition is missing is the only live copy (crash between
+    * the two swap renames) and is renamed back; a stale `_old` beside a
+    * live partition and any orphaned staged dir are cleared.
     * Returns (partitionsCompacted, filesBefore, filesAfter).
+    *
+    * Concurrency: run under the table's single-flight lock
+    * ([[graft.util.SingleFlight.tryLocked]], as `DailyIngest.runLocked`
+    * does) — a writer appending to a partition between the compaction read
+    * and its swap would have those rows replaced away. Multi-writer safety
+    * beyond one lock is transactional-table-format territory, out of scope
+    * here (SURVEY.md §7.6).
     */
   def compactDatePartitions(spark: SparkSession, tableDir: String,
                             dateCol: String, maxFiles: Int = 4,
@@ -145,6 +155,18 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0L, 0L, 0L)
     val prefix = dateCol + "="
+    // crash-leftover sweep (see scaladoc)
+    fs.listStatus(root).iterator.filter(_.isDirectory).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(prefix) && n.endsWith("_old")) {
+        val base = new Path(root, n.stripSuffix("_old"))
+        if (!fs.exists(base)) require(fs.rename(s.getPath, base),
+          s"recover ${s.getPath} -> $base failed") // only live copy
+        else fs.delete(s.getPath, true)            // stale from completed swap
+      } else if (n.startsWith("." + prefix) && n.endsWith("_compact")) {
+        fs.delete(s.getPath, true)                 // orphaned staging copy
+      }
+    }
     var compacted = 0L; var before = 0L; var after = 0L
     fs.listStatus(root).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))

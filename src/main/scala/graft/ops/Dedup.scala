@@ -22,6 +22,13 @@ import graft.Tables
   *    standard in MinHash pipelines); at fixture scale no cap is applied so
   *    the oracle stays a pure reconstruction.
   *  - Exact dedup is one hash-groupBy — map-side combined, one shuffle.
+  *
+  * Cache lifecycle: the LSH pipeline persists three small relations
+  * (banded, candidate pairs, candidate shingles) for intra-query reuse and
+  * leaves reclamation to the session (`spark.catalog.clearCache()` between
+  * queries — Bench and Verify do). Long-lived sessions invoking these
+  * repeatedly should do the same, or cached blocks accumulate until
+  * eviction.
   */
 object Dedup {
 
@@ -166,8 +173,11 @@ object Dedup {
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("s")
-    // the Zipf head is tiny at any sane cap — broadcast the anti-join side
-    val ex1 = ex0.join(broadcast(hot), Seq("s"), "left_anti")
+    // no forced broadcast: the hot set is usually the tiny Zipf head (AQE
+    // will broadcast it at runtime when it is), but a boilerplate-heavy
+    // corpus can have an unboundedly large over-cap set — the same
+    // no-driver-ceiling rule the minhash verify stage follows
+    val ex1 = ex0.join(hot, Seq("s"), "left_anti")
     val sizes = ex1.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ex = ex1.join(sizes, "doc_id")
     ex.as("a").join(ex.as("b"),

@@ -17,20 +17,34 @@ import org.apache.spark.sql.SparkSession
   */
 object SingleFlight {
 
-  /** Default stale bound: the reference's own run SLA (functionTimeout
-    * 02:30:00, host.json:15) — a lock older than the longest legitimate run
-    * belongs to a crashed one.
+  /** Default stale bound: 2× the reference's run SLA (functionTimeout
+    * 02:30:00, host.json:15). Over-SLA runs are legitimate (they notify
+    * `[SLA EXCEEDED]` rather than being killed), so the lease must outlive
+    * the worst tolerated run, not the nominal one. This is a LEASE without
+    * heartbeats: a run still alive past the stale bound can have its lock
+    * presumed dead — callers with longer runs must pass a larger bound.
     */
-  val DefaultStaleAfterMs: Long = 150L * 60 * 1000
+  val DefaultStaleAfterMs: Long = 2L * 150 * 60 * 1000
 
   /** Run `body` holding the lock; None if another run holds it. The lock is
     * released on completion or failure (body exceptions propagate after
-    * release).
+    * release); release deletes the lock only while it still holds OUR
+    * token, so a contender that stole a presumed-stale lease does not get
+    * its own lock deleted by the original holder's cleanup.
     */
   def tryLocked[A](spark: SparkSession, lockPath: String,
                    staleAfterMs: Long = DefaultStaleAfterMs)(body: => A): Option[A] = {
     val p = new Path(lockPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+
+    def holdsOurToken: Boolean =
+      try {
+        val in = fs.open(p)
+        val buf = new Array[Byte](64)
+        val n = in.read(buf); in.close()
+        n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
+      } catch { case _: java.io.IOException => false }
 
     def acquire(attempts: Int): Boolean =
       if (attempts <= 0) false
@@ -38,7 +52,7 @@ object SingleFlight {
         try {
           if (p.getParent != null) fs.mkdirs(p.getParent)
           val out = fs.create(p, /*overwrite=*/ false) // atomic claim
-          out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+          out.write(s"$token\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
           out.close()
           true
         } catch {
@@ -48,14 +62,22 @@ object SingleFlight {
               try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > staleAfterMs
               catch { case _: java.io.FileNotFoundException => true } // released just now
             if (stale) {
-              try fs.delete(p, false) catch { case _: java.io.IOException => () }
-              acquire(attempts - 1) // re-race through the atomic create
+              // CAS-style takeover: rename the stale lock aside first —
+              // atomic with exactly one winner — so two contenders cannot
+              // both delete-and-create (a bare delete would let contender B
+              // remove contender C's FRESH lock created a moment earlier)
+              val aside = new Path(p.getParent,
+                s".${p.getName}.stale.${java.util.UUID.randomUUID()}")
+              val won = try fs.rename(p, aside) catch { case _: java.io.IOException => false }
+              if (won) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
+              // winner and losers alike re-race through the atomic create
+              acquire(attempts - 1)
             } else false
         }
 
     if (!acquire(attempts = 3)) None
     else
       try Some(body)
-      finally fs.delete(p, false)
+      finally if (holdsOurToken) fs.delete(p, false)
   }
 }

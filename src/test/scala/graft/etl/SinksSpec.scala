@@ -98,6 +98,24 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactDatePartitions(spark, out, "business_date", maxFiles = 4)._1 == 0)
   }
 
+  test("compaction entry sweep recovers a partition stranded as _old by a mid-swap crash") {
+    import spark.implicits._
+    val out = tmpDir("compactcrash") + "/t"
+    (1 to 40).map(v => ("2024-01-01", v)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+      .repartition(8).write.partitionBy("business_date").parquet(out)
+    // simulate the crash window: partition renamed aside, staged copy orphaned
+    val part = new java.io.File(s"$out/business_date=2024-01-01")
+    val old = new java.io.File(s"$out/business_date=2024-01-01_old")
+    assert(part.renameTo(old))
+    new java.io.File(s"$out/.business_date=2024-01-01_compact").mkdirs()
+    val (nParts, _, _) = Sinks.compactDatePartitions(spark, out, "business_date", maxFiles = 4)
+    assert(nParts == 1, "recovered partition must then compact")
+    assert(!old.exists() && part.exists(), "stranded _old must be renamed back")
+    assert(!new java.io.File(s"$out/.business_date=2024-01-01_compact").exists())
+    assert(spark.read.parquet(out).agg(sum("v")).head.getLong(0) == (1 to 40).sum.toLong)
+  }
+
   test("replaceDir recovers _old after a crash between the two renames — never deletes the only copy") {
     val work = tmpDir("swapcrash")
     def write(path: String, content: String): Unit = {
