@@ -264,6 +264,67 @@ object TextAnalysis {
        |       MAX(coverage) AS max_coverage
        |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- corpus-LM quality scoring (CCNet-style unigram filter) ----------------
+
+  /** Mean unigram log-probability below which a document is flagged — the
+    * bottom ~5% of the synthetic corpus (p5 ≈ −3.42), so the filter is
+    * non-vacuous at fixture scale. Real pipelines tune this per corpus.
+    */
+  val LmQualityThreshold = -3.42
+
+  /** q_lm_quality: language-model quality filtering — the CCNet/RedPajama
+    * "score documents by LM log-probability, drop the tail" pass, with the
+    * corpus itself as the unigram model: score(doc) = mean over tokens of
+    * ln(count(tok)/total_tokens). Out-of-distribution documents (rare-token
+    * soup, boilerplate alphabets) score low.
+    *
+    * Scale shape: one explode, one vocab aggregation, one shuffle join on
+    * token (both sides corpus-sized — the standard LM-scoring shape; no
+    * driver-side vocab), one per-doc aggregation. Cross-engine exactness:
+    * per-token log-probs are summed as DECIMAL(28,10) — order-independent,
+    * unlike a double sum — then converted to double once for the mean, so
+    * the oracle hash-compares bit-for-bit.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = ex.agg(count(lit(1)).cast("double").as("n"))
+    val per = ex.join(vocab, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("n")).cast("decimal(28,10)").as("lp"))
+      .groupBy("doc_id")
+      .agg(sum("lp").as("s"), count(lit(1)).as("ntok"))
+      .select(col("doc_id"),
+        (col("s").cast("double") / col("ntok")).as("mean_lp"))
+    docs.join(per, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mean_lp") < LmQualityThreshold, 1L).otherwise(0L)).as("n_flagged"),
+        min("mean_lp").as("min_score"),
+        max("mean_lp").as("max_score"))
+      .orderBy("source")
+  }
+
+  val lmQualityOracle: String =
+    s"""WITH ex AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY 1),
+       |tot AS (SELECT COUNT(*)::DOUBLE AS n FROM ex),
+       |per AS (
+       |  SELECT ex.doc_id,
+       |         SUM(CAST(ln(vocab.c::DOUBLE / tot.n) AS DECIMAL(28,10))) AS s,
+       |         COUNT(*) AS ntok
+       |  FROM ex JOIN vocab USING (tok), tot GROUP BY 1),
+       |sc AS (SELECT doc_id, s::DOUBLE / ntok AS mean_lp FROM per)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN sc.mean_lp < $LmQualityThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       MIN(sc.mean_lp) AS min_score,
+       |       MAX(sc.mean_lp) AS max_score
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- language identification ----------------------------------------------
 
   /** Marker-token sets for the n-gram/stopword language-ID heuristic.
