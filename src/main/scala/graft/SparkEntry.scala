@@ -55,6 +55,7 @@ object SparkEntry {
     "q_source_mix"        -> ((s, d) => Dedup.sourceMix(s, d)),
     "q_repetition_filter" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
     "q_lm_quality"        -> ((s, d) => TextAnalysis.lmQuality(s, d)),
+    "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_source_mix"              -> ops.Dedup.sourceMixOracle,
     "q_repetition_filter"       -> ops.TextAnalysis.repetitionFilterOracle,
     "q_lm_quality"              -> ops.TextAnalysis.lmQualityOracle,
+    "q_doc_chunks"              -> ops.TextAnalysis.docChunksOracle,
     "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,

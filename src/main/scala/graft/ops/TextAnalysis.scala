@@ -264,6 +264,67 @@ object TextAnalysis {
        |       MAX(coverage) AS max_coverage
        |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- token-window chunking (RAG/training-window prep) ----------------------
+
+  val ChunkTokens = 32 // window width (tokens)
+  val ChunkStride = 24 // window stride (tokens) — 8-token overlap
+
+  /** q_doc_chunks: overlapping token-window chunking — the context-window
+    * preparation pass of RAG/pretraining pipelines (split each document
+    * into [[ChunkTokens]]-token windows every [[ChunkStride]] tokens, final
+    * short window kept). Chunks are MATERIALIZED (sequence + slice over the
+    * token array, one explode — no UDF, no driver loop) and audited per
+    * source: chunk counts, token totals, and overlap bookkeeping are exact
+    * integers, so the oracle hash-compares despite the per-doc fan-out.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") === 0, 0)
+          .when(col("n") <= w, 1)
+          .otherwise(((col("n") - w + s - 1) / s).cast("int") + 1))
+    val chunks = docs
+      .withColumn("chunk_toks",
+        when(col("n_chunks") > 0,
+          transform(sequence(lit(0), col("n_chunks") - 1),
+            i => size(slice(col("toks"), i * s + 1, lit(w)))))
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), col("source"), col("n_chunks"),
+              explode(col("chunk_toks")).as("chunk_len"))
+    chunks.groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("sum_chunk_tokens"),
+        max("n_chunks").as("max_chunks_per_doc"),
+        min("chunk_len").as("min_chunk_len"))
+      .orderBy("source")
+  }
+
+  val docChunksOracle: String = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    s"""WITH t AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+       |c AS (SELECT doc_id, source, toks, len(toks) AS n,
+       |             CASE WHEN len(toks) = 0 THEN 0
+       |                  WHEN len(toks) <= $w THEN 1
+       |                  ELSE (len(toks) - $w + $s - 1) // $s + 1 END AS n_chunks
+       |      FROM t),
+       |ex AS (SELECT doc_id, source, n_chunks, toks,
+       |              unnest(range(0, n_chunks)) AS i
+       |       FROM c),
+       |ch AS (SELECT doc_id, source, n_chunks,
+       |              len(toks[(i * $s + 1):(i * $s + $w)]) AS chunk_len
+       |       FROM ex)
+       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       |       CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+       |       CAST(MAX(n_chunks) AS INT) AS max_chunks_per_doc,
+       |       CAST(MIN(chunk_len) AS INT) AS min_chunk_len
+       |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --- corpus-LM quality scoring (CCNet-style unigram filter) ----------------
 
   /** Mean unigram log-probability below which a document is flagged — the
