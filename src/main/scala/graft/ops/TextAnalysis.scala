@@ -137,18 +137,24 @@ object TextAnalysis {
     * heaps, never a global sort) — NOT a row_number over an unpartitioned
     * window, which would move the whole vocabulary (10⁸ distinct tokens at
     * corpus scale) to a single task. Ranks are assigned after the limit, when
-    * the data is provably ≤ k rows, so the rank window's single partition is
-    * bounded by construction.
+    * the data is provably ≤ k rows, as a broadcast rank-count self-join
+    * (rank = 1 + rows ordered strictly before) — a k×k nested loop on ≤k
+    * rows, with no WindowExec at all (a `partitionBy(lit(0))` window
+    * constant-folds to an empty partition spec and moves data to one task
+    * with a planner warning; this shape cannot).
     */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val top = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))))
+    val before = top.select(col("tok").as("tok2"), col("cnt").as("cnt2"))
+    top.join(broadcast(before),
+        col("cnt2") > col("cnt") ||
+          (col("cnt2") === col("cnt") && col("tok2") < col("tok")), "left")
+      .groupBy("tok", "cnt")
+      .agg((count(col("tok2")) + 1).cast("int").as("rank"))
       .select("rank", "tok", "cnt")
       .orderBy("rank")
   }
@@ -294,13 +300,23 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>")))
       .select(col("doc_id"), col("source"), col("n_chunks"),
               explode(col("chunk_toks")).as("chunk_len"))
-    chunks.groupBy("source")
+    // n_docs counts ALL documents (left-join base, like every sibling
+    // per-source audit): a zero-token doc contributes no chunks but must
+    // not vanish from the audit
+    val base = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val agg = chunks.groupBy("source")
       .agg(
-        countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum("chunk_len").as("sum_chunk_tokens"),
         max("n_chunks").as("max_chunks_per_doc"),
         min("chunk_len").as("min_chunk_len"))
+    base.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("sum_chunk_tokens"), lit(0L)).as("sum_chunk_tokens"),
+        coalesce(col("max_chunks_per_doc"), lit(0)).as("max_chunks_per_doc"),
+        coalesce(col("min_chunk_len"), lit(0)).as("min_chunk_len"))
       .orderBy("source")
   }
 
@@ -317,12 +333,19 @@ object TextAnalysis {
        |       FROM c),
        |ch AS (SELECT doc_id, source, n_chunks,
        |              len(toks[(i * $s + 1):(i * $s + $w)]) AS chunk_len
-       |       FROM ex)
-       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
-       |       CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens,
-       |       CAST(MAX(n_chunks) AS INT) AS max_chunks_per_doc,
-       |       CAST(MIN(chunk_len) AS INT) AS min_chunk_len
-       |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+       |       FROM ex),
+       |agg AS (SELECT source, COUNT(*) AS n_chunks,
+       |               CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+       |               CAST(MAX(n_chunks) AS INT) AS max_chunks_per_doc,
+       |               CAST(MIN(chunk_len) AS INT) AS min_chunk_len
+       |        FROM ch GROUP BY 1),
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT base.source, base.n_docs,
+       |       COALESCE(agg.n_chunks, 0) AS n_chunks,
+       |       COALESCE(agg.sum_chunk_tokens, 0) AS sum_chunk_tokens,
+       |       COALESCE(agg.max_chunks_per_doc, 0) AS max_chunks_per_doc,
+       |       COALESCE(agg.min_chunk_len, 0) AS min_chunk_len
+       |FROM base LEFT JOIN agg USING (source) ORDER BY 1""".stripMargin
   }
 
   // --- corpus-LM quality scoring (CCNet-style unigram filter) ----------------
@@ -342,16 +365,21 @@ object TextAnalysis {
     * Scale shape: one explode, one vocab aggregation, one shuffle join on
     * token (both sides corpus-sized — the standard LM-scoring shape; no
     * driver-side vocab), one per-doc aggregation. Cross-engine exactness:
-    * per-token log-probs are summed as DECIMAL(28,10) — order-independent,
-    * unlike a double sum — then converted to double once for the mean, so
-    * the oracle hash-compares bit-for-bit.
+    * per-token log-probs are summed as DECIMAL(28,10) — the decimal sum
+    * removes summation-ORDER dependence (the usual cross-engine hash
+    * killer); the ln() values themselves agreeing between the JVM and
+    * DuckDB's libm is empirical, validated at sf0.01 and sf0.1 here and by
+    * the long-green q_tfidf precedent, not an IEEE guarantee.
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = ex.agg(count(lit(1)).cast("double").as("n"))
+    // vocab feeds both the total-count scalar and the scoring join —
+    // persisted so the corpus is tokenized/exploded once for it, not once
+    // per consumer (cache lifecycle contract in the Dedup header applies)
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c")).persist()
+    val tot = vocab.agg(sum("c").cast("double").as("n"))
     val per = ex.join(vocab, "tok").crossJoin(broadcast(tot))
       .select(col("doc_id"),
         log(col("c").cast("double") / col("n")).cast("decimal(28,10)").as("lp"))
