@@ -56,6 +56,8 @@ object SparkEntry {
     "q_repetition_filter" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
     "q_lm_quality"        -> ((s, d) => TextAnalysis.lmQuality(s, d)),
     "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "q_pii_redact"        -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_seq_pack"          -> ((s, d) => SeqPack.seqPack(s, d)),
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -147,6 +149,8 @@ object SparkEntry {
     "q_repetition_filter"       -> ops.TextAnalysis.repetitionFilterOracle,
     "q_lm_quality"              -> ops.TextAnalysis.lmQualityOracle,
     "q_doc_chunks"              -> ops.TextAnalysis.docChunksOracle,
+    "q_pii_redact"              -> ops.TextAnalysis.piiRedactOracle,
+    "q_seq_pack"                -> ops.SeqPack.seqPackOracle(),
     "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,

@@ -575,4 +575,117 @@ object TextAnalysis {
        |       COUNT(*) AS n_fingerprints,
        |       COUNT(DISTINCT f) AS n_distinct_fps
        |FROM ex t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- PII redaction ---------------------------------------------------------
+
+  /** PII patterns, restricted to the RE2 ∩ java.util.regex common subset
+    * (character classes, bounded repeats, `\b` ASCII word boundaries — no
+    * lookaround, no backrefs) so Spark and the DuckDB oracle match the same
+    * spans. Redaction order is fixed (email, then IPv4, then long digit
+    * runs) and identical in both engines: emails and IPs consume their own
+    * digits, so the later ID pass never re-matches inside an earlier
+    * replacement.
+    */
+  val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re   = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongIdRe = "\\b\\d{9,}\\b"
+
+  /** Redact emails, IPv4 addresses, and 9+-digit identifier runs — the
+    * standard pre-training scrub pass. Pure codegen'd column expression
+    * (three chained regexp_replace), so it rides inside whole-stage codegen
+    * on the document scan: one pass, no shuffle, unchanged at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongIdRe, "<ID>")
+
+  /** The synthetic corpus contains no natural PII (verified: zero matches
+    * for all three patterns), so the parity query plants deterministic
+    * doc-derived PII — an email on every 3rd doc, an IPv4 on every 5th, a
+    * 9+-digit id on every 7th — with the identical integer arithmetic on
+    * both engines, then audits the scrub. The redaction operator itself
+    * ([[redactPii]]) is the product; the planting is fixture scaffolding,
+    * same honesty contract as the Multimodal fake codec.
+    */
+  private def plantPii(docId: Column, text: Column): Column =
+    concat(
+      text,
+      when(docId % 3 === 0,
+        concat(lit(" contact user"), docId.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(docId % 5 === 0,
+        concat(lit(" from 10."), (docId % 200).cast("string"), lit(".3."),
+               ((docId * 7) % 250).cast("string")))
+        .otherwise(lit("")),
+      when(docId % 7 === 0,
+        concat(lit(" ref "), (docId + lit(900000000L)).cast("string")))
+        .otherwise(lit("")))
+
+  /** q_pii_redact: per-source scrub audit — docs touched, matches per
+    * pattern class, and the exact char delta of the rewrite. All counts are
+    * integers (regexp_count + length), so the oracle hash-compares exactly.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pii = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              plantPii(col("doc_id"), col("text")).as("pii_text"))
+    val per = pii.select(
+      col("source"),
+      regexp_count(col("pii_text"), lit(EmailRe)).as("ne"),
+      regexp_count(col("pii_text"), lit(Ipv4Re)).as("ni"),
+      regexp_count(col("pii_text"), lit(LongIdRe)).as("nd"),
+      (length(col("pii_text")) - length(redactPii(col("pii_text")))).as("delta"))
+    per.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("nd") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum("ne").as("n_emails"),
+        sum("ni").as("n_ips"),
+        sum("nd").as("n_ids"),
+        sum("delta").as("chars_removed"))
+      .orderBy("source")
+  }
+
+  val piiRedactOracle: String = {
+    // DuckDB regexp_replace replaces the FIRST match unless the 'g' option
+    // is passed; Spark's always replaces all — 'g' aligns them.
+    val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipSql    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val idSql    = "\\b\\d{9,}\\b"
+    s"""WITH pii AS (
+       |  SELECT source,
+       |         text
+       |           || CASE WHEN doc_id % 3 = 0
+       |                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |                ELSE '' END
+       |           || CASE WHEN doc_id % 5 = 0
+       |                THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+       |                     || CAST((doc_id * 7) % 250 AS VARCHAR)
+       |                ELSE '' END
+       |           || CASE WHEN doc_id % 7 = 0
+       |                THEN ' ref ' || CAST(doc_id + 900000000 AS VARCHAR)
+       |                ELSE '' END AS pii_text
+       |  FROM documents),
+       |per AS (
+       |  SELECT source,
+       |         len(regexp_extract_all(pii_text, '$emailSql')) AS ne,
+       |         len(regexp_extract_all(pii_text, '$ipSql')) AS ni,
+       |         len(regexp_extract_all(pii_text, '$idSql')) AS nd,
+       |         length(pii_text) - length(
+       |           regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |             '$emailSql', '<EMAIL>', 'g'),
+       |             '$ipSql', '<IP>', 'g'),
+       |             '$idSql', '<ID>', 'g')) AS delta
+       |  FROM pii)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN ne + ni + nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       |       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       |       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       |       CAST(SUM(nd) AS BIGINT) AS n_ids,
+       |       CAST(SUM(delta) AS BIGINT) AS chars_removed
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SeqPackSpec extends SparkSpec {
+  import SeqPack._
+
+  private def windowCum(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, Long)] = {
+    val w = Window.partitionBy("g").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .orderBy("g", "i").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("i"), r.getAs[Long]("cum"))).toSeq
+  }
+
+  private def scalableCum(df: org.apache.spark.sql.DataFrame,
+                          numParts: Int): Seq[(String, Int, Long)] =
+    exclusiveRunningSum(df, "v", Seq("g"), Seq("i"), numParts = numParts)
+      .orderBy("g", "i").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("i"), r.getAs[Long]("cum"))).toSeq
+
+  test("two-phase exclusive running sum equals the window form (adversarial partitioning)") {
+    import spark.implicits._
+    val df = (0 until 257).map(i => (s"g${i % 3}", i, (i * 7 % 11).toLong))
+      .toDF("g", "i", "v").repartition(7)
+    assert(scalableCum(df, 5) == windowCum(df))
+  }
+
+  test("running sum: single bucket, zero values, and a key that is empty in early buckets") {
+    import spark.implicits._
+    // key g9 appears only in the top of the order range; zeros sprinkled in
+    val rows = (0 until 120).map(i => ("g0", i, if (i % 4 == 0) 0L else i.toLong)) ++
+      (120 until 140).map(i => ("g9", i, 3L))
+    val df = rows.toDF("g", "i", "v").repartition(6)
+    assert(scalableCum(df, 4) == windowCum(df))
+    assert(scalableCum(df, 1) == windowCum(df)) // degenerate: no bucketing
+  }
+
+  test("KeyedOffsetRunningSum: interpreted eval equals the codegen path") {
+    import spark.implicits._
+    val df = (0 until 201).map(i => (s"g${i % 4}", i, (i % 9).toLong))
+      .toDF("g", "i", "v").repartition(6)
+    val withCodegen = scalableCum(df, 4)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = scalableCum(df, 4)
+      assert(interpreted == withCodegen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("seqPack audit matches a brute-force packing of the fixture corpus") {
+    val res = seqPack(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+                 r.getAs[Long]("total_tokens"), r.getAs[Long]("n_seqs"),
+                 r.getAs[Long]("n_boundary_docs"))).toSeq
+    // brute force: per source ordered by doc_id, accumulate token counts
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok")))
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      var cum = 0L
+      var boundary = 0L
+      rows.sortBy(_._2).foreach { case (_, _, t) =>
+        val fc = cum / SeqBudget
+        val lc = if (t > 0) (cum + t - 1) / SeqBudget else fc
+        if (lc > fc) boundary += 1
+        cum += t
+      }
+      (src, rows.size.toLong, cum, (cum + SeqBudget - 1) / SeqBudget, boundary)
+    }
+    assert(res == expected)
+  }
+}
