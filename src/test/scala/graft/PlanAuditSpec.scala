@@ -88,6 +88,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_NUM"), s"pack output not pinned:\n$plan")
   }
 
+  test("seq_pack runs no per-key window: pinned bucket repartition + stateful projection") {
+    val plan = planOf(ops.SeqPack.seqPack(spark, dir))
+    // the cumsum must be the two-phase KeyedOffsetRunningSum projection over
+    // a pinned bucket repartition — never a per-source WindowExec, whose
+    // single reducer per key is the 100 TB ceiling this operator exists to
+    // escape
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(plan.contains("keyed_offset_running_sum"), s"missing running-sum projection:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"), s"bucket repartition not pinned:\n$plan")
+    assert(plan.contains("partial_"), s"audit aggregation must partial-aggregate:\n$plan")
+  }
+
+  test("pii_redact is one pruned scan + partial aggregation (no join, no window)") {
+    val plan = planOf(ops.TextAnalysis.piiRedact(spark, dir))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    // scan reads only doc_id/source/text
+    assert(!plan.contains("n_chars"), s"documents scan not pruned:\n$plan")
+    assert(!plan.contains("lang"), s"documents scan not pruned:\n$plan")
+  }
+
   test("minhash verify stage plans no user-forced broadcast of the shingle table") {
     // the candidate-shingle relation is unbounded at corpus scale; only the
     // bare-id candIds semi-join side may carry an explicit broadcast hint.
