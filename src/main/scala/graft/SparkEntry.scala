@@ -59,6 +59,7 @@ object SparkEntry {
     "q_pii_redact"        -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_seq_pack"          -> ((s, d) => SeqPack.seqPack(s, d)),
     "q_table_profile"     -> ((s, d) => Relational.tableProfile(s, d)),
+    "q_len_histogram"     -> ((s, d) => TextAnalysis.lenHistogram(s, d)),
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q_pii_redact"              -> ops.TextAnalysis.piiRedactOracle,
     "q_seq_pack"                -> ops.SeqPack.seqPackOracle(),
     "q_table_profile"           -> ops.Relational.tableProfileOracle,
+    "q_len_histogram"           -> ops.TextAnalysis.lenHistogramOracle,
     "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,

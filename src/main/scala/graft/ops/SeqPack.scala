@@ -104,9 +104,14 @@ object SeqPack {
     */
   def seqPack(spark: SparkSession, dir: String,
               budget: Int = SeqBudget): DataFrame = {
+    // persisted: the narrow (doc_id, source, n_tok) projection feeds both
+    // the two-phase pre-jobs and the final pass — without it the corpus
+    // would be re-tokenized per consumer (~24 B/row cached vs a full text
+    // scan; cache lifecycle contract in the Dedup header applies)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
               size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .persist()
     val cum = exclusiveRunningSum(docs, "n_tok", Seq("source"), Seq("doc_id"),
                                   out = "cum0")
     val per = cum.select(

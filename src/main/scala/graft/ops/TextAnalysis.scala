@@ -576,6 +576,46 @@ object TextAnalysis {
        |       COUNT(DISTINCT f) AS n_distinct_fps
        |FROM ex t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- token-length histogram ------------------------------------------------
+
+  /** q_len_histogram: per-source document-length distribution in power-of-2
+    * token bands — the stat a packing planner / data loader reads to size
+    * batches and pick a context budget. The band is the token count's
+    * binary digit count (`length(bin(n))` = ⌊log2 n⌋+1) — pure integer/
+    * string arithmetic on both engines, deliberately NOT float `log2`,
+    * whose rounding at exact powers of two is libm-dependent. One scan,
+    * one map-side-combined aggregation.
+    */
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    docs
+      .withColumn("len_band",
+        when(col("n_tok") === 0, 0).otherwise(length(bin(col("n_tok")))).cast("int"))
+      .groupBy("source", "len_band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"))
+      .orderBy("source", "len_band")
+  }
+
+  val lenHistogramOracle: String =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len($tokensSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, n_tok,
+       |         CAST(CASE WHEN n_tok = 0 THEN 0
+       |                   ELSE length(bin(n_tok)) END AS INT) AS len_band
+       |  FROM t)
+       |SELECT source, len_band, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       |       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+       |       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- PII redaction ---------------------------------------------------------
 
   /** PII patterns, restricted to the RE2 ∩ java.util.regex common subset
