@@ -174,22 +174,12 @@ object FixedWidth {
     * clustering shuffle + the concat-agg shuffle), so the parallelism is
     * not bought with extra passes over the records.
     *
-    *  1. Bucket bounds: `parts` quantiles of the LEADING order column, from
-    *     one narrow aggregation (the record column is pruned away). Bounds
-    *     are collected once and inlined as literals, so every pass buckets
-    *     identically — no repartitionByRange re-sampling nondeterminism and
-    *     no need to cache the full data for consistency.
-    *  2. Per-(bucket, key) row counts — a second narrow job — turned into
-    *     per-run global starting offsets on the driver (a tiny table:
-    *     buckets x keys).
-    *  3. One full-data pass: cluster by bucket, sort within partitions on
-    *     (bucket, partCols, orderCols) — every (bucket, key) run is
-    *     contiguous in exactly one partition, runs follow the global order
-    *     (bucketing is monotone in the leading order column) — then the
-    *     stateful codegen'd [[graft.plans.KeyedOffsetRowNumber]] projection
-    *     assigns exact global row numbers (offsets ride along as a codegen
-    *     reference object; rows never leave UnsafeRow), and the same
-    *     grouped ordered concat as the window form finishes.
+    * The row numbers come from the shared two-phase prefix-sum scaffold
+    * ([[graft.plans.PrefixSum]] — quantile bucketing, driver-prefixed
+    * per-run offsets, run-contiguous clustering, stateful codegen'd
+    * accumulation) applied to value = 1: `row_number() − 1` IS the
+    * exclusive running count of prior rows. The record column prunes away
+    * from both of the scaffold's narrow pre-jobs.
     *
     * Output is identical to [[packWindow]] (equivalence-tested in
     * FixedWidthSpec) because (partCols, orderCols) is a total order. Part
@@ -204,41 +194,8 @@ object FixedWidth {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    val ord = col(orderCols.head)
-    // single string key: the driver-side offsets table and the executor-side
-    // expression must agree on the key encoding, so both read this column
-    val keyCol = concat_ws("\u0001", partCols.map(c => col(c).cast("string")): _*)
-
-    val bounds: Seq[Any] =
-      if (parts <= 1) Nil
-      else {
-        val probs = (1 until parts).map(_.toDouble / parts)
-        val r = df.agg(
-          percentile_approx(ord, array(probs.map(lit): _*), lit(1000)).as("b")).head()
-        if (r.isNullAt(0)) Nil else r.getSeq[Any](0)
-      }
-    // bucket = #bounds strictly below the value: monotone in the leading
-    // order column, so bucket order == global order within every key
-    val bucketCol: Column =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(ord > lit(b), 1).otherwise(0)).reduce(_ + _)
-    val runCol = concat_ws("\u0001", col("_b").cast("string"), keyCol)
-
-    val counts = df.select(keyCol.as("_key"), bucketCol.as("_b"))
-      .groupBy("_b", "_key").count().collect()
-    val offsets = new java.util.HashMap[String, java.lang.Long]()
-    counts.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
-      var acc = 0L
-      rows.sortBy(_.getAs[Int]("_b")).foreach { r =>
-        if (acc != 0L) offsets.put(r.getAs[Int]("_b") + "\u0001" + key, acc)
-        acc += r.getAs[Long]("count")
-      }
-    }
-
-    df.withColumn("_b", bucketCol)
-      .repartition(parts, col("_b"))
-      .sortWithinPartitions(col("_b") +: (partCols ++ orderCols).map(col): _*)
-      .withColumn("_rn", graft.plans.KeyedOffsetRowNumber.column(runCol, offsets))
+    graft.plans.PrefixSum.exclusiveRunningSum(
+        df, lit(1L), partCols, orderCols, out = "_rn", numParts = parts)
       .withColumn(grpOut, (col("_rn") / n).cast("long"))
       // pinned pre-agg repartition: satisfies the aggregation's required
       // distribution (so the planner inserts no second exchange) while

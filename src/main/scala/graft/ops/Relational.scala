@@ -290,8 +290,8 @@ object Relational {
       |                  AND CAST(o.o_orderdate AS DATE) >= DATE '$InactiveCutoff')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Columns profiled by [[tableProfile]] — the lineitem surface minus the
-    * two basis-point columns (l_tax duplicates l_discount's shape).
+  /** Columns profiled by [[tableProfile]] — the lineitem surface minus
+    * l_tax, whose basis-point shape duplicates the profiled l_discount.
     */
   val ProfileCols: Seq[String] = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",

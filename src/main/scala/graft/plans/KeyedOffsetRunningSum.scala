@@ -9,15 +9,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Stateful run-length EXCLUSIVE running sum with pre-computed per-run
-  * starting offsets — the cumulative-sum sibling of
-  * [[KeyedOffsetRowNumber]], powering the scalable token-budget sequence
-  * packer ([[graft.ops.SeqPack]]).
+  * starting offsets — the executor half of the two-phase prefix-sum
+  * scaffold ([[PrefixSum]]) behind both the scalable order-preserving pack
+  * (`etl/FixedWidth.packScalable`, value = 1 → global row numbers; the T3
+  * reconstruction of /root/reference/main.py:414-423) and the token-budget
+  * sequence packer ([[graft.ops.SeqPack]], value = token count).
   *
-  * Contract (same as the row-number form): input partitions are clustered
-  * and sorted so every distinct value of `left` (the run key, e.g.
-  * "bucket␁source") occupies ONE contiguous run in ONE partition, runs
-  * follow the global order, and the offsets table holds each run's global
-  * starting sum (the total of all `right` values ordered before the run).
+  * Contract: input partitions are clustered and sorted so every distinct
+  * value of `left` (the run key, e.g. "bucket␁source") occupies ONE
+  * contiguous run in ONE partition, runs follow the global order, and the
+  * offsets table holds each run's global starting sum (the total of all
+  * `right` values ordered before the run).
   * On a key change the accumulator reloads from the offsets table; each row
   * yields the sum of all prior rows' values in its key (exclusive prefix
   * sum), then adds its own. The result equals the exact global

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The two-phase global prefix-sum scaffold shared by the scalable pack
+  * (`etl/FixedWidth.packScalable`, value = 1 → global per-key row numbers)
+  * and the token-budget sequence packer (`ops/SeqPack`, value = token
+  * count → global per-key token offsets). One implementation of the
+  * contract-heavy parts — quantile bucketing, driver-side offset
+  * prefixing, run-contiguous clustering — so the two operators cannot
+  * drift.
+  *
+  *  1. Bucket bounds: `parts` quantiles of the LEADING order column, from
+  *     one narrow aggregation (all other columns prune away). Bounds are
+  *     collected once and inlined as literals, so every pass buckets
+  *     identically — no repartitionByRange re-sampling nondeterminism and
+  *     no need to cache the full data for consistency.
+  *  2. Per-(bucket, key) value sums — a second narrow job — turned into
+  *     per-run global starting offsets on the driver (a tiny table:
+  *     buckets × keys).
+  *  3. One full-data pass: cluster by bucket, sort within partitions on
+  *     (bucket, partCols, orderCols) — every (bucket, key) run is
+  *     contiguous in exactly one partition and runs follow the global
+  *     order (bucketing is monotone in the leading order column) — then
+  *     the stateful codegen'd [[KeyedOffsetRunningSum]] projection
+  *     assigns exact global exclusive prefix sums with full parallelism,
+  *     entirely on Tungsten rows.
+  */
+object PrefixSum {
+
+  /** Run-key separator: a char that cannot appear in the key columns'
+    * string forms.
+    */
+  private val Sep = 1.toChar.toString
+
+  /** Exclusive per-key prefix sum of `value` in (partCols, orderCols)
+    * order, as column `out` — the scalable equivalent of `sum(value)
+    * OVER (PARTITION BY partCols ORDER BY orderCols ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`, with every null — the window's first-row
+    * null AND null input values — read as 0. Null inputs are coalesced to
+    * 0 HERE, before the stateful expression, which requires a non-null
+    * long (its codegen and interpreted paths would otherwise disagree on
+    * nulls). The leading order column must be numeric (quantile
+    * bucketing); (partCols, orderCols) must be a total order of `df`;
+    * part keys must be non-null.
+    */
+  def exclusiveRunningSum(df: DataFrame, value: Column,
+                          partCols: Seq[String], orderCols: Seq[String],
+                          out: String = "cum",
+                          numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
+    val ord = col(orderCols.head)
+    val keyCol = concat_ws(Sep, partCols.map(c => col(c).cast("string")): _*)
+    val valCol = coalesce(value.cast("long"), lit(0L))
+
+    val bounds: Seq[Any] =
+      if (parts <= 1) Nil
+      else {
+        val probs = (1 until parts).map(_.toDouble / parts)
+        val r = df.agg(
+          percentile_approx(ord, array(probs.map(lit): _*), lit(1000)).as("b")).head()
+        if (r.isNullAt(0)) Nil else r.getSeq[Any](0)
+      }
+    // bucket = #bounds strictly below the value: monotone in the leading
+    // order column, so bucket order == global order within every key
+    val bucketCol: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(ord > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val runCol = concat_ws(Sep, col("_b").cast("string"), keyCol)
+
+    // narrow pre-job: per-(bucket, key) value sums -> per-run global
+    // starting offsets (exclusive prefix over buckets, per key)
+    val sums = df.select(keyCol.as("_key"), bucketCol.as("_b"), valCol.as("_v"))
+      .groupBy("_b", "_key").agg(sum("_v").as("_s")).collect()
+    val offsets = new java.util.HashMap[String, java.lang.Long]()
+    sums.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getAs[Int]("_b")).foreach { r =>
+        if (acc != 0L) offsets.put(r.getAs[Int]("_b") + Sep + key, acc)
+        acc += r.getAs[Long]("_s")
+      }
+    }
+
+    df.withColumn("_b", bucketCol)
+      .repartition(parts, col("_b"))
+      .sortWithinPartitions(col("_b") +: (partCols ++ orderCols).map(col): _*)
+      .withColumn(out, KeyedOffsetRunningSum.column(runCol, valCol, offsets))
+      .drop("_b")
+  }
+}

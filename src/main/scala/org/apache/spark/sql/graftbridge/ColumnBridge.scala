@@ -7,7 +7,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Bridge to the classic `Column` ⇄ `Expression` converters, which became
   * `private[sql]` in Spark 4's Column-node refactor. Needed by graft's
   * custom Catalyst expressions that carry non-SQL-representable state
-  * (e.g. [[graft.plans.KeyedOffsetRowNumber]]'s offsets table) and so can't
+  * (e.g. [[graft.plans.KeyedOffsetRunningSum]]'s offsets table) and so can't
   * go through `FunctionRegistry` + `expr(...)` like the rest.
   */
 object ColumnBridge {

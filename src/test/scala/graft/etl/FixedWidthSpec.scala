@@ -138,7 +138,7 @@ class FixedWidthSpec extends SparkSpec {
     assert(c.toSeq == a.toSeq)
   }
 
-  test("KeyedOffsetRowNumber: interpreted eval equals the codegen path") {
+  test("scalable pack row numbers (KeyedOffsetRunningSum): interpreted eval equals the codegen path") {
     import spark.implicits._
     val df = (0 until 201).map(i => (s"g${i % 3}", i, f"[$i%05d]"))
       .toDF("g", "i", "rec").repartition(6)

@@ -18,7 +18,8 @@ class SeqPackSpec extends SparkSpec {
 
   private def scalableCum(df: org.apache.spark.sql.DataFrame,
                           numParts: Int): Seq[(String, Int, Long)] =
-    exclusiveRunningSum(df, "v", Seq("g"), Seq("i"), numParts = numParts)
+    graft.plans.PrefixSum
+      .exclusiveRunningSum(df, col("v"), Seq("g"), Seq("i"), numParts = numParts)
       .orderBy("g", "i").collect()
       .map(r => (r.getAs[String]("g"), r.getAs[Int]("i"), r.getAs[Long]("cum"))).toSeq
 
@@ -44,18 +45,42 @@ class SeqPackSpec extends SparkSpec {
     val df = (0 until 201).map(i => (s"g${i % 4}", i, (i % 9).toLong))
       .toDF("g", "i", "v").repartition(6)
     val withCodegen = scalableCum(df, 4)
+    // wholeStage=false alone still runs generated UnsafeProjection code;
+    // NO_CODEGEN forces InterpretedUnsafeProjection -> evalInternal
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = scalableCum(df, 4)
       assert(interpreted == withCodegen)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("null values in the summed column read as 0 on both eval paths") {
+    import spark.implicits._
+    val df = (0 until 90)
+      .map(i => (s"g${i % 2}", i, if (i % 5 == 0) None else Some(i.toLong)))
+      .toDF("g", "i", "v").repartition(5)
+    val zeroed = df.withColumn("v", coalesce(col("v"), lit(0L)))
+    def run(d: org.apache.spark.sql.DataFrame) = scalableCum(d, 3)
+    val expected = run(zeroed)
+    assert(run(df) == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run(df) == expected)
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("seqPack audit matches a brute-force packing of the fixture corpus") {
     val res = seqPack(spark, sf0001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
                  r.getAs[Long]("total_tokens"), r.getAs[Long]("n_seqs"),
-                 r.getAs[Long]("n_boundary_docs"))).toSeq
+                 r.getAs[Long]("n_boundary_docs"), r.getAs[Long]("max_doc_span"))).toSeq
     // brute force: per source ordered by doc_id, accumulate token counts
     val docs = graft.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"),
@@ -65,13 +90,15 @@ class SeqPackSpec extends SparkSpec {
     val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
       var cum = 0L
       var boundary = 0L
+      var maxSpan = Long.MinValue
       rows.sortBy(_._2).foreach { case (_, _, t) =>
         val fc = cum / SeqBudget
         val lc = if (t > 0) (cum + t - 1) / SeqBudget else fc
         if (lc > fc) boundary += 1
+        maxSpan = math.max(maxSpan, lc - fc + 1)
         cum += t
       }
-      (src, rows.size.toLong, cum, (cum + SeqBudget - 1) / SeqBudget, boundary)
+      (src, rows.size.toLong, cum, (cum + SeqBudget - 1) / SeqBudget, boundary, maxSpan)
     }
     assert(res == expected)
   }
