@@ -61,6 +61,7 @@ object SparkEntry {
     "q_table_profile"     -> ((s, d) => Relational.tableProfile(s, d)),
     "q_len_histogram"     -> ((s, d) => TextAnalysis.lenHistogram(s, d)),
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
+    "q_decontamination_exact" -> ((s, d) => Dedup.decontaminationExact(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
     "q_data_split"              -> ops.Dedup.dataSplitOracle,
     "q_decontamination"         -> ops.Dedup.decontaminationOracle,
+    "q_decontamination_exact"   -> ops.Dedup.decontaminationExactOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,

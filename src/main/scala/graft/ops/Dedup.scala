@@ -435,6 +435,50 @@ object Dedup {
        |       CAST(MAX(n_shared) AS BIGINT) AS max_shared
        |FROM c""".stripMargin
 
+  /** q_decontamination_exact: GPT-3-style exact-substring leakage check,
+    * complementing the n-gram overlap pass — each eval document contributes
+    * one deterministic 30-char probe (chars 11-40; shorter docs excluded),
+    * and a train document is flagged per probe it contains verbatim.
+    *
+    * Scale shape: the probe side is ALWAYS small (one short string per
+    * eval doc), so it broadcasts and the corpus streams through a
+    * BroadcastNestedLoopJoin — per (train row, probe) substring search,
+    * the same envelope as the n-gram pass. For probe sets beyond broadcast
+    * size, the escalation is a compiled multi-pattern matcher
+    * (Aho-Corasick) over mapPartitions; not needed at any eval-set size
+    * this engine targets. Aggregates are coalesced to 0 so the
+    * zero-leakage corpus still yields one exact audit row.
+    */
+  def decontaminationExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val probes = docs
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 40)
+      .select(substring(col("text"), 11, 30).as("probe"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val hits = train.join(broadcast(probes), col("text").contains(col("probe")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_probe_hits"))
+    hits.groupBy()
+      .agg(
+        count(lit(1)).as("n_contaminated_docs"),
+        coalesce(sum("n_probe_hits"), lit(0L)).as("n_hits_total"),
+        coalesce(max("n_probe_hits"), lit(0L)).as("max_hits"))
+  }
+
+  val decontaminationExactOracle: String =
+    s"""WITH probes AS (
+       |  SELECT substr(text, 11, 30) AS probe
+       |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 40),
+       |hits AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_probe_hits
+       |  FROM documents t JOIN probes p
+       |    ON t.doc_id % 50 <> 0 AND contains(t.text, p.probe)
+       |  GROUP BY 1)
+       |SELECT COUNT(*) AS n_contaminated_docs,
+       |       CAST(COALESCE(SUM(n_probe_hits), 0) AS BIGINT) AS n_hits_total,
+       |       CAST(COALESCE(MAX(n_probe_hits), 0) AS BIGINT) AS max_hits
+       |FROM hits""".stripMargin
+
   // --- dedup resolution (connected components) -------------------------------
 
   /** q_dedup_resolution: turn the near-dup PAIRS into a keep/drop decision —
