@@ -13,6 +13,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("redactPii: span boundaries, pattern order, and non-matches") {
+    import spark.implicits._
+    val out = Seq(
+        "mail a@b.com mid 10.1.2.3 id 123456789 end",
+        "no pii here",
+        // '@' without a dot-TLD is not an email; 8 digits is below the
+        // 9-digit id floor; 999.999.999.999 matches the IPv4 SHAPE (the
+        // pattern is a scrub heuristic, not a validator — documented)
+        "x@y frag 999.999.999.999 12345678",
+        // word boundaries: digits embedded in letters are not ids
+        "ab123456789cd stays")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "mail <EMAIL> mid <IP> id <ID> end",
+      "no pii here",
+      "x@y frag <IP> 12345678",
+      "ab123456789cd stays"))
+  }
+
   test("minhash LSH candidates recall the planted near-dups found by exact jaccard") {
     val exact = Dedup.ngramJaccard(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -76,6 +76,35 @@ class SeqPackSpec extends SparkSpec {
     }
   }
 
+  test("randomized sweep: scalable cumsum equals window form across sizes/keys/parts") {
+    import spark.implicits._
+    // property-style but seeded and bounded: each case costs real Spark
+    // jobs, so a full scalacheck forAll (100 cases) is too slow — 8
+    // deterministic draws cover the parameter space (including the
+    // empty-string key, a dominant hot key, and single-row/single-part
+    // degenerates)
+    val rnd = new scala.util.Random(20260812L)
+    val cases = Seq(
+      (1, 1, 1),      // single row, single part
+      (7, 1, 3),      // one key only
+      (50, 2, 2),
+      (120, 5, 4),
+      (257, 3, 5),
+      (400, 7, 8),
+      (333, 4, 6),
+      (600, 6, 7))
+    for ((n, k, parts) <- cases) {
+      val keys = (0 until k).map(j => if (j == 0) "" else s"k$j")
+      val rows = (0 until n).map { i =>
+        // hot key: ~half the rows land on key 0
+        val g = if (rnd.nextBoolean()) keys.head else keys(rnd.nextInt(k))
+        (g, i, rnd.nextInt(100).toLong)
+      }
+      val df = rows.toDF("g", "i", "v").repartition(1 + rnd.nextInt(6))
+      assert(scalableCum(df, parts) == windowCum(df), s"case n=$n k=$k parts=$parts")
+    }
+  }
+
   test("seqPack audit matches a brute-force packing of the fixture corpus") {
     val res = seqPack(spark, sf0001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
