@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   *  2. Per-(bucket, key) value sums — a second narrow job — turned into
   *     per-run global starting offsets on the driver (a tiny table:
   *     buckets × keys).
+  *
+  * The driver-side offsets table is small BY REGIME, not by luck: this
+  * scaffold exists for the few-huge-keys layout (a handful of part keys /
+  * sources, each a single ordered stream), where the plain window form
+  * ceilings at one reducer per key. In the opposite regime — many small
+  * keys — the window form already parallelizes across keys and needs no
+  * scaffold (which is exactly what `etl/FixedWidth.pack`'s adaptive
+  * rows-per-key probe dispatches on), and buckets × keys would not be
+  * driver-sized. Use the window form there.
   *  3. One full-data pass: cluster by bucket, sort within partitions on
   *     (bucket, partCols, orderCols) — every (bucket, key) run is
   *     contiguous in exactly one partition and runs follow the global
