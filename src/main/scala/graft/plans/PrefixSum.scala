@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *  2. Per-(bucket, key) value sums — a second narrow job — turned into
   *     per-run global starting offsets on the driver (a tiny table:
   *     buckets × keys).
+  *  3. One full-data pass: cluster by bucket, sort within partitions on
+  *     (bucket, partCols, orderCols) — every (bucket, key) run is
+  *     contiguous in exactly one partition and runs follow the global
+  *     order (bucketing is monotone in the leading order column) — then
+  *     the stateful codegen'd [[KeyedOffsetRunningSum]] projection
+  *     assigns exact global exclusive prefix sums with full parallelism,
+  *     entirely on Tungsten rows.
   *
   * The driver-side offsets table is small BY REGIME, not by luck: this
   * scaffold exists for the few-huge-keys layout (a handful of part keys /
@@ -28,13 +35,6 @@ import org.apache.spark.sql.functions._
   * scaffold (which is exactly what `etl/FixedWidth.pack`'s adaptive
   * rows-per-key probe dispatches on), and buckets × keys would not be
   * driver-sized. Use the window form there.
-  *  3. One full-data pass: cluster by bucket, sort within partitions on
-  *     (bucket, partCols, orderCols) — every (bucket, key) run is
-  *     contiguous in exactly one partition and runs follow the global
-  *     order (bucketing is monotone in the leading order column) — then
-  *     the stateful codegen'd [[KeyedOffsetRunningSum]] projection
-  *     assigns exact global exclusive prefix sums with full parallelism,
-  *     entirely on Tungsten rows.
   */
 object PrefixSum {
 
