@@ -59,6 +59,7 @@ object SparkEntry {
     "q_pii_redact"        -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_seq_pack"          -> ((s, d) => SeqPack.seqPack(s, d)),
     "q_table_profile"     -> ((s, d) => Relational.tableProfile(s, d)),
+    "q_table_profile_approx_check" -> ((s, d) => Relational.tableProfileApproxCheck(s, d)),
     "q_len_histogram"     -> ((s, d) => TextAnalysis.lenHistogram(s, d)),
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_decontamination_exact" -> ((s, d) => Dedup.decontaminationExact(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_pii_redact"              -> ops.TextAnalysis.piiRedactOracle,
     "q_seq_pack"                -> ops.SeqPack.seqPackOracle(),
     "q_table_profile"           -> ops.Relational.tableProfileOracle,
+    "q_table_profile_approx_check" -> ops.Relational.tableProfileApproxCheckOracle,
     "q_len_histogram"           -> ops.TextAnalysis.lenHistogramOracle,
     "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,

@@ -341,6 +341,38 @@ object Relational {
        |) ORDER BY column_name""".stripMargin
   }
 
+  /** Relative-error bound for the approx-distinct profile check: 3× the
+    * configured HLL++ rsd (0.05), same 3-sigma convention as
+    * [[kyakusuApproxCheck]].
+    */
+  val ProfileApproxRsd = 0.05
+  val ProfileApproxBound = 3 * ProfileApproxRsd
+
+  /** q_table_profile_approx_check: lands the scale path [[tableProfile]]'s
+    * doc promises — per column, `approx_count_distinct` (the 100 TB
+    * profiler: one pass, no distinct shuffle, constant memory) checked
+    * against the exact count within 3× rsd. Same self-check-as-oracle-row
+    * pattern as [[kyakusuApproxCheck]]: the engine emits a boolean the
+    * DuckDB side independently expects to be TRUE, so an HLL regression
+    * (or an unlucky rsd excursion) flips the hash gate.
+    */
+  def tableProfileApproxCheck(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    ProfileCols.map { c =>
+      li.select(col(c)).agg(
+          countDistinct(col(c)).as("exact"),
+          approx_count_distinct(col(c), ProfileApproxRsd).as("approx"))
+        .select(lit(c).as("column_name"),
+          (col("exact") === 0 ||
+           abs(col("approx") - col("exact")) / col("exact").cast("double")
+             <= ProfileApproxBound).as("within_bound"))
+    }.reduce(_ unionAll _).orderBy("column_name")
+  }
+
+  val tableProfileApproxCheckOracle: String =
+    ProfileCols.sorted.map(c =>
+      s"SELECT '$c' AS column_name, TRUE AS within_bound").mkString("\nUNION ALL\n")
+
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val cutoff = lit("1998-01-01").cast("date")
