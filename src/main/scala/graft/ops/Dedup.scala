@@ -502,9 +502,37 @@ object Dedup {
 
   def dedupResolution(spark: SparkSession, dir: String,
                       maxDriverEdges: Long = DriverResolveMaxEdges): DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").cache()
+    // Edges come from the DF-CAPPED pair source: the uncapped inverted-index
+    // self-join is O(Σ df²) over shingle document frequencies, so one
+    // Zipf-head shingle at web scale explodes the pair join. Capping bounds
+    // every bucket at cap² at a bounded recall cost — the flagship
+    // resolution path must ride the scale-safe source.
+    val pairs = jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
+      .select("doc_a", "doc_b").cache()
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val labels = resolveComponents(pairs, maxDriverEdges)(pairs.sparkSession)
+    pairs.unpersist()
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("label").as("n_kept"),
+        sum(when(col("doc_id") === col("label"), 0L).otherwise(1L)).as("n_dropped"),
+        max(col("doc_id") - col("label")).as("max_label_gap"))
+      .orderBy("source")
+  }
+
+  /** Connected-component labels (doc_id, label = min reachable doc_id) for
+    * an edge list `pairs` (doc_a, doc_b). Dispatches on edge count: at or
+    * below `maxDriverEdges`, a driver union-find (the near-dup edge set is
+    * minuscule relative to the corpus); above it, distributed min-label
+    * propagation — one broadcast-join per round, diameter-bounded, with
+    * localCheckpoint lineage truncation. Exposed for direct testing of the
+    * distributed branch on fixture graphs.
+    */
+  def resolveComponents(pairs: DataFrame, maxDriverEdges: Long = DriverResolveMaxEdges)
+                       (implicit spark: SparkSession): DataFrame = {
     val nEdges = pairs.count()
     val labels: DataFrame =
       if (nEdges <= maxDriverEdges) {
@@ -518,11 +546,15 @@ object Dedup {
           while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs.collect().foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        val edgeArr = pairs.collect().map(row => (row.getLong(0), row.getLong(1)))
+        edgeArr.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        // labels for EVERY node in the edge list (roots label to themselves),
+        // matching the distributed branch's output relation exactly
+        val nodes = edgeArr.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        val resolved = nodes.map(k => (k, find(k))).toSeq
         if (resolved.isEmpty) spark.emptyDataset[(Long, Long)].toDF("doc_id", "label")
         else resolved.toDF("doc_id", "label")
       } else {
@@ -552,16 +584,7 @@ object Dedup {
         edges.unpersist()
         l
       }
-    pairs.unpersist()
-    docs.join(labels, Seq("doc_id"), "left")
-      .withColumn("label", coalesce(col("label"), col("doc_id")))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct("label").as("n_kept"),
-        sum(when(col("doc_id") === col("label"), 0L).otherwise(1L)).as("n_dropped"),
-        max(col("doc_id") - col("label")).as("max_label_gap"))
-      .orderBy("source")
+    labels
   }
 
   /** Oracle: same fix-point via a recursive CTE — reachable-min label. */
@@ -585,18 +608,22 @@ object Dedup {
        |FROM documents d JOIN labels l ON d.doc_id = l.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The pair query body shared by [[ngramJaccardOracle]] and the
-    * resolution oracle (DuckDB needs WITH RECURSIVE at the top level, so
-    * the pair SQL is inlined as a subquery there).
+  /** The CAPPED pair query body used by the resolution oracle (DuckDB needs
+    * WITH RECURSIVE at the top level, so the pair SQL is inlined as a
+    * subquery there) — mirrors [[ngramJaccardCappedOracle]]'s stop-shingle
+    * removal so the oracle reconstructs exactly the edge set
+    * [[dedupResolution]] resolves.
     */
   private def ngramJaccardPairsSql: String =
     s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1) WHERE df > $MaxShingleDF),
+       |ex AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
        |p0 AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b
        |FROM p0 p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold""".stripMargin

@@ -56,6 +56,26 @@ class ScaleSpec extends SparkSpec {
     assert(viaDistributed == viaDriver)
   }
 
+  test("distributed min-label propagation resolves a fixture graph (branch provably runs)") {
+    import spark.implicits._
+    implicit val s = spark
+    // chain 1-2-3-4 (diameter forces >1 propagation round), pair 10-11,
+    // triangle 20-21-22, self-contained — nEdges=6 > maxDriverEdges=0, so
+    // the distributed branch MUST execute (no vacuous driver fallback, the
+    // hole the sf0.001 end-to-end comparison can't close if the corpus
+    // yields zero near-dup edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+                    (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val distributed = Dedup.resolveComponents(pairs, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = Dedup.resolveComponents(pairs, maxDriverEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected)
+    assert(driver == expected)
+  }
+
   test("bucketed tables co-locate: bucket join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
