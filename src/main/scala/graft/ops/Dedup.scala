@@ -440,29 +440,98 @@ object Dedup {
     * one deterministic 30-char probe (chars 11-40; shorter docs excluded),
     * and a train document is flagged per probe it contains verbatim.
     *
-    * Scale shape: the probe side is ALWAYS small (one short string per
-    * eval doc), so it broadcasts and the corpus streams through a
-    * BroadcastNestedLoopJoin — per (train row, probe) substring search,
-    * the same envelope as the n-gram pass. For probe sets beyond broadcast
-    * size, the escalation is a compiled multi-pattern matcher
-    * (Aho-Corasick) over mapPartitions; not needed at any eval-set size
-    * this engine targets. Aggregates are coalesced to 0 so the
-    * zero-leakage corpus still yields one exact audit row.
+    * Scale shape: dispatches on probe-set size. Small probe sets broadcast
+    * and the corpus streams through a BroadcastNestedLoopJoin — per
+    * (train row, probe) substring search, the same envelope as the n-gram
+    * pass, and the oracle-exact reconstruction. Past
+    * [[AhoCorasickProbeMin]] probes the per-doc cost of the nested loop
+    * (O(|text| × probes)) is the scale-killer, so the escalation compiles
+    * the probe set into one Aho-Corasick automaton, broadcasts it, and
+    * streams the corpus through a single mapPartitions pass —
+    * O(|text| + matches) per doc regardless of probe count. Both paths
+    * produce identical audits (spec-asserted, duplicate probes included).
+    * Aggregates are coalesced to 0 so the zero-leakage corpus still
+    * yields one exact audit row.
     */
   def decontaminationExact(spark: SparkSession, dir: String): DataFrame = {
+    val (probes, train) = exactProbesAndTrain(spark, dir)
+    // narrow driver count on the tiny eval slice — the dispatch predicate
+    val useAutomaton = probes.count() >= AhoCorasickProbeMin
+    exactAudit(if (useAutomaton) exactHitsAho(probes, train)
+               else exactHitsNested(probes, train))
+  }
+
+  /** Probe-count bound above which [[decontaminationExact]] switches from
+    * the broadcast nested loop to the Aho-Corasick automaton. Fixture eval
+    * slices stay far below it (the nested loop IS the oracle shape); a
+    * real multi-benchmark suite (10⁵–10⁶ probes) lands far above.
+    */
+  val AhoCorasickProbeMin = 2000L
+
+  private[ops] def exactProbesAndTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val probes = docs
       .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 40)
       .select(substring(col("text"), 11, 30).as("probe"))
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("text"))
-    val hits = train.join(broadcast(probes), col("text").contains(col("probe")))
+    (probes, train)
+  }
+
+  /** Broadcast-nested-loop hits: one row per (train doc, probe instance)
+    * containment — duplicate probe strings count once each, matching the
+    * SQL oracle's join semantics.
+    */
+  private[ops] def exactHitsNested(probes: DataFrame, train: DataFrame): DataFrame =
+    train.join(broadcast(probes), col("text").contains(col("probe")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_probe_hits"))
+
+  /** Aho-Corasick hits: distinct probe PATTERNS matched per doc, weighted
+    * by pattern multiplicity so duplicate probe instances count exactly as
+    * the nested loop counts them. The automaton is built once on the
+    * driver (probe sets are small relative to the corpus by definition —
+    * one short string per eval doc) and broadcast; the corpus never
+    * shuffles.
+    */
+  private[ops] def exactHitsAho(probes: DataFrame, train: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val pw = probes.groupBy("probe").agg(count(lit(1)).as("w")).collect()
+    val patterns = pw.map(_.getString(0)).toSeq
+    val weights = pw.map(_.getLong(1))
+    val bcAc = spark.sparkContext.broadcast(graft.util.AhoCorasick(patterns))
+    val bcW = spark.sparkContext.broadcast(weights)
+    train.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bcAc.value
+        val w = bcW.value
+        it.flatMap { case (id, text) =>
+          val bits = ac.matchedIds(text)
+          var s = 0L
+          var i = bits.nextSetBit(0)
+          while (i >= 0) { s += w(i); i = bits.nextSetBit(i + 1) }
+          if (s > 0) Some((id, s)) else None
+        }
+      }
+      .toDF("doc_id", "n_probe_hits")
+  }
+
+  private[ops] def exactAudit(hits: DataFrame): DataFrame =
     hits.groupBy()
       .agg(
         count(lit(1)).as("n_contaminated_docs"),
         coalesce(sum("n_probe_hits"), lit(0L)).as("n_hits_total"),
         coalesce(max("n_probe_hits"), lit(0L)).as("max_hits"))
+
+  /** The two [[decontaminationExact]] paths individually, for the
+    * path-equivalence spec (the dispatcher picks one; the contract is that
+    * they agree on any corpus).
+    */
+  def decontaminationExactNestedPath(spark: SparkSession, dir: String): DataFrame = {
+    val (p, t) = exactProbesAndTrain(spark, dir); exactAudit(exactHitsNested(p, t))
+  }
+  def decontaminationExactAhoPath(spark: SparkSession, dir: String): DataFrame = {
+    val (p, t) = exactProbesAndTrain(spark, dir); exactAudit(exactHitsAho(p, t))
   }
 
   val decontaminationExactOracle: String =

@@ -153,4 +153,49 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     val fp = TextAnalysis.docFingerprintRows(one)
     assert(fp.count() == 1)
   }
+
+  test("Aho-Corasick: overlapping patterns, dictionary suffixes, duplicates, misses") {
+    val pats = Seq("abc", "bcd", "c", "abc", "zz", "")
+    val ac = graft.util.AhoCorasick(pats)
+    def ids(text: String): Set[Int] = {
+      val b = ac.matchedIds(text)
+      Iterator.iterate(b.nextSetBit(0))(i => b.nextSetBit(i + 1))
+        .takeWhile(_ >= 0).toSet
+    }
+    // "abcd": "abc" (both duplicate ids), "bcd", and the suffix "c" — the
+    // fail-link output folding must surface "c" while the scan sits on the
+    // longer-match path
+    assert(ids("abcd") == Set(0, 1, 2, 3))
+    assert(ids("xcx") == Set(2))
+    assert(ids("ab") == Set.empty)
+    assert(ids("zzz") == Set(4))
+    // empty pattern is ignored, never reported
+    assert(ids("") == Set.empty)
+  }
+
+  test("decontaminationExact: automaton path equals the nested-loop path (incl. duplicate probes)") {
+    import spark.implicits._
+    // duplicate probe instances must count individually (the nested loop's
+    // join semantics); the automaton weights distinct patterns by
+    // multiplicity — doc 1 hits the duplicated probe (2), doc 3 hits all
+    // three instances (3), doc 2 hits none
+    val probes = Seq("needle one", "needle one", "other probe").toDF("probe")
+    val train = Seq(
+        (1L, "text with needle one inside"),
+        (2L, "nothing to see"),
+        (3L, "other probe and needle one both"))
+      .toDF("doc_id", "text")
+    def audit(hits: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      Dedup.exactAudit(hits).collect().map(_.toSeq).toSeq
+    val nested = audit(Dedup.exactHitsNested(probes, train))
+    val aho = audit(Dedup.exactHitsAho(probes, train))
+    assert(nested == Seq(Seq(2L, 5L, 3L)))
+    assert(aho == nested)
+    // and on a real corpus dir, the two full paths agree
+    val nestedDir = Dedup.decontaminationExactNestedPath(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ahoDir = Dedup.decontaminationExactAhoPath(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(nestedDir == ahoDir)
+  }
 }
