@@ -43,6 +43,15 @@ object PrefixSum {
     */
   private val Sep = 1.toChar.toString
 
+  /** Ceiling on the driver-side offsets table (buckets × distinct keys
+    * rows). The few-huge-keys regime this scaffold serves sits orders of
+    * magnitude below it (32 buckets × thousands of keys); crossing it
+    * means the caller is in the many-keys regime, where the plain window
+    * form already parallelizes across keys — so the guard auto-falls back
+    * rather than silently collecting an unbounded table.
+    */
+  val MaxDriverOffsetRows = 1L << 20
+
   /** Exclusive per-key prefix sum of `value` in (partCols, orderCols)
     * order, as column `out` — the scalable equivalent of `sum(value)
     * OVER (PARTITION BY partCols ORDER BY orderCols ROWS BETWEEN UNBOUNDED
@@ -57,7 +66,8 @@ object PrefixSum {
   def exclusiveRunningSum(df: DataFrame, value: Column,
                           partCols: Seq[String], orderCols: Seq[String],
                           out: String = "cum",
-                          numParts: Int = 0): DataFrame = {
+                          numParts: Int = 0,
+                          maxDriverOffsetRows: Long = MaxDriverOffsetRows): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
@@ -81,9 +91,23 @@ object PrefixSum {
     val runCol = concat_ws(Sep, col("_b").cast("string"), keyCol)
 
     // narrow pre-job: per-(bucket, key) value sums -> per-run global
-    // starting offsets (exclusive prefix over buckets, per key)
+    // starting offsets (exclusive prefix over buckets, per key). The
+    // limit(cap+1) bounds what can ever reach the driver: the aggregation
+    // still runs in full, but at most cap+1 rows transfer, and crossing
+    // the cap routes to the window form instead of collecting on faith —
+    // the regime documented above is enforced here, not by comment.
+    val capped = maxDriverOffsetRows min (Int.MaxValue - 1).toLong
     val sums = df.select(keyCol.as("_key"), bucketCol.as("_b"), valCol.as("_v"))
-      .groupBy("_b", "_key").agg(sum("_v").as("_s")).collect()
+      .groupBy("_b", "_key").agg(sum("_v").as("_s"))
+      .limit(capped.toInt + 1).collect()
+    if (sums.length > capped) {
+      // many-keys regime: one window reducer PER KEY is full parallelism
+      // here — exactly the layout the offsets scaffold is not for
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      return df.withColumn(out, coalesce(sum(valCol).over(w), lit(0L)))
+    }
     val offsets = new java.util.HashMap[String, java.lang.Long]()
     sums.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
       var acc = 0L

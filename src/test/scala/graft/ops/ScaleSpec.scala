@@ -76,6 +76,31 @@ class ScaleSpec extends SparkSpec {
     assert(driver == expected)
   }
 
+  test("prefix-sum offsets guard: many-keys input auto-falls back to the window form") {
+    import spark.implicits._
+    // 500 distinct keys x 4 rows — the many-keys regime the offsets
+    // scaffold is NOT for; with a tiny cap the guard must route to the
+    // window form and still produce exact per-key exclusive prefix sums
+    val df = (0 until 2000).map(i => (s"k${i % 500}", i.toLong, (i % 7 + 1).toLong))
+      .toDF("k", "ord", "v")
+    def collectSums(maxRows: Long): Map[(String, Long), Long] =
+      graft.plans.PrefixSum.exclusiveRunningSum(
+          df, col("v"), Seq("k"), Seq("ord"), "cum", maxDriverOffsetRows = maxRows)
+        .select("k", "ord", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaFallback = collectSums(maxRows = 1)     // forced window form
+    val viaOffsets = collectSums(maxRows = 1 << 20) // offsets scaffold
+    val expected = (0 until 2000).map { i =>
+      val k = s"k${i % 500}"
+      // rows for key k are i = idx, idx+500, ... in ord order; exclusive sum
+      val prior = (0 until 2000).filter(j => j % 500 == i % 500 && j < i)
+        .map(j => (j % 7 + 1).toLong).sum
+      (k, i.toLong) -> prior
+    }.toMap
+    assert(viaFallback == expected)
+    assert(viaOffsets == expected)
+  }
+
   test("bucketed tables co-locate: bucket join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
