@@ -76,9 +76,12 @@ object Notify {
     val mb = math.round(m.totalBytes / 1048576.0 * 100) / 100.0
     val minutes = math.round(m.totalTimeSeconds / 60.0 * 100) / 100.0
     val slaLine =
-      if (m.slaExceeded)
-        s"<p>SLA: EXCEEDED — ${minutes} min over a ${math.round(m.slaSeconds / 60.0 * 100) / 100.0} min bound</p>"
-      else ""
+      if (m.slaExceeded) {
+        // report the OVERAGE, not the total: a 166.67-min run against a
+        // 150-min bound is 16.67 min over, not 166.67
+        val overMin = math.round((m.totalTimeSeconds - m.slaSeconds) / 60.0 * 100) / 100.0
+        s"<p>SLA: EXCEEDED — $overMin min over a ${math.round(m.slaSeconds / 60.0 * 100) / 100.0} min bound</p>"
+      } else ""
     Map(
       "EmailFrom" -> emailFrom,
       "EmailTo"   -> emailTo,

@@ -75,16 +75,28 @@ object Sinks {
     dst
   }
 
+  /** Aside name for [[replaceDir]]'s swap: DOT-prefixed on the last path
+    * segment (`.name_old`), so that when `dst` is a `date=X` partition
+    * directory, a concurrent reader's partition discovery ignores the
+    * aside during the swap window — a visible `date=X_old` sibling is an
+    * unparseable partition value that can fail the scan or widen the
+    * inferred partition-column type to string (the single-flight lock
+    * serializes writers, not readers).
+    */
+  private[etl] def asidePath(dstP: Path): Path =
+    if (dstP.getParent == null) new Path("." + dstP.getName + "_old")
+    else new Path(dstP.getParent, "." + dstP.getName + "_old")
+
   /** Directory swap that never deletes the only live copy: rename the
-    * current `dst` aside to `<dst>_old`, rename `src` into place, then drop
-    * the old copy. A crash mid-swap leaves the data recoverable under
-    * `<dst>_old` or `src` (a delete-then-rename swap has a window where the
-    * production table simply vanishes).
+    * current `dst` aside to `.<dst>_old` ([[asidePath]]), rename `src` into
+    * place, then drop the old copy. A crash mid-swap leaves the data
+    * recoverable under the aside or `src` (a delete-then-rename swap has a
+    * window where the production table simply vanishes).
     *
-    * Leftover `_old` handling is state-dependent: if `dst` exists, `_old`
+    * Leftover aside handling is state-dependent: if `dst` exists, the aside
     * is stale from a prior completed swap and is cleared; if `dst` is
-    * MISSING, the prior run crashed between rename(dst→old) and
-    * rename(src→dst) — `_old` is the ONLY live copy and is renamed back
+    * MISSING, the prior run crashed between rename(dst→aside) and
+    * rename(src→dst) — the aside is the ONLY live copy and is renamed back
     * into place (recovered) before this swap proceeds. Deleting it
     * unconditionally would silently lose the table in exactly that crash
     * window.
@@ -93,19 +105,19 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcP = new Path(src)
     val dstP = new Path(dst)
-    val oldP = new Path(dst + "_old")
+    val oldP = asidePath(dstP)
     val fs = srcP.getFileSystem(conf)
     if (fs.exists(oldP)) {
       if (fs.exists(dstP)) fs.delete(oldP, true) // prior swap completed: stale
       else require(fs.rename(oldP, dstP),        // crash window: recover
-        s"recover ${dst}_old -> $dst failed")
+        s"recover $oldP -> $dst failed")
     }
     // validate the source BEFORE moving dst aside — otherwise a missing src
     // would strand the live table under `_old` (the very window recovered
     // above)
     require(fs.exists(srcP), s"replaceDir source $src does not exist")
     val hadDst = fs.exists(dstP)
-    if (hadDst) require(fs.rename(dstP, oldP), s"rename $dst -> ${dst}_old failed")
+    if (hadDst) require(fs.rename(dstP, oldP), s"rename $dst -> $oldP failed")
     require(fs.rename(srcP, dstP), s"rename $src -> $dst failed")
     if (hadDst) fs.delete(oldP, true)
   }
@@ -135,10 +147,10 @@ object Sinks {
     * (read -> coalesce to ceil(bytes/targetBytes) files -> staged dir ->
     * atomic [[replaceDir]] swap); compliant partitions are NEVER read or
     * touched, so cost is O(fragmented data) only, and a crash mid-compact
-    * loses nothing: entry first sweeps crash leftovers — a `<part>_old`
-    * whose base partition is missing is the only live copy (crash between
-    * the two swap renames) and is renamed back; a stale `_old` beside a
-    * live partition and any orphaned staged dir are cleared.
+    * loses nothing: entry first sweeps crash leftovers — a `.<part>_old`
+    * aside whose base partition is missing is the only live copy (crash
+    * between the two swap renames) and is renamed back; a stale aside
+    * beside a live partition and any orphaned staged dir are cleared.
     * Returns (partitionsCompacted, filesBefore, filesAfter).
     *
     * Concurrency: run under the table's single-flight lock
@@ -155,11 +167,13 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0L, 0L, 0L)
     val prefix = dateCol + "="
-    // crash-leftover sweep (see scaladoc)
+    // crash-leftover sweep (see scaladoc): asides are dot-prefixed
+    // (`.date=X_old`, see [[asidePath]]) so partition discovery never saw
+    // them mid-swap; the sweep matches that naming
     fs.listStatus(root).iterator.filter(_.isDirectory).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith(prefix) && n.endsWith("_old")) {
-        val base = new Path(root, n.stripSuffix("_old"))
+      if (n.startsWith("." + prefix) && n.endsWith("_old")) {
+        val base = new Path(root, n.stripPrefix(".").stripSuffix("_old"))
         if (!fs.exists(base)) require(fs.rename(s.getPath, base),
           s"recover ${s.getPath} -> $base failed") // only live copy
         else fs.delete(s.getPath, true)            // stale from completed swap

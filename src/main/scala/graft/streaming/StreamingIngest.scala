@@ -147,8 +147,14 @@ object StreamingIngest {
           val pending = scala.collection.mutable.Map.empty[Long, String] ++ s0.pending
           val out = scala.collection.mutable.ArrayBuffer.empty[Record]
           it.foreach { c =>
-            pending(c.seq) = c.data
-            if (c.isLast) lastSeq = c.seq
+            // at-least-once guard: a chunk with seq < nextSeq was already
+            // drained — inserting it would park an undrainable entry in
+            // `pending` forever (state growth), and a stale isLast
+            // redelivery would regress lastSeq below nextSeq mid-drain
+            if (c.seq >= nextSeq) {
+              pending(c.seq) = c.data
+              if (c.isLast) lastSeq = c.seq
+            }
           }
           // drain strictly in seq order; anything past a gap stays pending
           while (pending.contains(nextSeq)) {

@@ -41,8 +41,17 @@ object SingleFlight {
     def holdsOurToken: Boolean =
       try {
         val in = fs.open(p)
+        // read LOOP: a single read() may legally short-read on some Hadoop
+        // FS implementations, and a holder that misreads its own token
+        // would skip release and wedge the lock until the stale bound
         val buf = new Array[Byte](64)
-        val n = in.read(buf); in.close()
+        var n = 0
+        var r = 0
+        while (n < buf.length && r >= 0) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
+        in.close()
         n > 0 && new String(buf, 0, n, "UTF-8").startsWith(token)
       } catch { case _: java.io.IOException => false }
 
@@ -69,9 +78,28 @@ object SingleFlight {
               val aside = new Path(p.getParent,
                 s".${p.getName}.stale.${java.util.UUID.randomUUID()}")
               val won = try fs.rename(p, aside) catch { case _: java.io.IOException => false }
-              if (won) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
-              // winner and losers alike re-race through the atomic create
-              acquire(attempts - 1)
+              if (won) {
+                // TOCTOU re-check: between OUR staleness probe and the
+                // rename, a rival can complete its own takeover and
+                // re-create a FRESH lock at p — the rename-aside only
+                // serializes two stale-deleters, not stale-check vs fresh
+                // re-create. Rename preserves mtime, so inspect the aside
+                // file: if it is not actually stale, we just moved a LIVE
+                // lock — put it back and refuse, instead of deleting a
+                // rival's lease and re-racing into a double-hold.
+                val asideStale =
+                  try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime > staleAfterMs
+                  catch { case _: java.io.IOException => true }
+                if (asideStale) {
+                  try fs.delete(aside, false) catch { case _: java.io.IOException => () }
+                  acquire(attempts - 1)
+                } else {
+                  try fs.rename(aside, p) catch { case _: java.io.IOException => () }
+                  false
+                }
+              } else
+                // lost the rename race — re-race through the atomic create
+                acquire(attempts - 1)
             } else false
         }
 

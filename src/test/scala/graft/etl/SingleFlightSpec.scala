@@ -58,6 +58,10 @@ class SingleFlightSpec extends SparkSpec {
     val pOver = Notify.payload(over, "a@x", "b@x")
     assert(pOver("Subject").contains("[SLA EXCEEDED]"))
     assert(pOver("Body").contains("SLA: EXCEEDED"))
+    // the breach line reports the OVERAGE (1000 s = 16.67 min over the
+    // 150-min bound), not the total run duration
+    assert(pOver("Body").contains("16.67 min over a 150.0 min bound"),
+           pOver("Body"))
     val in = over.copy(totalTimeSeconds = 100)
     val pIn = Notify.payload(in, "a@x", "b@x")
     assert(!pIn("Subject").contains("SLA"))

@@ -98,7 +98,7 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactDatePartitions(spark, out, "business_date", maxFiles = 4)._1 == 0)
   }
 
-  test("compaction entry sweep recovers a partition stranded as _old by a mid-swap crash") {
+  test("compaction entry sweep recovers a partition stranded as a dot-aside by a mid-swap crash") {
     import spark.implicits._
     val out = tmpDir("compactcrash") + "/t"
     (1 to 40).map(v => ("2024-01-01", v)).toDF("business_date", "v")
@@ -106,47 +106,64 @@ class SinksSpec extends SparkSpec {
       .repartition(8).write.partitionBy("business_date").parquet(out)
     // simulate the crash window: partition renamed aside, staged copy orphaned
     val part = new java.io.File(s"$out/business_date=2024-01-01")
-    val old = new java.io.File(s"$out/business_date=2024-01-01_old")
+    val old = new java.io.File(s"$out/.business_date=2024-01-01_old")
     assert(part.renameTo(old))
     new java.io.File(s"$out/.business_date=2024-01-01_compact").mkdirs()
     val (nParts, _, _) = Sinks.compactDatePartitions(spark, out, "business_date", maxFiles = 4)
     assert(nParts == 1, "recovered partition must then compact")
-    assert(!old.exists() && part.exists(), "stranded _old must be renamed back")
+    assert(!old.exists() && part.exists(), "stranded aside must be renamed back")
     assert(!new java.io.File(s"$out/.business_date=2024-01-01_compact").exists())
     assert(spark.read.parquet(out).agg(sum("v")).head.getLong(0) == (1 to 40).sum.toLong)
   }
 
-  test("replaceDir recovers _old after a crash between the two renames — never deletes the only copy") {
+  test("swap-window aside is invisible to a concurrent reader's partition discovery") {
+    import spark.implicits._
+    val out = tmpDir("swapvisible") + "/t"
+    Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("business_date", "v")
+      .withColumn("business_date", to_date(col("business_date")))
+      .write.partitionBy("business_date").parquet(out)
+    // mid-swap state: one partition moved aside under the dot-prefixed name
+    val part = new java.io.File(s"$out/business_date=2024-01-02")
+    assert(part.renameTo(new java.io.File(s"$out/.business_date=2024-01-02_old")))
+    // a plain `business_date=2024-01-02_old` sibling here would either fail
+    // discovery or widen the partition column to string; the dot-aside must
+    // leave the reader a clean date-typed view of the live partitions
+    val seen = spark.read.parquet(out)
+    assert(seen.schema("business_date").dataType.typeName == "date")
+    assert(seen.select("v").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("replaceDir recovers the dot-aside after a crash between the two renames — never deletes the only copy") {
     val work = tmpDir("swapcrash")
     def write(path: String, content: String): Unit = {
       new java.io.File(path).mkdirs()
       Files.writeString(java.nio.file.Paths.get(s"$path/data.txt"), content)
     }
     // simulated crash state: dst renamed aside, new table never moved in
-    write(s"$work/t_old", "the only live copy")
+    write(s"$work/.t_old", "the only live copy")
     // next run fails before staging src: recovery must still restore dst
     intercept[IllegalArgumentException] {
       Sinks.replaceDir(spark, s"$work/staged_missing", s"$work/t")
     }
     assert(Files.readString(java.nio.file.Paths.get(s"$work/t/data.txt"))
       == "the only live copy", "crashed swap must be rolled back, not deleted")
-    assert(!new java.io.File(s"$work/t_old").exists())
+    assert(!new java.io.File(s"$work/.t_old").exists())
     // same crash state but with a staged src: recovery then a full swap
     val work2 = tmpDir("swapcrash2")
-    write(s"$work2/t_old", "old")
+    write(s"$work2/.t_old", "old")
     write(s"$work2/staged", "new")
     Sinks.replaceDir(spark, s"$work2/staged", s"$work2/t")
     assert(Files.readString(java.nio.file.Paths.get(s"$work2/t/data.txt")) == "new")
-    assert(!new java.io.File(s"$work2/t_old").exists())
+    assert(!new java.io.File(s"$work2/.t_old").exists())
     assert(!new java.io.File(s"$work2/staged").exists())
     // stale _old (dst live) is cleared, normal swap semantics intact
     val work3 = tmpDir("swapstale")
     write(s"$work3/t", "live")
-    write(s"$work3/t_old", "stale")
+    write(s"$work3/.t_old", "stale")
     write(s"$work3/staged", "newer")
     Sinks.replaceDir(spark, s"$work3/staged", s"$work3/t")
     assert(Files.readString(java.nio.file.Paths.get(s"$work3/t/data.txt")) == "newer")
-    assert(!new java.io.File(s"$work3/t_old").exists())
+    assert(!new java.io.File(s"$work3/.t_old").exists())
   }
 
   test("K1: JDBC sink roundtrips through embedded Derby with batchsize=150 (main.py:53,213-262)") {

@@ -109,6 +109,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == payload.grouped(520).toSeq)
   }
 
+  test("redelivered already-drained chunks are ignored (at-least-once delivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payload = "A" * 520 + "B" * 520 + "tail"
+    val stream = MemoryStream[Chunk]
+    val q = reassembleChunks(stream.toDS())
+      .writeStream.format("memory").queryName("redeliver")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(Chunk("f", 0, payload.substring(0, 600), isLast = false))
+    q.processAllAvailable()
+    // at-least-once source redelivers the drained seq-0 chunk — without
+    // the seq >= nextSeq guard it parks in `pending` forever (state
+    // growth) and a stale isLast=true on it regresses lastSeq below
+    // nextSeq, truncating the file at the redelivered chunk
+    stream.addData(Chunk("f", 0, payload.substring(0, 600), isLast = true))
+    q.processAllAvailable()
+    stream.addData(Chunk("f", 1, payload.substring(600), isLast = true))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("redeliver").orderBy("idx").select("record")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A" * 520, "B" * 520, "tail"))
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates emits each key once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
