@@ -40,6 +40,66 @@ object Sinks {
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
+  /** C3 exactly-once JDBC delivery: the staged idempotent MERGE the plain
+    * append (at-least-once under task/run replay) cannot give.
+    *
+    * Protocol: (1) overwrite a staging table `<table>_stage` with the batch
+    * through the stock distributed JDBC writer; (2) one driver-side
+    * key-matched `MERGE` statement promotes staging into the final table —
+    * a single SQL statement, so the database applies it atomically; (3)
+    * drop staging. Replaying the whole batch after ANY crash point is safe:
+    * before the MERGE the final table is untouched; after it, the re-run's
+    * MERGE matches every key and updates rows to the values they already
+    * hold. Requires `keyCols` to be unique within the batch (standard MERGE
+    * rejects two source rows hitting one target row).
+    *
+    * Scale: the data path is the parallel JDBC writer (batchsize
+    * [[JdbcBatchSize]]); the driver only issues DDL/MERGE strings, never
+    * rows. Run under the table's single-flight lock like the daily ingest —
+    * the deterministic staging name assumes one writer per table.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+                 props: java.util.Properties = new java.util.Properties()): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"keyCols ${keyCols.mkString(",")} must be columns of the batch")
+    val staging = table + "_stage"
+    val stageProps = new java.util.Properties()
+    stageProps.putAll(props)
+    stageProps.setProperty("batchsize", JdbcBatchSize.toString)
+    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, stageProps)
+
+    // the Spark JDBC writer creates staging columns as QUOTED identifiers
+    // (case-sensitive); the MERGE must quote to match
+    def q(c: String) = "\"" + c + "\""
+    val cols = df.columns.toSeq
+    val nonKey = cols.filterNot(keyCols.contains)
+    val onClause = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val matched =
+      if (nonKey.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " +
+           nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+    val merge =
+      s"MERGE INTO $table t USING $staging s ON $onClause " + matched +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var exists = false
+      while (!exists && meta.next())
+        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+      val st = conn.createStatement()
+      try {
+        if (!exists) st.executeUpdate(
+          s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+        st.executeUpdate(merge)
+        st.executeUpdate(s"DROP TABLE $staging")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Date-partitioned parquet sink — the offline K1 stand-in and the layout
     * that makes K5 a partition drop. Repartitions by the partition column
     * first so each task writes one partition directory (no small-file

@@ -111,21 +111,45 @@ object Similarity {
 
   // --- IVF ANN ---------------------------------------------------------------
 
-  /** q_knn_ivf: IVF approximate top-k. Cells = nearest centroid per vector;
-    * queries probe their [[NProbe]] nearest cells and re-rank exactly within.
+  /** Quantization scale for the Lloyd centroid accumulator: components
+    * become `floor(x · 2^20)` longs before summing. The multiply and floor
+    * are exact IEEE ops computed identically by Spark and DuckDB, and long
+    * addition is associative — so the refined centroids are bit-identical
+    * across engines AND across any Spark partial-aggregation order.
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
-    val cents = vecs.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+  val QuantScale = 1048576.0 // 2^20
 
-    // assignment: argmax cosine over centroids (ties -> min cent_id) as a
-    // max_by AGGREGATION, not a row_number window: the aggregation partial-
-    // combines map-side, so only one candidate per vec_id leaves each map
-    // task — a window cannot partial-aggregate and would shuffle all N×C
-    // scored rows. Tie-break matches (csim DESC, cent_id ASC) via the
-    // lexicographic struct ordering on (csim, -cent_id).
-    val assigned = vecs.crossJoin(broadcast(cents))
+  /** Element-wise exact long sum of equal-length arrays — the Lloyd
+    * centroid accumulator. Partial buffers combine map-side, so only
+    * cells×dim longs cross the shuffle (never N×dim exploded rows).
+    */
+  object VecLongSum extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Nearest-centroid assignment: argmax cosine over centroids (ties ->
+    * min cent_id) as a max_by AGGREGATION, not a row_number window: the
+    * aggregation partial-combines map-side, so only one candidate per
+    * vec_id leaves each map task — a window cannot partial-aggregate and
+    * would shuffle all N×C scored rows. Tie-break matches (csim DESC,
+    * cent_id ASC) via the lexicographic struct ordering on (csim,
+    * -cent_id). `vecs` = (vec_id, v, nv); `cents` = (cent_id, cv, nc).
+    */
+  def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nv"), col("cent_id"),
               pairSim(col("v"), col("cv"), col("nv"), col("nc")).as("csim"))
       .groupBy("vec_id")
@@ -133,6 +157,45 @@ object Similarity {
                   struct(col("csim"), -col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.v").as("v"), col("best.nv").as("nv"),
               col("best.cent_id").as("cell"))
+
+  /** One aggregation-only Lloyd refinement step: assign every vector to
+    * its nearest seed centroid, then replace each cell's centroid with the
+    * cell's member SUM. Cosine is scale-invariant, so the sum IS the mean
+    * direction — no division, and with components quantized to
+    * `floor(x · [[QuantScale]])` the whole step is exact integer
+    * arithmetic: deterministic under any partitioning and bit-identical
+    * to the SQL oracle. This is the defense against hot cells under
+    * clustered data: strided-row seeds that land inside one cluster get
+    * pulled toward the actual member mass, splitting the hot cell (see
+    * ExtensionsSpec "lloyd refinement rebalances"). Empty and zero-sum
+    * cells drop out (standard Lloyd). Cells keep their seed's cent_id.
+    */
+  def refinedCentroids(vecs: DataFrame, seeds: DataFrame): DataFrame = {
+    val sumAgg = udaf(VecLongSum)
+    assignCells(vecs, seeds)
+      .select(col("cell"),
+              transform(col("v"), x => floor(x * lit(QuantScale))).as("q"))
+      .groupBy("cell")
+      .agg(sumAgg(col("q")).as("cs"))
+      .select(col("cell").as("cent_id"),
+              transform(col("cs"), x => x.cast("double")).as("cv"))
+      .withColumn("nc", norm(col("cv")))
+      .filter(col("nc") > 0)
+  }
+
+  /** q_knn_ivf: IVF approximate top-k. Seed centroids are the strided rows
+    * (vec_id % [[CentroidStride]] == 0), refined by one [[refinedCentroids]]
+    * Lloyd step; cells = nearest refined centroid per vector; queries probe
+    * their [[NProbe]] nearest cells and re-rank exactly within. The refined
+    * centroid table appears twice in the plan (assignment + probes) as the
+    * same broadcast subplan, so ReuseExchange materializes it once.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    val cents = refinedCentroids(vecs, seeds)
+    val assigned = assignCells(vecs, cents)
 
     // probe: top-NProbe cells per query
     val queries = vecs.filter(col("vec_id") % QueryStride === 0)
@@ -158,7 +221,24 @@ object Similarity {
 
   val knnIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentroidStride = 0),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentroidStride = 0),
+       |seed AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c0.cent_id,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.v", "c0.cv")} DESC, c0.cent_id) AS srn
+       |    FROM e CROSS JOIN c0) WHERE srn = 1),
+       |flat AS (
+       |  SELECT cell, unnest(range(1, len(v) + 1)) AS idx,
+       |         CAST(floor(unnest(v) * $QuantScale) AS BIGINT) AS qc
+       |  FROM seed),
+       |csum AS (SELECT cell, idx, CAST(SUM(qc) AS BIGINT) AS sq
+       |         FROM flat GROUP BY cell, idx),
+       |c AS (
+       |  SELECT cent_id, cv FROM (
+       |    SELECT cell AS cent_id, list(CAST(sq AS DOUBLE) ORDER BY idx) AS cv
+       |    FROM csum GROUP BY cell)
+       |  WHERE list_dot_product(cv, cv) > 0),
        |assigned AS (
        |  SELECT vec_id, v, cent_id AS cell FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,

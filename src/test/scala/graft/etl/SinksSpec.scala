@@ -181,6 +181,32 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "raw_files_data_daily", props).count() == 410)
   }
 
+  test("C3: jdbcUpsert replays the same batch with no duplicate rows (staged MERGE, exactly-once)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_c3;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val batch = (1 to 300).map(i => (i.toLong, s"sku_$i", i * 10L)).toDF("id", "sku", "qty")
+    Sinks.jdbcUpsert(batch, url, "t_day_sku_upsert", Seq("id"), props)
+    val once = spark.read.jdbc(url, "t_day_sku_upsert", props)
+    assert(once.count() == 300)
+    // full-batch replay (the crash-recovery path): zero new rows, values intact
+    Sinks.jdbcUpsert(batch, url, "t_day_sku_upsert", Seq("id"), props)
+    val twice = spark.read.jdbc(url, "t_day_sku_upsert", props)
+    assert(twice.count() == 300, "replayed batch must not duplicate rows")
+    assert(twice.agg(sum("qty")).head.getLong(0) == (1 to 300).map(_ * 10L).sum)
+    // corrected re-run: matched keys update, new keys insert
+    val amended = Seq((1L, "sku_1", 999L), (301L, "sku_301", 3010L)).toDF("id", "sku", "qty")
+    Sinks.jdbcUpsert(amended, url, "t_day_sku_upsert", Seq("id"), props)
+    val after = spark.read.jdbc(url, "t_day_sku_upsert", props)
+    assert(after.count() == 301)
+    assert(after.filter(col("id") === 1L).head.getLong(2) == 999L)
+    // staging table is dropped after promotion
+    val names = spark.read.jdbc(url, "SYS.SYSTABLES", props)
+      .select("TABLENAME").as[String].collect().map(_.toLowerCase)
+    assert(!names.contains("t_day_sku_upsert_stage"), "staging table must be dropped")
+  }
+
   test("observed metrics count rows and payload bytes in one pass (T6/T7)") {
     import spark.implicits._
     val df = Seq("ab", "cde", "").toDF("payload")

@@ -88,6 +88,35 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(perQuery.forall(_ <= Similarity.TopK))
   }
 
+  test("lloyd refinement rebalances hot cells under clustered data, deterministically") {
+    import spark.implicits._
+    // Two direction clusters; BOTH seeds sit inside cluster X, so the seed
+    // assignment lumps all of cluster Y plus half of X into one hot cell.
+    val xs = (100 to 149).map(i => (i.toLong, Array(1.0, (i - 125) / 100.0, 0.0, 0.0)))
+    val ys = (200 to 249).map(i => (i.toLong, Array(0.1, 1.0, (i % 5) * 0.01, 0.0)))
+    val vecs = (xs ++ ys).toDF("vec_id", "v")
+      .withColumn("nv", Similarity.norm(col("v")))
+    val seeds = Seq((1L, Array(1.0, 0.1, 0.0, 0.0)), (2L, Array(1.0, -0.1, 0.0, 0.0)))
+      .toDF("cent_id", "cv").withColumn("nc", Similarity.norm(col("cv")))
+    def cellSizes(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.assignCells(vecs, cents)
+        .groupBy("cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = cellSizes(seeds)
+    assert(before.values.max >= 75, s"fixture must start skewed, got $before")
+    // one Lloyd step pulls the hot seed toward cluster Y's mass: Y and X
+    // separate into their own cells
+    val refined = Similarity.refinedCentroids(vecs, seeds)
+    val after = cellSizes(refined)
+    assert(after.values.max <= 55, s"hot cell must split after refinement, got $after")
+    assert(after.values.sum == 100L)
+    // exact integer accumulation: bit-identical centroids under any partitioning
+    def centSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cent_id", "cv").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSet
+    assert(centSet(refined) == centSet(Similarity.refinedCentroids(vecs.repartition(7), seeds)))
+  }
+
   test("brute-force knn: self excluded, exactly k per query, sim within [-1,1]") {
     val rows = Similarity.knnBruteForce(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
