@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.MediaCodec
 
 /** Multimodal-column plumbing (SURVEY.md §2.8): media as opaque `binary`
   * content columns with a typed metadata struct, plus the batch
@@ -13,10 +14,13 @@ import graft.Tables
   * The Spark-side plumbing is real: schema, typed Dataset encoders,
   * `mapPartitions` batch processing (one decoder instance per partition,
   * streamed iterator — the Scala analogue of a batched pandas UDF), and the
-  * aggregation plan. The codec itself is a DETERMINISTIC FAKE (this
-  * container has no image/audio libraries): [[FakeCodec.decode]] interprets
-  * the payload bytes as 8-bit grayscale pixels. Swapping in a real codec
-  * (javacv / TwelveMonkeys) changes only that one function.
+  * aggregation plan. The codec is REAL byte-level parsing
+  * ([[graft.util.MediaCodec]], built on the public format specs with
+  * `java.util.zip` only): `png`-format rows carry an actual
+  * standard-compliant PNG (zlib IDAT, IHDR, CRCs) that is chunk-walked,
+  * inflated, and de-filtered back to pixels; other formats carry their raw
+  * payload, decoded as an opaque 8-bit stream, with real header parsing
+  * exercised by [[mediaHeaders]] across PNG/JPEG/GIF/BMP/WAV.
   *
   * Scale notes: content stays opaque bytes end-to-end (no driver collect);
   * per-partition decoder reuse amortizes setup; feature extraction is
@@ -31,48 +35,53 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, kind: String, format: String,
-      n_bytes: Long, sum_vals: Long, n_frames: Int,
+      n_bytes: Long, n_px: Int, sum_vals: Long, n_frames: Int,
       mean_val: Double, entropy: Double, thumb: Array[Double])
 
   val FrameBytes  = 256 // one "frame" per 256-byte block
   val FrameStride = 2   // sample every 2nd frame
   val ThumbBins   = 8   // "resize": average-pool payload into 8 buckets
+  val PngWidth    = 16  // raster width for PNG-encoded payloads
 
-  /** The deterministic fake codec — the ONLY stub. A real deployment
-    * replaces `decode` with an actual image/audio decoder; everything
-    * downstream (batching, schema, aggregation) is unchanged.
+  /** Real PNG encode of a payload: zero-padded to fill the last
+    * [[PngWidth]]-wide scanline (PNG rasters are rectangular), then written
+    * as a standard 8-bit grayscale PNG. Runs as a scalar udf — binary
+    * codec work is genuinely imperative, outside Catalyst's vocabulary.
     */
-  object FakeCodec {
-    /** DETERMINISTIC FAKE decode: payload bytes as 8-bit grayscale pixels. */
-    def decode(content: Array[Byte]): Array[Int] = {
-      val px = new Array[Int](content.length)
-      var i = 0
-      while (i < content.length) { px(i) = content(i) & 0xff; i += 1 }
-      px
-    }
+  private val encodePngUdf = udf { (payload: Array[Byte]) =>
+    val padded = java.util.Arrays.copyOf(
+      payload, math.max(PngWidth, (payload.length + PngWidth - 1) / PngWidth * PngWidth))
+    MediaCodec.encodePng(padded, PngWidth)
   }
 
-  /** Build the media table from the `documents` fixture: content = UTF-8
-    * bytes of the text (an opaque payload as far as the pipeline cares),
-    * kind/format assigned deterministically from doc_id, dimensions derived
-    * from payload size.
+  /** Build the media table from the `documents` fixture: kind/format
+    * assigned deterministically from doc_id; content = a REAL PNG encoding
+    * of the text bytes for `png`-format rows (meta dims = the actual
+    * raster dims), raw UTF-8 payload bytes otherwise.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8").cast("binary")
+    val fmt = element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
+                         (col("doc_id") % 4 + 1).cast("int"))
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
                  (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").cast("binary").as("content"),
+      when(fmt === "png", encodePngUdf(payload)).otherwise(payload).as("content"),
       struct(
-        element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
-                   (col("doc_id") % 4 + 1).cast("int")).as("format"),
-        lit(16).as("width"),
-        ceil(octet_length(col("text")) / 16.0).cast("int").as("height"),
+        fmt.as("format"),
+        lit(PngWidth).as("width"),
+        greatest(lit(1), ceil(octet_length(col("text")) / PngWidth.toDouble)).cast("int")
+          .as("height"),
         octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+  }
 
   /** Batched decode + feature extraction: one codec per partition, streamed.
-    * Features: exact byte-sum, frame count under the sampling rule, mean
-    * pixel, byte-histogram entropy, and an average-pooled thumbnail.
+    * PNG content is REALLY decoded (inflate + de-filter, with the parsed
+    * IHDR dims cross-checked against the typed metadata); other content is
+    * an opaque 8-bit stream. Features: exact byte-sum, frame count under
+    * the sampling rule, mean pixel, byte-histogram entropy, and an
+    * average-pooled thumbnail.
     */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
@@ -80,7 +89,18 @@ object Multimodal {
       // per-partition scratch (decoder state amortized across the batch)
       val hist = new Array[Long](256)
       it.map { m =>
-        val px = FakeCodec.decode(m.content)
+        val px: Array[Int] =
+          if (MediaCodec.isPng(m.content)) {
+            val (w, h, p) = MediaCodec.decodePngGray8(m.content)
+            require(w == m.meta.width && h == m.meta.height,
+              s"media ${m.media_id}: parsed PNG dims ${w}x$h != meta ${m.meta.width}x${m.meta.height}")
+            p
+          } else {
+            val p = new Array[Int](m.content.length)
+            var i = 0
+            while (i < m.content.length) { p(i) = m.content(i) & 0xff; i += 1 }
+            p
+          }
         java.util.Arrays.fill(hist, 0L)
         var sum = 0L
         var i = 0
@@ -104,7 +124,7 @@ object Multimodal {
         }
         val nFrames = (((px.length + FrameBytes - 1) / FrameBytes) + FrameStride - 1) / FrameStride
         MediaFeatures(m.media_id, m.kind, m.meta.format,
-          m.meta.n_bytes, sum, nFrames,
+          m.meta.n_bytes, px.length, sum, nFrames,
           if (px.isEmpty) 0.0 else sum / n, ent, thumb)
       }
     }
@@ -131,7 +151,9 @@ object Multimodal {
   }
 
   /** Oracle: the fixture text is pure ASCII (verified ≤ 0x79), so UTF-8 byte
-    * values equal `unicode(char)` and byte length equals char length.
+    * values equal `unicode(char)` and byte length equals char length. For
+    * `png` rows the decoded pixel count is the zero-PADDED raster size
+    * (rectangular scanlines); the pad contributes nothing to sum_vals.
     */
   val mediaFeaturesOracle: String =
     s"""WITH m AS (
@@ -139,12 +161,64 @@ object Multimodal {
        |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
        |         ['png','jpeg','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
        |         length(text)::BIGINT AS n_bytes,
+       |         CASE WHEN doc_id % 4 = 0
+       |              THEN greatest($PngWidth, (length(text) + $PngWidth - 1) // $PngWidth * $PngWidth)
+       |              ELSE length(text) END::BIGINT AS px_len,
        |         list_sum(list_transform(split(text, ''), c -> unicode(c)))::BIGINT AS sum_vals
        |  FROM documents)
        |SELECT kind, format, COUNT(*) AS n_items,
        |       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
        |       CAST(SUM(sum_vals) AS BIGINT) AS sum_vals,
-       |       CAST(SUM(((n_bytes + $FrameBytes - 1) // $FrameBytes + $FrameStride - 1) // $FrameStride) AS BIGINT) AS sum_frames,
+       |       CAST(SUM(((px_len + $FrameBytes - 1) // $FrameBytes + $FrameStride - 1) // $FrameStride) AS BIGINT) AS sum_frames,
        |       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- header parsing across formats -----------------------------------------
+
+  /** q_media_headers: synthesize per-doc container bytes in five real
+    * formats (a full PNG encode of the text payload; JPEG/GIF/BMP/WAV
+    * header layouts carrying doc-derived dimensions), then sniff + parse
+    * them back with [[MediaCodec.parseHeader]]. The oracle predicts every
+    * parsed value from the same doc_id arithmetic WITHOUT touching bytes —
+    * so a parse that misreads endianness, offsets, or marker walks fails
+    * the hash compare. WAV reports (sample_rate, channels) as its dims.
+    */
+  def mediaHeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (id % 300 + 1).toInt
+          val h = (id % 200 + 1).toInt
+          val bytes = (id % 5).toInt match {
+            case 0 =>
+              val payload = text.getBytes("UTF-8")
+              val padded = java.util.Arrays.copyOf(
+                payload, math.max(w, (payload.length + w - 1) / w * w))
+              MediaCodec.encodePng(padded, w)
+            case 1 => MediaCodec.jpegHeaderBytes(w, h)
+            case 2 => MediaCodec.gifHeaderBytes(w, h)
+            case 3 => MediaCodec.bmpHeaderBytes(w, h)
+            case _ => MediaCodec.wavHeaderBytes(w * 100, (id % 2 + 1).toInt)
+          }
+          val hd = MediaCodec.parseHeader(bytes)
+          (id, hd.format, hd.width, hd.height)
+        }
+      }
+      .toDF("media_id", "format", "width", "height")
+      .orderBy("media_id")
+  }
+
+  val mediaHeadersOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+       |                       WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+       |       CAST(CASE WHEN doc_id % 5 = 4 THEN (doc_id % 300 + 1) * 100
+       |                 ELSE doc_id % 300 + 1 END AS INT) AS width,
+       |       CAST(CASE doc_id % 5
+       |            WHEN 0 THEN greatest(1, (length(text) + (doc_id % 300 + 1) - 1) // (doc_id % 300 + 1))
+       |            WHEN 4 THEN doc_id % 2 + 1
+       |            ELSE doc_id % 200 + 1 END AS INT) AS height
+       |FROM documents ORDER BY media_id""".stripMargin
 }

@@ -133,15 +133,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("multimodal feature extraction: deterministic fake decode round-trips byte stats") {
+  test("multimodal feature extraction: REAL png decode round-trips byte stats") {
     import spark.implicits._
     val items = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaItem]
     val feats = Multimodal.extractFeatures(items).collect()
     assert(feats.nonEmpty)
+    assert(feats.exists(_.format == "png"), "fixture must include png-format rows")
     feats.foreach { f =>
       assert(f.n_bytes > 0)
-      // mean is sum/n by construction of the fake codec
-      assert(math.abs(f.mean_val - f.sum_vals.toDouble / f.n_bytes) < 1e-9)
+      if (f.format == "png") {
+        // content was genuinely PNG-encoded (zlib + filters) and genuinely
+        // decoded back: pixel count is the zero-padded raster, and the pad
+        // contributes nothing to the byte sum
+        val padded = math.max(Multimodal.PngWidth,
+          (f.n_bytes + Multimodal.PngWidth - 1) / Multimodal.PngWidth * Multimodal.PngWidth)
+        assert(f.n_px == padded, s"media ${f.media_id}: n_px ${f.n_px} != padded raster $padded")
+      } else assert(f.n_px == f.n_bytes)
+      assert(math.abs(f.mean_val - f.sum_vals.toDouble / f.n_px) < 1e-9)
       // ASCII text payload: entropy of a byte histogram is within [0, 8]
       assert(f.entropy >= 0 && f.entropy <= 8)
       assert(f.thumb.length == Multimodal.ThumbBins)

@@ -1,0 +1,149 @@
+package graft.util
+
+import java.util.zip.Deflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level coverage of the real media codecs: PNG encode/decode
+  * round-trip, reverse filtering for ALL five PNG filter types on
+  * hand-filtered scanlines, and header parsing for every supported
+  * container — no Spark session needed.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def pixels(w: Int, h: Int): Array[Byte] = {
+    // deterministic non-trivial pattern exercising the full byte range
+    val p = new Array[Byte](w * h)
+    var i = 0
+    while (i < p.length) { p(i) = ((i * 37 + (i * i) % 251) % 256).toByte; i += 1 }
+    p
+  }
+
+  test("PNG: encode -> decode round-trips pixels exactly; header carries the dims") {
+    for ((w, h) <- Seq((1, 1), (16, 5), (7, 13), (64, 64))) {
+      val px = pixels(w, h)
+      val png = MediaCodec.encodePng(px, w)
+      val hd = MediaCodec.parseHeader(png)
+      assert(hd == MediaCodec.MediaHeader("png", w, h))
+      val (dw, dh, out) = MediaCodec.decodePngGray8(png)
+      assert(dw == w && dh == h)
+      assert(out.toSeq == px.map(_ & 0xff).toSeq, s"round-trip mismatch at ${w}x$h")
+    }
+  }
+
+  /** Build a PNG whose every scanline uses `filter`, applying the forward
+    * filter here in the test (an independent reimplementation of PNG spec
+    * §6) — decode must invert it back to the plain pixels.
+    */
+  private def pngWithFilter(px: Array[Byte], w: Int, filter: Int): Array[Byte] = {
+    val h = px.length / w
+    val raw = new Array[Byte](h * (w + 1))
+    for (r <- 0 until h) {
+      raw(r * (w + 1)) = filter.toByte
+      for (c <- 0 until w) {
+        val cur = px(r * w + c) & 0xff
+        val left = if (c > 0) px(r * w + c - 1) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * w + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(r * (w + 1) + 1 + c) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    // wrap: signature + IHDR + one IDAT + IEND (reusing the encoder's
+    // chunk writer indirectly by splicing into an encoded skeleton would
+    // hide bugs; build the chunks explicitly)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      val c = crc.getValue
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte; ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte; ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8
+    chunk("IHDR", ihdr)
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](4096)
+    while (!d.finished()) z.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG: decoder inverts all five scanline filters (None/Sub/Up/Average/Paeth)") {
+    val w = 9; val h = 7
+    val px = pixels(w, h)
+    for (filter <- 0 to 4) {
+      val (dw, dh, out) = MediaCodec.decodePngGray8(pngWithFilter(px, w, filter))
+      assert(dw == w && dh == h)
+      assert(out.toSeq == px.map(_ & 0xff).toSeq, s"filter $filter mis-inverted")
+    }
+  }
+
+  test("PNG: unsupported variants and truncation raise with clear messages") {
+    val png = MediaCodec.encodePng(pixels(4, 4), 4)
+    // flip color type to RGB (IHDR data offset 16+9 = byte 25)
+    val rgb = png.clone(); rgb(25) = 2
+    val e = intercept[IllegalArgumentException](MediaCodec.decodePngGray8(rgb))
+    assert(e.getMessage.contains("unsupported PNG variant"))
+    // cut into the IDAT payload itself (trailing-CRC/IEND loss is tolerated
+    // by design — the pixel data is still complete there)
+    val truncated = java.util.Arrays.copyOf(png, png.length / 2)
+    intercept[Exception](MediaCodec.decodePngGray8(truncated))
+  }
+
+  test("JPEG: SOF dims parsed through a marker walk, even past other segments") {
+    assert(MediaCodec.parseHeader(MediaCodec.jpegHeaderBytes(640, 480)) ==
+      MediaCodec.MediaHeader("jpeg", 640, 480))
+    // SOI + COM segment + DQT-like segment + SOF0: the walk must skip both
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+    out.write(Array[Byte](0xff.toByte, 0xfe.toByte, 0, 7, 'h', 'e', 'l', 'l', 'o'))
+    out.write(Array[Byte](0xff.toByte, 0xdb.toByte, 0, 4, 1, 2))
+    out.write(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8, 1, 0x2c, 0, 0xc8.toByte, 1, 1, 0x11, 0))
+    assert(MediaCodec.parseHeader(out.toByteArray) == MediaCodec.MediaHeader("jpeg", 200, 300))
+    // DHT (C4) must NOT be taken for a frame header
+    val noSof = new java.io.ByteArrayOutputStream()
+    noSof.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+    noSof.write(Array[Byte](0xff.toByte, 0xc4.toByte, 0, 4, 0, 0))
+    noSof.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+    intercept[IllegalArgumentException](MediaCodec.parseHeader(noSof.toByteArray))
+  }
+
+  test("GIF/BMP little-endian dims and WAV fmt-chunk walk") {
+    assert(MediaCodec.parseHeader(MediaCodec.gifHeaderBytes(300, 200)) ==
+      MediaCodec.MediaHeader("gif", 300, 200))
+    assert(MediaCodec.parseHeader(MediaCodec.bmpHeaderBytes(1024, 768)) ==
+      MediaCodec.MediaHeader("bmp", 1024, 768))
+    assert(MediaCodec.parseHeader(MediaCodec.wavHeaderBytes(44100, 2)) ==
+      MediaCodec.MediaHeader("wav", 44100, 2))
+    // fmt preceded by another RIFF chunk (odd size -> word-aligned skip)
+    val wav = MediaCodec.wavHeaderBytes(8000, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(wav, 0, 12)
+    out.write(Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0))
+    out.write(wav, 12, wav.length - 12)
+    assert(MediaCodec.parseHeader(out.toByteArray) == MediaCodec.MediaHeader("wav", 8000, 1))
+  }
+
+  test("unknown container falls back to raw passthrough dims") {
+    assert(MediaCodec.parseHeader("plain text payload".getBytes("UTF-8")) ==
+      MediaCodec.MediaHeader("raw", 18, 1))
+  }
+}
