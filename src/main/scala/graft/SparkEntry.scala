@@ -77,6 +77,11 @@ object SparkEntry {
     "q_cohort_retention"  -> ((s, d) => Temporal.cohortRetention(s, d)),
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q_knn_recall"        -> ((s, d) => Similarity.knnRecall(s, d)),
+    "q_asof_join"         -> ((s, d) => Temporal.asofJoin(s, d)),
+    "q_range_join"        -> ((s, d) => Temporal.rangeJoin(s, d)),
+    "q_bloom_semijoin"    -> ((s, d) => Relational.bloomSemiJoin(s, d)),
+    "q_quantile_profile_check" -> ((s, d) => Relational.quantileProfileCheck(s, d)),
+    "q_lang_quota"        -> ((s, d) => Dedup.langQuota(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +183,11 @@ object SparkEntry {
     "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
     "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
     "q_cohort_retention"        -> ops.Temporal.cohortRetentionOracle,
+    "q_asof_join"               -> ops.Temporal.asofJoinOracle,
+    "q_range_join"              -> ops.Temporal.rangeJoinOracle,
+    "q_bloom_semijoin"          -> ops.Relational.bloomSemiJoinOracle,
+    "q_quantile_profile_check"  -> ops.Relational.quantileProfileCheckOracle,
+    "q_lang_quota"              -> ops.Dedup.langQuotaOracle,
     "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
   )

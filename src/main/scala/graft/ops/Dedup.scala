@@ -402,6 +402,75 @@ object Dedup {
       |       CAST(SUM(CASE WHEN bucket < keep_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-language quota for [[langQuota]]. */
+  val LangQuotaK = 100
+
+  /** q_lang_quota: language-balanced corpus capping — keep at most K
+    * documents per language, selected by a deterministic content-hash rank
+    * (md5 32-bit prefix, doc_id tie-break), so the SAME documents survive
+    * under any partitioning or cluster size. This is the "cap the head
+    * languages" pass of a multilingual training-data pipeline.
+    *
+    * Scale shape: per-group top-K by rank is a per-group sort if done
+    * naively — and language groups are huge and few at 100 TB (billions of
+    * docs across ~100 langs), the worst window-function skew case. So the
+    * rank runs on a pruned superset: per-lang counts (one narrow
+    * aggregation) pick a hash threshold T with count(rk < T) expected
+    * ≈ 4K, survivors are filtered BEFORE the window, and the per-group
+    * sort touches ~4K rows per language instead of the full corpus. The
+    * prune is provably lossless when count(rk < T) ≥ min(K, n) — the K
+    * smallest ranks are all below T — and the code verifies that bound
+    * per language, widening to the unpruned input iff some language's
+    * hash distribution defeats the slack (never at uniform-hash scale).
+    */
+  def langQuota(spark: SparkSession, dir: String, k: Int = LangQuotaK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HashSpace = 1L << 32
+    val docs = Tables.documents(spark, dir)
+      .withColumn("rk", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold per lang: expected survivors = 4K (slack 4× over the K needed)
+    val threshold = counts.map { case (lang, n) =>
+      lang -> math.min(HashSpace, math.ceil(HashSpace.toDouble * 4.0 * k / math.max(n, 1L)).toLong)
+    }
+    val thresholdCol = counts.keys.foldLeft(lit(HashSpace)) { (acc, lang) =>
+      when(col("lang") === lang, lit(threshold(lang))).otherwise(acc)
+    }
+    val pruned = docs.filter(col("rk") < thresholdCol)
+    val survivorCounts = pruned.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lossless = counts.forall { case (lang, n) =>
+      survivorCounts.getOrElse(lang, 0L) >= math.min(k.toLong, n)
+    }
+    val ranked = (if (lossless) pruned else docs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))))
+    val kept = ranked.filter(col("rn") <= k)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("doc_id").as("kept_docid_sum"),
+           sum("n_chars").as("kept_chars"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              col("kept_docid_sum"), col("kept_chars"))
+      .orderBy("lang")
+  }
+
+  val langQuotaOracle: String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_total,
+       |       CAST(SUM(CASE WHEN rn <= $LangQuotaK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN rn <= $LangQuotaK THEN doc_id END) AS BIGINT) AS kept_docid_sum,
+       |       CAST(SUM(CASE WHEN rn <= $LangQuotaK THEN n_chars END) AS BIGINT) AS kept_chars
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_decontamination: eval-set leakage detection — flag "train" documents
     * sharing any word [[ShingleN]]-gram with the held-out eval slice
     * (doc_id % 50 == 0), the standard n-gram decontamination pass. The

@@ -373,6 +373,90 @@ object Relational {
     ProfileCols.sorted.map(c =>
       s"SELECT '$c' AS column_name, TRUE AS within_bound").mkString("\nUNION ALL\n")
 
+  /** q_bloom_semijoin: runtime-filtered semi-join — revenue of lineitems
+    * whose order is URGENT, with the fact side pre-filtered by a Bloom
+    * filter built from the key side before the exact semi-join.
+    *
+    * The 100 TB shape this lands: when the key set is too large to
+    * broadcast as a hash relation but its BITS are not (a Bloom filter is
+    * ~10 bits/key at 1% fpp — 100M keys ≈ 120 MB), shipping the filter to
+    * the scan prunes the fact table BEFORE the shuffle, so the exchange
+    * carries ~selectivity×N rows instead of N. False positives are removed
+    * by the exact semi-join that follows, so the result is exact — the
+    * Bloom pass only moves work off the wire. This is Spark's own
+    * row-level runtime filtering (InjectRuntimeFilter) made explicit and
+    * deterministic.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // One narrow pass to size the filter honestly (a fixed guess either
+    // wastes broadcast bytes or blows the fpp); the scan is single-column.
+    val nKeys = keys.count()
+    val bloom = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(col("l_orderkey")))      // cheap pre-shuffle prune
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomSemiJoinOracle: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem WHERE EXISTS (
+       |  SELECT 1 FROM orders
+       |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Quantiles profiled by [[quantileProfileCheck]] and the rank-error
+    * budget: `percentile_approx` (KLL-free Greenwald-Khanna variant)
+    * guarantees rank error ≤ N / accuracy.
+    */
+  val ProfileQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+  val QuantileAccuracy = 1000
+
+  /** q_quantile_profile_check: the numeric-profiling scale path — per
+    * quantile, `approx_percentile(l_extendedprice, q)` checked against its
+    * own rank-error contract: the number of rows ≤ the returned value must
+    * sit within q·N ± N/accuracy. Exact percentiles at 100 TB need a full
+    * sort or a giant exact-distinct aggregation; the sketch is one pass and
+    * mergeable across partitions, and this query makes its error budget a
+    * hash-gated oracle row (same self-check-as-oracle pattern as
+    * [[tableProfileApproxCheck]]).
+    */
+  def quantileProfileCheck(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val qs = ProfileQuantiles
+    // Pass 1: the sketch (one mergeable aggregation; 4 doubles to the driver).
+    val approx = li.agg(
+        percentile_approx(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(QuantileAccuracy)).as("vals"))
+      .head().getSeq[Double](0)
+    // Pass 2: one codegen'd scan computing N and the rank of every returned
+    // value (rows ≤ v) as conditional sums — no sort, no join.
+    val rankAggs = count(lit(1)).as("n") +: qs.indices.map { i =>
+      sum(when(col("l_extendedprice") <= approx(i), 1L).otherwise(0L)).as(s"rank_$i")
+    }
+    val row = li.agg(rankAggs.head, rankAggs.tail: _*)
+    val tol = col("n").cast("double") / QuantileAccuracy + 1.0
+    row.select(explode(array(qs.indices.map { i =>
+        struct(lit(qs(i)).as("q"),
+          (abs(col(s"rank_$i") - lit(qs(i)) * col("n")) <= tol).as("within_bound"))
+      }: _*)).as("s"))
+      .select(col("s.q").as("q"), col("s.within_bound").as("within_bound"))
+      .orderBy("q")
+  }
+
+  val quantileProfileCheckOracle: String =
+    ProfileQuantiles.map(q =>
+      s"SELECT CAST($q AS DOUBLE) AS q, TRUE AS within_bound")
+      .mkString("\nUNION ALL\n")
+
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val cutoff = lit("1998-01-01").cast("date")

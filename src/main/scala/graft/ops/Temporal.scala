@@ -214,4 +214,95 @@ object Temporal {
       |       MAX(n_events) AS max_session_events,
       |       CAST(SUM(n_events) AS BIGINT) AS n_events
       |FROM c""".stripMargin
+
+  /** q_asof_join: as-of (temporal) join — attach to every purchase the most
+    * recent click by the same user at or before the purchase time, the
+    * canonical trades↔quotes operator Spark lacks natively.
+    *
+    * Implemented as the union-and-window form, which is the scale-correct
+    * plan: tag both sides, union, and take the running `last` click over
+    * `(ts, side, event_id)` order within each user. One shuffle on the join
+    * key, no per-row range probe, no nested-loop join — at 100 TB this is a
+    * single hash partitioning of both inputs followed by a sorted window
+    * pass, and skew lands on ordinary AQE handling. Ordering puts clicks
+    * (side 0) before purchases at equal timestamps (`<=` semantics) and
+    * breaks click-vs-click ties by max event_id, so the result is total-order
+    * deterministic.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+              when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click",
+        last(when(col("side") === 0,
+          struct(col("ts").as("click_ts"), col("value").as("click_value"))),
+          ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("value").as("purchase_value"),
+              col("last_click.click_ts").as("click_ts"),
+              col("last_click.click_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, value, side,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win AS click_ts,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER win AS click_value
+      |  FROM t
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, value AS purchase_value, click_ts, click_value
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
+  /** q_range_join: interval (range) join — every (click, purchase) pair by
+    * the same user with the purchase inside [click, click + 1 hour).
+    *
+    * The naive plan is a non-equi join (broadcast nested loop in Spark);
+    * the scale plan used here buckets event time into interval-width (1 h)
+    * buckets and turns the range probe into an equi-join: a purchase in
+    * [c, c+1h) lives in the click's bucket or the next one, so the click
+    * side is exploded into those two buckets and the join runs on
+    * (user_id, bucket) with the exact range predicate as a post-filter.
+    * Work is O(matching-bucket pairs), shuffle keys are
+    * (user_id, hour-bucket) — bounded fan-out of 2×, no nested loop, and
+    * time-skew spreads across buckets at any scale.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      floor(t.cast("double") / 3600d).cast("long")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              explode(array(bucket(col("ts")), bucket(col("ts")) + 1L)).as("b"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("value").as("purchase_value"), bucket(col("ts")).as("b"))
+    clicks.join(purchases, Seq("user_id", "b"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts").cast("double") < col("click_ts").cast("double") + 3600d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           Exact.sum2(col("purchase_value")).as("sum_purchase_value"))
+      .orderBy("user_id")
+  }
+
+  val rangeJoinOracle: String =
+    s"""SELECT c.user_id, COUNT(*) AS n_pairs,
+       |       ${Exact.sum2Sql("p.value")} AS sum_purchase_value
+       |FROM events c JOIN events p
+       |  ON p.user_id = c.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.ts >= c.ts AND epoch(p.ts) < epoch(c.ts) + 3600
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -123,4 +123,37 @@ class PlanAuditSpec extends SparkSpec {
     val hintCount = "ResolvedHint".r.findAllIn(analyzed).length
     assert(hintCount <= 2, s"expected only the candIds broadcast hint (×2 refs), got $hintCount:\n$analyzed")
   }
+
+  test("as-of join is one window pass — no join operator at all") {
+    val plan = planOf(ops.Temporal.asofJoin(spark, dir))
+    assert(plan.contains("Window"), s"expected union-and-window form:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("range join is an equi-join on (user, bucket) — never a nested loop") {
+    val plan = planOf(ops.Temporal.rangeJoin(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+           s"range probe degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+           s"expected a keyed equi-join:\n$plan")
+  }
+
+  test("bloom semi-join pre-filters the fact scan before the exact semi-join") {
+    val plan = planOf(ops.Relational.bloomSemiJoin(spark, dir))
+    assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
+    // the UDF prune must sit under the join, on the fact side (prints as
+    // Filter ... UDF(knownnotnull(l_orderkey...)) above the fact FileScan)
+    assert("UDF\\([^)]*l_orderkey".r.findFirstIn(plan).isDefined,
+           s"bloom prune not in the fact scan path:\n$plan")
+  }
+
+  test("lang quota windows only the hash-pruned survivors, not the corpus") {
+    val df = ops.Dedup.langQuota(spark, dir, k = 5)
+    val plan = planOf(df)
+    // the row_number window input must carry the rk < per-lang-threshold
+    // filter (the rk alias may be inlined, so match the CASE dispatch)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("< CASE WHEN"),
+           s"hash-threshold prune missing below the window:\n$plan")
+  }
 }

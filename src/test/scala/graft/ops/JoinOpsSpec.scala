@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.{SparkSpec, Tables}
+
+/** Semantics of the round-4 join/profile operators: as-of join tie and
+  * boundary rules, range-join bucket straddling, Bloom pre-filter
+  * exactness, and the lang-quota prune's losslessness.
+  */
+class JoinOpsSpec extends SparkSpec {
+
+  /** Hand-built events fixture written in the raw driver schema (ts =
+    * epoch NANOS as long, the parquet TIMESTAMP(NANOS) surrogate that
+    * Tables.events truncates to micros).
+    *
+    * Cases planted:
+    *  - user 1: click and purchase at the SAME instant (`<=` must match),
+    *    two clicks at one instant (max event_id must win the tie)
+    *  - user 2: purchase with no prior click (null attach, no range pair)
+    *  - user 3: purchase at exactly click+1h (strict upper bound must
+    *    exclude) and a purchase in the NEXT hour bucket but inside the
+    *    window (only the bucket-explode finds it)
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("joinops-events").toFile.getAbsolutePath
+    val sec = (s: Long) => s * 1000L * 1000L * 1000L
+    val rows = Seq(
+      // (event_id, ts_s, user_id, type, value)
+      (1L, 1000L, 1L, "click", 0.5),
+      (2L, 1000L, 1L, "purchase", 10.0),
+      (3L, 2000L, 1L, "click", 1.0),
+      (4L, 2000L, 1L, "click", 2.0),
+      (5L, 2500L, 1L, "purchase", 20.0),
+      (6L, 0L, 3L, "click", 0.1),
+      (7L, 3600L, 3L, "purchase", 30.0),
+      (8L, 3599L, 3L, "purchase", 40.0),
+      (9L, 3000L, 3L, "click", 0.2),
+      (10L, 6500L, 3L, "purchase", 50.0),
+      (11L, 100L, 2L, "purchase", 99.0))
+    import spark.implicits._
+    rows.map { case (id, t, u, ty, v) => (id, sec(t), u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("as-of join: <= at equal instants, max-event_id tie-break, null when no prior click") {
+    val out = Temporal.asofJoin(spark, eventsDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 5L, 7L, 8L, 10L, 11L))
+    // same-instant click attaches
+    assert(out(2L).getAs[Double]("click_value") == 0.5)
+    // two clicks at t=2000: event_id 4 (value 2.0) wins
+    assert(out(5L).getAs[Double]("click_value") == 2.0)
+    // user 3: last click at or before each purchase is the t=3000 click
+    for (id <- Seq(7L, 8L, 10L))
+      assert(out(id).getAs[Double]("click_value") == 0.2, s"purchase $id")
+    // user 2: no click ever -> null attach
+    assert(out(11L).isNullAt(out(11L).fieldIndex("click_value")))
+  }
+
+  test("range join: strict 1h upper bound, pairs found across hour-bucket seams") {
+    val out = Temporal.rangeJoin(spark, eventsDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // user 1: (c1,p2) (c1,p5) (c3,p5) (c4,p5); purchase values 10 + 20*3
+    assert(out(1L) == ((4L, 70.0)))
+    // user 2: purchase only -> no pairs at all
+    assert(!out.contains(2L))
+    // user 3: (c6,p8) (c9,p7) (c9,p8) (c9,p10); p7 at exactly c6+1h excluded
+    // for c6; p10 is in the NEXT hour bucket of c9 yet inside the window
+    assert(out(3L) == ((4L, 160.0)))
+  }
+
+  test("bloom pre-filtered semi-join equals the plain exact semi-join") {
+    val viaBloom = Relational.bloomSemiJoin(spark, sf0001).collect()
+    val keys = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+           graft.util.Exact.sum2(graft.util.Exact.revenue).as("revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(viaBloom.toSeq == plain.toSeq)
+  }
+
+  test("lang quota: pruned selection equals the unpruned rank; huge k keeps everything") {
+    val k = 3
+    val quota = Dedup.langQuota(spark, sf0001, k).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // brute force: full window, no prune
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, sf0001)
+      .withColumn("rk", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))))
+    val expect = ranked.filter(col("rn") <= k).groupBy("lang")
+      .agg(sum("doc_id").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((lang, (s, n)) <- expect) {
+      assert(quota(lang).getAs[Long]("n_kept") == n, lang)
+      assert(quota(lang).getAs[Long]("kept_docid_sum") == s, lang)
+    }
+    // k far above every group size: quota is a no-op, prune must not lose rows
+    val all = Dedup.langQuota(spark, sf0001, 1000000).collect()
+    all.foreach(r => assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_total"), r.toString))
+  }
+
+  test("quantile profile check: every sketch rank lands inside its error budget") {
+    val rows = Relational.quantileProfileCheck(spark, sf0001).collect()
+    assert(rows.length == Relational.ProfileQuantiles.length)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
+  }
+}
