@@ -82,6 +82,11 @@ object SparkEntry {
     "q_bloom_semijoin"    -> ((s, d) => Relational.bloomSemiJoin(s, d)),
     "q_quantile_profile_check" -> ((s, d) => Relational.quantileProfileCheck(s, d)),
     "q_lang_quota"        -> ((s, d) => Dedup.langQuota(s, d)),
+    // the Aho-Corasick escalation FORCED (dispatch picks nested-loop at
+    // fixture probe counts) — keeps the large-probe-set path visible and
+    // priced in the driver bench, like q_pack_scalable_stats does for pack
+    "q_decontamination_aho" -> ((s, d) => Dedup.decontaminationExactAhoPath(s, d)),
+    "q_text_normalize"    -> ((s, d) => TextAnalysis.textNormalize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +193,8 @@ object SparkEntry {
     "q_bloom_semijoin"          -> ops.Relational.bloomSemiJoinOracle,
     "q_quantile_profile_check"  -> ops.Relational.quantileProfileCheckOracle,
     "q_lang_quota"              -> ops.Dedup.langQuotaOracle,
+    "q_decontamination_aho"     -> ops.Dedup.decontaminationExactOracle,
+    "q_text_normalize"          -> ops.TextAnalysis.textNormalizeOracle,
     "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
   )

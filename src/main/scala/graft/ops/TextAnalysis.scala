@@ -728,4 +728,44 @@ object TextAnalysis {
        |       CAST(SUM(delta) AS BIGINT) AS chars_removed
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q_text_normalize: Unicode NFC canonicalization audit — the text
+    * normalization pass of a multilingual pipeline, via the codegen'd
+    * [[graft.plans.NfcNormalize]] expression (Spark has no built-in
+    * normalizer; the expression's ASCII fast path makes the pass ~free on
+    * ASCII-dominated corpora). The fixture corpus is pure ASCII, so the
+    * query plants deterministic Unicode the same way q_pii_redact plants
+    * PII: a decomposed `e`+U+0301 suffix on doc_id % 7 (NFC composes it,
+    * shortening by one code point) and an fi-ligature U+FB01 on doc_id %
+    * 11 (non-ASCII that NFC leaves alone — exercising the isNormalized
+    * path, and pinning that this is NFC, not NFKC). One pruned scan, one
+    * partial+final aggregation.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.NfcNormalize.register(spark)
+    val decomposed = " cafe\u0301" // e + combining acute; composes under NFC
+    val ligature = " \ufb01n"     // fi ligature: NFC identity (NFKC would split)
+    Tables.documents(spark, dir)
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(decomposed)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(ligature)).otherwise(lit(""))))
+      .select(col("lang"), col("t"), expr("nfc_normalize(t)").as("n"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") =!= col("t"), 1L).otherwise(0L)).as("n_changed"),
+        sum((length(col("t")) - length(col("n"))).cast("long")).as("chars_delta"))
+      .orderBy("lang")
+  }
+
+  val textNormalizeOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |         text || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769) ELSE '' END
+      |              || CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(64257) || 'n' ELSE '' END AS t
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(SUM(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_delta
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 }

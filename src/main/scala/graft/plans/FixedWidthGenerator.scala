@@ -114,5 +114,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     FixedWidthGenerator.inject(ext)
     AsciiTokenCount.inject(ext)
+    NfcNormalize.inject(ext)
   }
 }

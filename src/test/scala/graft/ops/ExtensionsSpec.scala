@@ -235,4 +235,35 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(nestedDir == ahoDir)
   }
+
+  test("nfc_normalize: composes decomposed sequences, identity on ASCII and on NFC-clean text") {
+    import spark.implicits._
+    graft.plans.NfcNormalize.register(spark)
+    val decomposed = "cafe\u0301"            // e + combining acute U+0301
+    val composed = "caf\u00e9"               // precomposed e-acute
+    val ligature = "\ufb01n"                 // fi ligature: NFC identity (NFKC splits)
+    val angstromD = "A\u030angstro\u0308m"  // A+ring, o+diaeresis
+    val angstromC = "\u00c5ngstr\u00f6m"
+    val rows = Seq("plain ascii", decomposed, composed, ligature, angstromD, "")
+    val out = rows.toDF("t")
+      .select(expr("nfc_normalize(t)").as("n"), length(col("t")).as("lt"),
+              length(expr("nfc_normalize(t)")).as("ln"))
+      .collect()
+    assert(out(0).getString(0) == "plain ascii")
+    assert(out(1).getString(0) == composed && out(1).getInt(1) == 5 && out(1).getInt(2) == 4)
+    assert(out(2).getString(0) == composed)  // already NFC: identity
+    assert(out(3).getString(0) == ligature)
+    assert(out(4).getString(0) == angstromC)
+    assert(out(5).getString(0) == "")
+    // interpreted eval agrees with the codegen path
+    val e = graft.plans.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(decomposed))
+    assert(e.eval(null).toString == composed)
+    // stays inside whole-stage codegen (a local Seq would constant-fold
+    // into a LocalTableScan, so assert on a real parquet-backed plan)
+    val q = graft.Tables.documents(spark, dir)
+      .select(expr("nfc_normalize(text)").as("n")).groupBy().agg(max(col("n")))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("*("))
+  }
 }
