@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a 3-partition window — 8g showed GC-driven run-to-run variance (8-17 s
   // on the pack roundtrip); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_GC").toSeq.flatMap(_.split(' ').toSeq)

@@ -64,9 +64,20 @@ object Ingestion {
       |       MAX(CAST(l_shipdate AS DATE)) AS max_ship_date
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** format → parse → aggregate (field-spec projection correctness). */
+  /** format → parse → aggregate (field-spec projection correctness).
+    *
+    * The format+parse projection collapses into the scan stage, whose
+    * parallelism is the parquet row-group count (3 at sf0.1) — far below
+    * the session's cores. One narrow re-spread before the CPU-heavy
+    * projection fixes that; skipped when the source already has enough
+    * splits (the 100-TB case), where it would be a pure extra shuffle.
+    */
   def fixedWidthParse(spark: SparkSession, dir: String): DataFrame = {
-    val recs = lineitemTyped(spark, dir)
+    val typed = lineitemTyped(spark, dir)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val spread =
+      if (typed.rdd.getNumPartitions < parts) typed.repartition(parts) else typed
+    val recs = spread
       .withColumn("record", formatRecord(LineitemLayout))
       .select("record")
     parsedAgg(parseRecord(recs, "record", LineitemLayout))
@@ -114,19 +125,29 @@ object Ingestion {
         min(length(col("packed"))).as("min_chars"))
       .orderBy("returnflag")
 
-  /** The full T3∘T1 roundtrip: format → pack → explode → parse → aggregate.
-    * Proves segmentation conserves records and fields across the pack seam.
+  /** The full T3∘T1 roundtrip: format → pack → fused explode+parse →
+    * aggregate. Proves segmentation conserves records and fields across the
+    * pack seam. The segment-and-parse step is the fused
+    * [[graft.plans.FixedWidthParseExplode]] generator (one byte walk, no
+    * intermediate record strings); its equivalence to the unfused
+    * explode→parse pipeline is spec-locked in FixedWidthSpec, and the
+    * unfused declarative parse stays benched via q_fixedwidth_parse.
     */
   def packExplodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val packed = pack(lineitemRecords(spark, dir), "record",
-                      partCols = Seq("f_returnflag"),
-                      orderCols = Seq("f_orderkey", "f_linenumber"))
+    // packOf (not pack over a pre-formatted column): the 520-char record is
+    // materialized INSIDE the post-repartition aggregation, so both pack
+    // exchanges ship narrow typed rows and the format CPU runs at full
+    // width instead of at parquet row-group parallelism — the sf0.1
+    // roundtrip's scan-stage shuffle drops 36.6→5 MB (see packOf scaladoc).
+    val packed = packOf(lineitemTyped(spark, dir), formatRecord(LineitemLayout),
+                        partCols = Seq("f_returnflag"),
+                        orderCols = Seq("f_orderkey", "f_linenumber"))
     // No re-spread needed before the 1000x explode fan-out: pack pins its
     // output partition count (pinned pre-agg repartition in FixedWidth),
     // so AQE cannot coalesce the 520 KB-row packed table down to a handful
     // of partitions and starve the explode+parse of parallelism.
-    val exploded = explodeFixedWidth(packed.select("packed"), "packed")
-    parsedAgg(parseRecord(exploded, "record", LineitemLayout))
+    parsedAgg(explodeParseFixedWidth(packed.select("packed"), "packed",
+                                     LineitemLayout))
   }
 
   // ---- zip source end-to-end (S1/S2/S3/S5 + P3) ----------------------------

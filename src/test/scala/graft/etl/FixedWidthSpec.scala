@@ -171,4 +171,66 @@ class FixedWidthSpec extends SparkSpec {
     assert(back.getString(8) == "R" && back.getString(9) == "F")
     assert(back.getDate(10) == java.sql.Date.valueOf("1997-03-15"))
   }
+
+  test("packOf (record-expression, late materialization) equals pack over a materialized column") {
+    import graft.ops.Ingestion
+    val typed = Ingestion.lineitemTyped(spark, sf0001)
+    val viaExpr = packOf(typed, formatRecord(LineitemLayout),
+        partCols = Seq("f_returnflag"), orderCols = Seq("f_orderkey", "f_linenumber"))
+      .orderBy("f_returnflag", "pack_id").collect().map(_.toSeq).toSeq
+    val viaCol = pack(
+        typed.withColumn("record", formatRecord(LineitemLayout)),
+        "record",
+        partCols = Seq("f_returnflag"), orderCols = Seq("f_orderkey", "f_linenumber"))
+      .orderBy("f_returnflag", "pack_id").collect().map(_.toSeq).toSeq
+    assert(viaExpr == viaCol)
+    // and the forced scalable route, whose prefix-sum scaffold must carry
+    // the expression's source columns through its narrow pre-jobs
+    val viaExprScalable = FixedWidth.packScalableOf(typed, formatRecord(LineitemLayout),
+        partCols = Seq("f_returnflag"), orderCols = Seq("f_orderkey", "f_linenumber"))
+      .orderBy("f_returnflag", "pack_id").collect().map(_.toSeq).toSeq
+    assert(viaExprScalable == viaCol)
+  }
+
+  test("fused parse generator equals explode + declarative parse (adversarial records)") {
+    import spark.implicits._
+    // a tiny layout covering every kind and every null edge
+    val layout = Seq(
+      FieldSpec("a_num", 0, 4, "long"),
+      FieldSpec("b_str", 4, 6, "str"),
+      FieldSpec("c_date", 10, 8, "date"),
+      FieldSpec("d_num", 18, 2, "long"))
+    val w = 20
+    val recs = Seq(
+      "0042hello 2024031507",        // clean full record
+      "  -7x&y   2024023199",        // negative long, invalid date (Feb 31)
+      "12a4      20240315  ",        // garbage digits -> null long, spaces tail
+      "9999ééé   20231231 5",  // multibyte in str field
+      "0001ab")                      // short tail: cut mid-str, date/d absent
+    val packed = Seq(recs.mkString).toDF("t")
+    val fused = explodeParseFixedWidth(packed, "t", layout, width = w)
+      .orderBy("pos").drop("pos").collect().map(_.toSeq).toSeq
+    val unfused = parseRecord(
+        explodeFixedWidth(Seq(recs.mkString).toDF("t"), "t", width = w)
+          .orderBy("rec_idx"),
+        "record", layout)
+      .collect().map(_.toSeq).toSeq
+    assert(fused == unfused, s"\nfused  =$fused\nunfused=$unfused")
+    // and on the real lineitem roundtrip at fixture scale
+    val packedLi = pack(
+      graft.ops.Ingestion.lineitemRecords(spark, sf0001), "record",
+      partCols = Seq("f_returnflag"), orderCols = Seq("f_orderkey", "f_linenumber"))
+    val viaFused = explodeParseFixedWidth(packedLi.select("packed"), "packed", LineitemLayout)
+      .groupBy("f_returnflag").agg(
+        count(lit(1)).as("n"), sum("f_qty_cents").as("q"),
+        countDistinct("f_orderkey").as("o"), max("f_shipdate").as("d"))
+      .orderBy("f_returnflag").collect().map(_.toSeq).toSeq
+    val viaUnfused = parseRecord(
+        explodeFixedWidth(packedLi.select("packed"), "packed"), "record", LineitemLayout)
+      .groupBy("f_returnflag").agg(
+        count(lit(1)).as("n"), sum("f_qty_cents").as("q"),
+        countDistinct("f_orderkey").as("o"), max("f_shipdate").as("d"))
+      .orderBy("f_returnflag").collect().map(_.toSeq).toSeq
+    assert(viaFused == viaUnfused)
+  }
 }
