@@ -75,9 +75,12 @@ object Dedup {
        | END""".stripMargin.replace("\n", " ")
   }
 
-  /** (doc_id, shingles) — the input to every near-dup operator. */
+  /** (doc_id, shingles) — the input to every near-dup operator. Re-spread
+    * before the shingle projection: a single-row-group documents file
+    * otherwise serializes all shingling onto one task (util.Spread).
+    */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
 
   private val docShinglesSql =
@@ -789,7 +792,7 @@ object Dedup {
     // One shuffle: 32 per-bit contribution sums as parallel aggregate
     // columns (map-side combined) instead of exploding 32 rows per token —
     // the row-explosion form shuffles 32× the data for the same result.
-    val occ = Tables.documents(spark, dir)
+    val occ = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until SimHashBits).map { b =>
@@ -809,6 +812,13 @@ object Dedup {
     val banded = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))
       .withColumn("bandkey", expr(s"shiftright(fp, band * $bandBits) & ${(1L << bandBits) - 1}"))
+      // pinned pre-join repartition: the banded table is bytes-tiny, so AQE
+      // coalesces its exchange to one partition — but the JOIN's output
+      // (candidate pairs within hot buckets) is quadratically bigger than
+      // its input, and the Hamming verification then runs single-task.
+      // Pinning the join distribution keeps pair generation at full width.
+      .repartition(fp.sparkSession.sessionState.conf.numShufflePartitions,
+                   col("band"), col("bandkey"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
           col("a.doc_id") < col("b.doc_id"))

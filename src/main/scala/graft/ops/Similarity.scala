@@ -68,7 +68,7 @@ object Similarity {
     * scans).
     */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    graft.util.Spread.forCpu(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
 

@@ -526,7 +526,7 @@ object TextAnalysis {
     * that scales: work is linear and the only shuffle keys on doc_id.
     */
   private def kgramHashes(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    graft.util.Spread.forCpu(docs).select(col("doc_id"), col("source"),
         posexplode(transform(sequence(lit(1), greatest(length(col("text")) - k + 1, lit(1))),
                              i => md5(col("text").substr(i, lit(k))))).as(Seq("pos", "h")))
 
