@@ -87,6 +87,9 @@ object SparkEntry {
     // priced in the driver bench, like q_pack_scalable_stats does for pack
     "q_decontamination_aho" -> ((s, d) => Dedup.decontaminationExactAhoPath(s, d)),
     "q_text_normalize"    -> ((s, d) => TextAnalysis.textNormalize(s, d)),
+    "q_skew_salted_agg"   -> ((s, d) => Skew.skewSaltedAgg(s, d)),
+    "q_skew_salted_join"  -> ((s, d) => Skew.skewSaltedJoin(s, d)),
+    "q_bucketed_join"     -> ((s, d) => Relational.bucketedJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,5 +200,8 @@ object SparkEntry {
     "q_text_normalize"          -> ops.TextAnalysis.textNormalizeOracle,
     "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
+    "q_skew_salted_agg"         -> ops.Skew.skewSaltedAggOracle,
+    "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,
+    "q_bucketed_join"           -> ops.Relational.bucketedJoinOracle,
   )
 }

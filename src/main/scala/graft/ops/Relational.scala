@@ -413,6 +413,58 @@ object Relational {
        |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bucket count for the co-located-join demo tables. At cluster scale
+    * you'd size buckets so one bucket ≈ one task's comfortable input
+    * (hundreds of MB); what matters for exchange elision is only that both
+    * sides agree.
+    */
+  val JoinBuckets = 8
+
+  /** Stage `orders`/`lineitem` as bucketed+sorted tables (once per session
+    * and sfDir) and return their catalog names. Bucketing is THE mechanism
+    * for repeated co-located joins at scale: both sides hash-clustered by
+    * the join key at WRITE time, so every subsequent join on that key is a
+    * zero-exchange sort-merge — the shuffle is paid once, not per query.
+    * Tables land in the session catalog + local warehouse dir
+    * (spark-warehouse/, gitignored).
+    */
+  def stageBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"b_orders$safe", s"b_lineitem$safe")
+    if (!spark.catalog.tableExists(ot)) {
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(spark, dir).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    }
+    (ot, lt)
+  }
+
+  /** q_bucketed_join: revenue per order priority through the BUCKETED join —
+    * results identical to the plain parquet join (the oracle), but the join
+    * itself moves zero rows: both scans read pre-clustered buckets and the
+    * sort-merge join's children have no exchange (plan-asserted in
+    * ExtensionsSpec). The merge hint keeps the demo honest — without it the
+    * planner may broadcast the small fixture side and never exercise the
+    * bucketing.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = stageBucketedTables(spark, dir)
+    val o = spark.table(ot)
+    val l = spark.table(lt)
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Quantiles profiled by [[quantileProfileCheck]] and the rank-error
     * budget: `percentile_approx` (KLL-free Greenwald-Khanna variant)
     * guarantees rank error ≤ N / accuracy.

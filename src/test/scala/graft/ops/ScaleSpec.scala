@@ -24,6 +24,30 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join on a Zipf-hot fact key (inner and left)") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key; dim misses key 99 so LEFT has nulls
+    val fact = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) (i % 7).toLong else 3L, i * 1.5)).toDF("row_id", "k", "v")
+    val dim = (0L to 6L).filter(_ != 5L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, col("k") === col("dk"), jt)
+        .select("row_id", "k", "v", "dk", "name")
+        .collect().map(_.toSeq).toSet
+      val salted = Skew.saltedJoin(fact, dim, "k", "dk", col("row_id"), salts = 8, jt)
+        .select("row_id", "k", "v", "dk", "name")
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"joinType=$jt")
+    }
+    // the join really runs on (key, salt): both columns appear in the keys
+    val j = Skew.saltedJoin(fact, dim, "k", "dk", col("row_id"), salts = 8)
+    val joined = j.queryExecution.optimizedPlan.toString
+    assert(joined.contains("_fsalt") && joined.contains("_dsalt"), joined)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", "dk", col("row_id"), 8, "right")
+    }
+  }
+
   test("stop-shingle DF cap collapses the hot-bucket candidate blowup (100 TB skew defense)") {
     import spark.implicits._
     // 100 boilerplate docs sharing one hot shingle set + 1 genuine near-dup
