@@ -125,7 +125,9 @@ object Dedup {
     * ≥1 shingle — never all-pairs). Emits pairs at ≥ [[JaccardThreshold]].
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for the same multi-consumer reason as jaccardPairsCapped
     val sh = docShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
                        explode(col("shingles")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -172,7 +174,13 @@ object Dedup {
     * bucket at cap². Jaccard is then computed over the capped sets (sizes
     * recomputed post-cap, so the threshold semantics stay exact).
     */
-  def jaccardPairsCapped(sh: DataFrame, cap: Int): DataFrame = {
+  def jaccardPairsCapped(sh0: DataFrame, cap: Int): DataFrame = {
+    // The shingle projection feeds four consumers (hot-set derivation, the
+    // post-cap size pass, and both self-join sides); without a persist each
+    // consumer re-shingles the corpus. MEMORY_AND_DISK so a corpus bigger
+    // than executor memory degrades to disk instead of OOM; freed by the
+    // caller's/bench's cache clear.
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("s")
