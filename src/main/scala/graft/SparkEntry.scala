@@ -90,6 +90,11 @@ object SparkEntry {
     "q_skew_salted_agg"   -> ((s, d) => Skew.skewSaltedAgg(s, d)),
     "q_skew_salted_join"  -> ((s, d) => Skew.skewSaltedJoin(s, d)),
     "q_bucketed_join"     -> ((s, d) => Relational.bucketedJoin(s, d)),
+    "q_dup_spans"         -> ((s, d) => Corpus.dupSpans(s, d)),
+    "q_bpe_pairs"         -> ((s, d) => Corpus.bpePairs(s, d)),
+    "q_dsir_weights"      -> ((s, d) => Corpus.dsirWeights(s, d)),
+    "q_knn_pq"            -> ((s, d) => Similarity.knnPq(s, d)),
+    "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +208,10 @@ object SparkEntry {
     "q_skew_salted_agg"         -> ops.Skew.skewSaltedAggOracle,
     "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,
     "q_bucketed_join"           -> ops.Relational.bucketedJoinOracle,
+    "q_dup_spans"               -> ops.Corpus.dupSpansOracle,
+    "q_bpe_pairs"               -> ops.Corpus.bpePairsOracle,
+    "q_dsir_weights"            -> ops.Corpus.dsirWeightsOracle,
+    "q_knn_pq"                  -> ops.Similarity.knnPqOracle,
+    "q_knn_pq_recall"           -> ops.Similarity.knnPqRecallOracle,
   )
 }

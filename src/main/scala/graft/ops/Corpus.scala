@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-construction operators beyond per-document filtering — the three
+  * classic "build a training set" passes over the `documents` table
+  * (SURVEY.md §2.8 north-star family):
+  *
+  *  - [[dupSpans]]: span-level duplication audit — the Spark-first
+  *    re-expression of suffix-array substring dedup ("Deduplicating Training
+  *    Data Makes Language Models Better", Lee et al. 2021): every W-token
+  *    rolling window is hashed and windows whose hash repeats anywhere in
+  *    the corpus are flagged. Suffix arrays don't distribute; rolling
+  *    window-hash → groupBy does, with identical "which spans are repeated"
+  *    semantics at window granularity.
+  *  - [[bpePairStats]]: corpus-wide adjacent-pair frequencies, the counting
+  *    step of one BPE merge iteration (tokenizer training at corpus scale).
+  *  - [[dsirAudit]]: importance-weighted data selection (DSIR, Xie et al.
+  *    2023): per-document log importance weight = Σ_tokens
+  *    ln(p_target/p_raw) under Laplace-smoothed unigram models, with the
+  *    in-corpus `lang = target` slice as the target distribution.
+  *
+  * Scale shape: everything here is explode → hash-keyed aggregation →
+  * hash-keyed join — no all-pairs joins, no driver loops, no UDFs. The
+  * window explode in [[dupSpans]] is the big one (one row per token
+  * position, ×32-hex-char hash), but it is strictly linear in corpus tokens
+  * and map-side combinable; at 100 TB it is a standard shuffle-bounded
+  * n-gram pipeline, same class as the shingle passes in [[Dedup]].
+  */
+object Corpus {
+
+  /** Window width (tokens) for span-level duplication. Lee et al. use 50
+    * BPE tokens; the synthetic fixture's planted near-dups share spans well
+    * above 20 whitespace tokens, so 20 keeps the audit non-vacuous at
+    * fixture scale (747 cross-doc duplicated hashes at sf0.01).
+    */
+  val DupSpanTokens = 20
+
+  /** Top-k pairs reported by the BPE pair audit. */
+  val BpePairTopK = 20
+
+  /** Target slice for DSIR importance weights: the `lang` value whose
+    * unigram distribution defines p_target (the "high-quality reference"
+    * role that KenLM-on-Wikipedia plays in the paper).
+    */
+  val DsirTargetLang = "en"
+
+  // --- span-level duplication audit ------------------------------------------
+
+  /** Per-source span-duplication audit over rolling W-token windows.
+    *
+    * Plan: one explode to (doc, window-hash) — md5 over the space-joined
+    * window so the hash is oracle-computable on both engines — then a
+    * corpus-wide count per hash (map-side combined), a shuffle join of the
+    * window relation back to its counts on the hash key, and a per-source
+    * aggregation. Every shuffle is keyed on the window hash (uniform by
+    * construction); nothing is quadratic, unlike shingle-bucket self-joins
+    * there is no pair materialization at all.
+    */
+  def dupSpanAudit(docsIn: DataFrame, w: Int = DupSpanTokens): DataFrame = {
+    val t = docsIn
+      .select(col("doc_id"), col("source"),
+              TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // sequence(0, n-w) DESCENDS when n-w < 0 — guard short docs to an
+    // empty window list instead
+    val ex = t
+      .withColumn("hs",
+        when(col("n") >= w,
+          transform(sequence(lit(0), col("n") - w),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val counts = ex.groupBy("h").agg(count(lit(1)).as("c"))
+    val j = ex.join(counts, "h")
+    val agg = j.groupBy("source").agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+      countDistinct(when(col("c") > 1, col("doc_id"))).as("n_docs_with_dup"),
+      countDistinct(when(col("c") > 1, col("h"))).as("n_dup_spans"))
+    // all-documents left-join base, like every sibling per-source audit:
+    // a source of only short docs still shows up with zero windows
+    val base = docsIn.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    base.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("source")
+  }
+
+  /** q_dup_spans: span-duplication audit over the documents table. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanAudit(Tables.documents(spark, dir))
+
+  val dupSpansOracle: String = {
+    val w = DupSpanTokens
+    s"""WITH t AS (SELECT doc_id, source, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |ex AS (SELECT doc_id, source, toks, unnest(range(0, len(toks) - $w + 1)) AS i
+       |       FROM t WHERE len(toks) >= $w),
+       |wnd AS (SELECT doc_id, source,
+       |               md5(array_to_string(toks[(i+1):(i+$w)], ' ')) AS h
+       |        FROM ex),
+       |c AS (SELECT h, COUNT(*) AS c FROM wnd GROUP BY 1),
+       |j AS (SELECT wnd.source, wnd.doc_id, wnd.h, c.c FROM wnd JOIN c USING (h)),
+       |agg AS (SELECT source,
+       |               COUNT(*) AS n_windows,
+       |               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       |               COUNT(DISTINCT CASE WHEN c > 1 THEN doc_id END) AS n_docs_with_dup,
+       |               COUNT(DISTINCT CASE WHEN c > 1 THEN h END) AS n_dup_spans
+       |        FROM j GROUP BY 1),
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT base.source, base.n_docs,
+       |       COALESCE(agg.n_windows, 0) AS n_windows,
+       |       COALESCE(agg.n_dup_windows, 0) AS n_dup_windows,
+       |       COALESCE(agg.n_docs_with_dup, 0) AS n_docs_with_dup,
+       |       COALESCE(agg.n_dup_spans, 0) AS n_dup_spans
+       |FROM base LEFT JOIN agg USING (source) ORDER BY 1""".stripMargin
+  }
+
+  // --- BPE pair-merge counting -----------------------------------------------
+
+  /** Top-k adjacent token pairs with dense rank — the argmax-candidate table
+    * of one BPE merge iteration, computed corpus-wide. One explode (n−1
+    * positional pairs per doc), one map-side-combined count aggregation,
+    * then the rank-count broadcast self-join on the ≤k winners (the
+    * [[TextAnalysis.vocabTopK]] idiom — no WindowExec, no single-task
+    * global sort of the full pair table; `orderBy.limit(k)` plans as a
+    * distributed TakeOrderedAndProject).
+    */
+  def bpePairStats(docsIn: DataFrame, k: Int = BpePairTopK): DataFrame = {
+    val t = docsIn
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val pairs = t.filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))).as("pair"))
+    val top = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+    val before = top.select(col("pair").as("pair2"), col("cnt").as("cnt2"))
+    top.join(broadcast(before),
+        col("cnt2") > col("cnt") ||
+          (col("cnt2") === col("cnt") && col("pair2") < col("pair")), "left")
+      .groupBy("pair", "cnt")
+      .agg((count(col("pair2")) + 1).cast("int").as("rank"))
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
+  /** q_bpe_pairs: top adjacent-pair counts over the documents table. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairStats(Tables.documents(spark, dir))
+
+  val bpePairsOracle: String =
+    s"""WITH t AS (SELECT ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+       |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |            FROM t WHERE len(toks) >= 2)),
+       |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank, pair, cnt
+       |FROM c QUALIFY rank <= $BpePairTopK ORDER BY rank""".stripMargin
+
+  // --- DSIR importance-weighted selection ------------------------------------
+
+  /** Per-source audit of DSIR importance weights. Per document:
+    * log w = Σ_tokens ln(p_target(tok) / p_raw(tok)), with both unigram
+    * models Laplace-smoothed over the RAW vocabulary
+    * (p(t) = (c_t + 1)/(N + V)); positive log-weight ⇒ the document looks
+    * more like the target slice than the background and is selected.
+    *
+    * Plan: one explode feeds both model builds and the scoring join; the
+    * token→log-ratio table is vocabulary-sized (persisted, reused by the
+    * scoring join on `tok`); model-size scalars ride a broadcast 1-row
+    * cross join. Per-token log-ratios are summed as DECIMAL(28,10) so the
+    * score is summation-order independent (the [[TextAnalysis.lmQuality]]
+    * cross-engine exactness idiom).
+    */
+  def dsirAudit(docsIn: DataFrame, targetLang: String = DsirTargetLang): DataFrame = {
+    val ex = docsIn.select(col("doc_id"), col("lang"),
+                           explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c_r"))
+    val tvocab = ex.filter(col("lang") === targetLang)
+      .groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val freqs = vocab.join(tvocab, Seq("tok"), "left")
+      .select(col("tok"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .persist()
+    val scal = freqs.agg(
+      sum("c_r").cast("double").as("n_r"),
+      sum("c_t").cast("double").as("n_t"),
+      count(lit(1)).cast("double").as("v"))
+    val ratio = freqs.crossJoin(broadcast(scal))
+      .select(col("tok"),
+        log(((col("c_t") + lit(1.0)) / (col("n_t") + col("v"))) /
+            ((col("c_r") + lit(1.0)) / (col("n_r") + col("v"))))
+          .cast("decimal(28,10)").as("lr"))
+    val per = ex.join(ratio, "tok")
+      .groupBy("doc_id").agg(sum("lr").as("s"))
+    docsIn.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s") > 0, 1L).otherwise(0L)).as("n_selected"),
+        min(col("s").cast("double")).as("min_w"),
+        max(col("s").cast("double")).as("max_w"),
+        sum(col("s")).cast("double").as("sum_w"))
+      .orderBy("source")
+  }
+
+  /** q_dsir_weights: DSIR selection audit over the documents table. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirAudit(Tables.documents(spark, dir))
+
+  val dsirWeightsOracle: String =
+    s"""WITH ex AS (SELECT doc_id, lang, unnest(${TextAnalysis.tokensSql}) AS tok FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS c_r FROM ex GROUP BY 1),
+       |tvocab AS (SELECT tok, COUNT(*) AS c_t FROM ex WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |freqs AS (SELECT vocab.tok, vocab.c_r, COALESCE(tvocab.c_t, 0) AS c_t
+       |          FROM vocab LEFT JOIN tvocab USING (tok)),
+       |scal AS (SELECT CAST(SUM(c_r) AS DOUBLE) AS n_r,
+       |                CAST(SUM(c_t) AS DOUBLE) AS n_t,
+       |                CAST(COUNT(*) AS DOUBLE) AS v
+       |         FROM freqs),
+       |ratio AS (SELECT tok,
+       |                 CAST(ln(((c_t + 1.0) / (n_t + v)) /
+       |                         ((c_r + 1.0) / (n_r + v))) AS DECIMAL(28,10)) AS lr
+       |          FROM freqs, scal),
+       |per AS (SELECT ex.doc_id, SUM(ratio.lr) AS s
+       |        FROM ex JOIN ratio USING (tok) GROUP BY 1)
+       |SELECT d.source,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN per.s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       MIN(CAST(per.s AS DOUBLE)) AS min_w,
+       |       MAX(CAST(per.s AS DOUBLE)) AS max_w,
+       |       CAST(SUM(per.s) AS DOUBLE) AS sum_w
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -432,6 +432,18 @@ object Relational {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (ot, lt) = (s"b_orders$safe", s"b_lineitem$safe")
     if (!spark.catalog.tableExists(ot)) {
+      // the warehouse DIRECTORY outlives the in-memory catalog: a fresh
+      // session sees tableExists=false while the previous JVM's table data
+      // still sits at the default location, and saveAsTable refuses
+      // (LOCATION_ALREADY_EXISTS). The staged tables are a derived cache of
+      // the parquet inputs, so a stale location is safe to sweep.
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(ot, lt).foreach { t =>
+        val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       Tables.orders(spark, dir).write.mode("overwrite")
         .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
       Tables.lineitem(spark, dir).write.mode("overwrite")

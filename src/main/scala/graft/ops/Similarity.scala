@@ -297,6 +297,196 @@ object Similarity {
        |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
        |FROM tr, h""".stripMargin
 
+  // --- product quantization (PQ) ANN -----------------------------------------
+
+  /** PQ geometry: [[Dim]]=64 split into [[PqM]]=4 subspaces of
+    * [[PqSubDim]]=16 dims. Codebook per subspace = the sub-slices of the
+    * strided rows (vec_id % [[PqCodeStride]] == 0) — data-derived and
+    * deterministic, same policy as the IVF seeds. [[PqShortlist]] is the
+    * ADC candidate budget per query before exact re-rank (4× [[TopK]]).
+    */
+  val PqM          = 4
+  val PqSubDim     = Dim / PqM
+  val PqCodeStride = 29
+  val PqShortlist  = 20
+
+  /** (vec_id, m, sv, ss): one row per vector per subspace, with the
+    * sub-vector and its self-dot precomputed (the ‖x‖² term of the L2
+    * expansion, folded once per row instead of once per compared pair).
+    */
+  private def subVectors(vecs: DataFrame): DataFrame = {
+    val subArr = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"),
+             slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+    vecs.select(col("vec_id"), explode(subArr).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .withColumn("ss", dot(col("sv"), col("sv")))
+  }
+
+  /** q_knn_pq: product-quantization ANN — the memory-bound scale path
+    * (Jégou et al. 2011). Each vector is compressed to [[PqM]] byte-sized
+    * codes (nearest codeword per subspace under exact L2, the
+    * ‖x‖²−2x·c+‖c‖² expansion, ties → min code id); queries score the
+    * whole corpus by asymmetric distance (ADC): per-subspace distance
+    * tables to the codewords, then a fixed-order 4-term sum looked up by
+    * code — cheap adds instead of 64-dim dots, and the corpus side touches
+    * only the codes, which is the point: at 100 TB the code table is
+    * ~64× smaller than the raw vectors. The ADC shortlist
+    * ([[PqShortlist]] per query) is then re-ranked exactly.
+    *
+    * Plan shape: assignment is a broadcast join (codebook is tiny) into a
+    * map-side-combinable max_by per (vec, m); ADC is a chain of broadcast
+    * lookups (distance tables are Q×C rows) fanning the code table to
+    * N×Q rows with NO shuffle until the per-query top-S window; re-rank
+    * touches S×Q raw vectors. In production the N×Q fan-out composes with
+    * IVF cells (IVF-PQ) to cut N per query; kept full-scan here so the
+    * whole pipeline stays exactly oracle-checkable.
+    *
+    * Determinism: codebook is data-derived; every distance is the same
+    * fixed expression on both engines; the 4-term ADC sum is written
+    * left-to-right (no aggregation order to vary); all ties break on ids.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val subs = subVectors(vecs)
+    val cb = subs.filter(col("vec_id") % PqCodeStride === 0)
+      .select(col("m"), col("vec_id").as("code_id"),
+              col("sv").as("cv"), col("ss").as("cc"))
+    // nearest codeword per (vector, subspace): max_by over (-d2, -code) =
+    // argmin d2 with ties to the smallest code id — an aggregation, not a
+    // window, so it partial-combines map-side (the assignCells argument)
+    val assigned = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code_id"),
+        (col("ss") - lit(2.0) * dot(col("sv"), col("cv")) + col("cc")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("code_id"), struct((-col("d2")).as("nd"),
+                                         (-col("code_id")).as("nc"))).as("code"))
+    // one wide row of codes per vector — the compressed representation
+    val codeCols = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"code_$m"))
+    val codes = assigned.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+
+    // per-query distance tables to every codeword, one per subspace
+    val qsubs = subs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("m"),
+              col("sv").as("qsv"), col("ss").as("qss"))
+    val dtab = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code_id"),
+        (col("qss") - lit(2.0) * dot(col("qsv"), col("cv")) + col("cc")).as("d"))
+    def dm(m: Int): DataFrame = dtab.filter(col("m") === m)
+      .select(col("query_id").as(s"q_$m"), col("code_id").as(s"k_$m"),
+              col("d").as(s"d_$m"))
+
+    // ADC: chain of broadcast lookups; the first fans out by query, the
+    // rest join on (query, code) with no further fan-out
+    val adc = (1 until PqM).foldLeft(
+        codes.join(broadcast(dm(0)), col("code_0") === col("k_0"))) {
+      (acc, m) => acc.join(broadcast(dm(m)),
+        col("q_0") === col(s"q_$m") && col(s"code_$m") === col(s"k_$m"))
+    }
+      .select(col("q_0").as("query_id"), col("vec_id"),
+        (col("d_0") + col("d_1") + col("d_2") + col("d_3")).as("approx"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val sw = Window.partitionBy("query_id").orderBy(col("approx").asc, col("vec_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqShortlist).select("query_id", "vec_id")
+
+    // exact cosine re-rank of the shortlist
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(vecs, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnPqOracle: String = {
+    val codeSel = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code_id END) AS code_$m")
+      .mkString(",\n       |       ")
+    val adcJoins = (1 until PqM)
+      .map(m => s"JOIN dtab d$m ON d$m.m = $m AND d$m.code_id = c.code_$m AND d$m.query_id = d0.query_id")
+      .mkString("\n       |  ")
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, m, v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |subs2 AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS ss FROM subs),
+       |cb AS (SELECT m, vec_id AS code_id, sv AS cv, ss AS cc
+       |       FROM subs2 WHERE vec_id % $PqCodeStride = 0),
+       |asg AS (
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT s.vec_id, s.m, c.code_id,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY (s.ss - 2.0*list_dot_product(s.sv, c.cv) + c.cc) ASC, c.code_id) AS rn
+       |    FROM subs2 s JOIN cb c USING (m)) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |       $codeSel
+       |  FROM asg GROUP BY 1),
+       |qsubs AS (SELECT vec_id AS query_id, m, sv AS qsv, ss AS qss
+       |          FROM subs2 WHERE vec_id % $QueryStride = 0),
+       |dtab AS (
+       |  SELECT query_id, m, code_id,
+       |         (qss - 2.0*list_dot_product(qsv, cv) + cc) AS d
+       |  FROM qsubs JOIN cb USING (m)),
+       |adc AS (
+       |  SELECT d0.query_id, c.vec_id,
+       |         (d0.d + d1.d + d2.d + d3.d) AS approx
+       |  FROM codes c
+       |  JOIN dtab d0 ON d0.m = 0 AND d0.code_id = c.code_0
+       |  $adcJoins
+       |  WHERE c.vec_id <> d0.query_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY approx ASC, vec_id) AS srn
+       |    FROM adc) WHERE srn <= $PqShortlist),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |ranked AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |         ${cosineSql("q.qv", "e.v")} AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${cosineSql("q.qv", "e.v")} DESC, s.vec_id) AS rank
+       |  FROM short s JOIN e ON s.vec_id = e.vec_id
+       |               JOIN q ON s.query_id = q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_knn_pq_recall: PQ quality audit — recall@k of the PQ pipeline
+    * against the brute-force ground truth, same shape as [[knnRecall]].
+    */
+  def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    val pq = knnPq(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_hits"))
+    val truth = bf.groupBy().agg(
+      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
+    truth.crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
+  }
+
+  val knnPqRecallOracle: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
+       |pq AS (SELECT query_id, neighbor_id FROM ($knnPqOracle) t),
+       |h AS (SELECT COUNT(*) AS n_hits FROM bf
+       |      WHERE EXISTS (SELECT 1 FROM pq
+       |                    WHERE pq.query_id = bf.query_id
+       |                      AND pq.neighbor_id = bf.neighbor_id)),
+       |tr AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM bf)
+       |SELECT n_queries, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
+       |FROM tr, h""".stripMargin
+
   // --- sign-random-projection LSH near-dup -----------------------------------
 
   /** Deterministic ±1 hyperplanes: sign(t, p, d) = parity of the first hex

