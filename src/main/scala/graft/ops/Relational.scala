@@ -430,24 +430,41 @@ object Relational {
     */
   def stageBucketedTables(spark: SparkSession, dir: String): (String, String) = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (ot, lt) = (s"b_orders$safe", s"b_lineitem$safe")
+    // bucket count is part of the on-disk layout contract, so it is part
+    // of the staged name: a JoinBuckets change can never silently re-read
+    // files clustered under the old spec
+    val (ot, lt) = (s"b_orders${JoinBuckets}$safe", s"b_lineitem${JoinBuckets}$safe")
     if (!spark.catalog.tableExists(ot)) {
-      // the warehouse DIRECTORY outlives the in-memory catalog: a fresh
-      // session sees tableExists=false while the previous JVM's table data
-      // still sits at the default location, and saveAsTable refuses
-      // (LOCATION_ALREADY_EXISTS). The staged tables are a derived cache of
-      // the parquet inputs, so a stale location is safe to sweep.
+      // The warehouse DIRECTORY outlives the in-memory catalog: a fresh
+      // session sees tableExists=false while the previous JVM's staged
+      // data still sits at the default location (saveAsTable would refuse
+      // with LOCATION_ALREADY_EXISTS). That surviving data is exactly the
+      // write-once/join-many point of bucketing — if it finished (_SUCCESS
+      // present in both dirs), RE-REGISTER it as an external bucketed
+      // table instead of paying the clustering write again; only a partial
+      // (crashed) stage is swept and rewritten.
       val warehouse = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(ot, lt).foreach { t =>
-        val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-        if (fs.exists(loc)) fs.delete(loc, true)
+      def loc(t: String) = new org.apache.hadoop.fs.Path(warehouse, t)
+      def complete(t: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(loc(t), "_SUCCESS"))
+      if (complete(ot) && complete(lt)) {
+        def register(t: String, schema: org.apache.spark.sql.types.StructType,
+                     key: String): Unit =
+          spark.sql(
+            s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $JoinBuckets BUCKETS
+               |LOCATION '${loc(t)}'""".stripMargin)
+        register(ot, Tables.orders(spark, dir).schema, "o_orderkey")
+        register(lt, Tables.lineitem(spark, dir).schema, "l_orderkey")
+      } else {
+        Seq(ot, lt).foreach { t => if (fs.exists(loc(t))) fs.delete(loc(t), true) }
+        Tables.orders(spark, dir).write.mode("overwrite")
+          .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        Tables.lineitem(spark, dir).write.mode("overwrite")
+          .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
       }
-      Tables.orders(spark, dir).write.mode("overwrite")
-        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      Tables.lineitem(spark, dir).write.mode("overwrite")
-        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     }
     (ot, lt)
   }

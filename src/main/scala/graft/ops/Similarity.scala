@@ -273,9 +273,16 @@ object Similarity {
     // persisted: each side feeds two consumers (semi-join + totals); the
     // results are Q×k id pairs, but their lineage is the full O(N×Q)
     // brute-force / IVF pipeline — recomputing THAT is what made this
-    // query 10× its parts before the persist
+    // query 10× its parts before the persist. MATERIALIZED eagerly
+    // (count) before composing: inside one final action, the two
+    // consumers' subtrees race to compute the not-yet-cached plan
+    // CONCURRENTLY, duplicating the full pipeline under core contention
+    // (observed 5 s → 24 s run-to-run flapping in the suite); the two
+    // tiny extra jobs pin the cache first, so the final action only reads
+    // Q×k cached rows
     val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
     val ivf = knnIvf(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    bf.count(); ivf.count()
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy().agg(count(lit(1)).as("n_hits"))
     val truth = bf.groupBy().agg(
@@ -466,6 +473,7 @@ object Similarity {
   def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
     val pq = knnPq(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    bf.count(); pq.count() // pin caches before the multi-consumer composition (see knnRecall)
     val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy().agg(count(lit(1)).as("n_hits"))
     val truth = bf.groupBy().agg(

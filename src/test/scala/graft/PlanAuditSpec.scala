@@ -147,6 +147,38 @@ class PlanAuditSpec extends SparkSpec {
            s"bloom prune not in the fact scan path:\n$plan")
   }
 
+  test("dup_spans: pruned scan, hash-keyed aggregations, no window") {
+    val plan = planOf(ops.Corpus.dupSpans(spark, dir))
+    assert(plan.contains("partial_"), s"window counts must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    // the documents scan must not read lang/n_chars for this audit
+    assert(!plan.contains("n_chars"), s"documents scan not pruned:\n$plan")
+  }
+
+  test("bpe_pairs top-k is a distributed TakeOrdered, ranked by broadcast self-join") {
+    val plan = planOf(ops.Corpus.bpePairs(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"rank must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"rank-count self-join must broadcast the ≤k side:\n$plan")
+  }
+
+  test("dsir scoring joins on tok and broadcasts only the model-size scalars") {
+    val plan = planOf(ops.Corpus.dsirWeights(spark, dir))
+    assert(plan.contains("partial_"), s"audit must partial-aggregate:\n$plan")
+    // the 1-row scalar table rides a broadcast nested loop; the vocab-sized
+    // ratio table must NOT be forced broadcast (corpus vocab is unbounded)
+    val analyzed = ops.Corpus.dsirWeights(spark, dir).queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).length <= 1,
+           s"only the scalars may carry a broadcast hint:\n$analyzed")
+  }
+
+  test("PQ code assignment partial-aggregates map-side; ADC tables broadcast") {
+    val plan = planOf(ops.Similarity.knnPq(spark, dir))
+    assert(plan.contains("partial_max_by"), s"code argmin must partial-aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"ADC lookups must broadcast:\n$plan")
+  }
+
   test("lang quota windows only the hash-pruned survivors, not the corpus") {
     val df = ops.Dedup.langQuota(spark, dir, k = 5)
     val plan = planOf(df)

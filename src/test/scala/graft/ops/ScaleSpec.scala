@@ -48,6 +48,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned layout yields file-disjoint ranges (zone-map prunable); round-robin does not") {
+    // The write-side lever for scan pruning at 100 TB: repartitionByRange +
+    // sortWithinPartitions clusters a predicate column so parquet file/
+    // row-group min-max stats become disjoint — a time-window filter then
+    // skips whole files. Round-robin layout interleaves values, so every
+    // file's [min,max] spans the full domain and nothing can be skipped.
+    def fileRanges(path: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ts").cast("long").as("lo"), max("ts").cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val ev = Tables.events(spark, sf0001).select("ts", "user_id")
+    val base = java.nio.file.Files.createTempDirectory("layout").toString
+    ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$base/range")
+    ev.repartition(4)
+      .write.mode("overwrite").parquet(s"$base/rr")
+    val ranged = fileRanges(s"$base/range")
+    assert(ranged.size >= 3, s"expected >=3 files, got $ranged")
+    // disjoint up to boundary ties (equal keys land in one range partition)
+    ranged.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+      assert(lo2 >= hi1, s"overlapping file ranges: $ranged")
+    case _ => ()
+    }
+    val rr = fileRanges(s"$base/rr")
+    val domainSpan = rr.map(_._2).max - rr.map(_._1).min
+    // every round-robin file covers (almost) the whole domain — unprunable
+    assert(rr.forall { case (lo, hi) => hi - lo > domainSpan / 2 },
+           s"round-robin layout unexpectedly clustered: $rr")
+  }
+
   test("stop-shingle DF cap collapses the hot-bucket candidate blowup (100 TB skew defense)") {
     import spark.implicits._
     // 100 boilerplate docs sharing one hot shingle set + 1 genuine near-dup
