@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dsir_weights"      -> ((s, d) => Corpus.dsirWeights(s, d)),
     "q_knn_pq"            -> ((s, d) => Similarity.knnPq(s, d)),
     "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
+    "q_stream_hourly"     -> ((s, d) => graft.streaming.StreamingQueries.streamEventsHourly(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,5 +214,8 @@ object SparkEntry {
     "q_dsir_weights"            -> ops.Corpus.dsirWeightsOracle,
     "q_knn_pq"                  -> ops.Similarity.knnPqOracle,
     "q_knn_pq_recall"           -> ops.Similarity.knnPqRecallOracle,
+    // the STREAMING execution of the hourly rollup must match the same
+    // batch oracle — Structured Streaming rides the hash-compare gate
+    "q_stream_hourly"           -> ops.Temporal.eventsHourlyOracle,
   )
 }

@@ -49,9 +49,12 @@ object Similarity {
   /** Double-widened copy of a float vector column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (matches DuckDB list_dot_product order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (matches DuckDB list_dot_product order) —
+    * the codegen'd [[graft.plans.VecDot]] primitive loop; bit-identical to
+    * the `aggregate(zip_with(...))` HOF form it replaced, but it stays
+    * inside whole-stage codegen and allocates no zipped intermediate.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot.column(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

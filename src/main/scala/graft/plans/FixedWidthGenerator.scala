@@ -115,5 +115,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     FixedWidthGenerator.inject(ext)
     AsciiTokenCount.inject(ext)
     NfcNormalize.inject(ext)
+    VecDot.inject(ext)
   }
 }

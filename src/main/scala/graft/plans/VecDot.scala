@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd dot product over two `array<double>` columns — the hot loop of
+  * every vector-similarity operator (brute-force knn, IVF assignment and
+  * probing, PQ code assignment and ADC tables, LSH bucketing).
+  *
+  * The declarative form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * allocates a zipped intermediate array per pair and evaluates its lambdas
+  * as interpreted higher-order functions OUTSIDE whole-stage codegen; this
+  * expression is one tight primitive loop inside the generated stage
+  * (native Expression > HOF > UDF, the build-brief preference ladder).
+  *
+  * Summation is strictly left-to-right — bit-identical to both the HOF
+  * fold it replaces and DuckDB's `list_dot_product` (the oracle side), so
+  * swapping it in changes no hash-compared result. Element nulls are not
+  * expected (embeddings are dense); lengths are trusted equal by callers
+  * (vectors of one corpus share a dim) and the shorter length wins
+  * defensively. Registered as SQL `vec_dot(a, b)`.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+object VecDot {
+  val Name = "vec_dot"
+
+  /** Called from both interpreted eval and generated Java. Left-to-right
+    * accumulation — do not reorder (oracle bit-equality depends on it).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def column(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private val info = new ExpressionInfo(classOf[VecDot].getName, Name)
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$Name expects 2 arguments, got ${other.length}")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Name), info, builder)
+
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(Name), info, builder))
+}

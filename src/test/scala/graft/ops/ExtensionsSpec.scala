@@ -135,6 +135,32 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.05, s"PQ recall $recall suspiciously low")
   }
 
+  test("vec_dot codegen expression is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    // adversarial magnitudes: double addition is order-sensitive, so bit
+    // equality here proves the loop accumulates strictly left-to-right
+    // like aggregate(zip_with(...)) and DuckDB's list_dot_product
+    val vecs = Seq(
+      (Array(1e16, 1.0, -1e16, 3.5), Array(1.0, 1e-3, 1.0, 2.0)),
+      (Array(0.1, 0.2, 0.3, 0.4), Array(-0.4, 0.3, -0.2, 0.1)),
+      (Array.empty[Double], Array.empty[Double]),
+      (Array(math.Pi, math.E, 1e-300, 1e300), Array(math.E, math.Pi, 1e300, 1e-300)))
+      .toDF("a", "b")
+    val hof = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().map(_.getDouble(0))
+    val native = vecs.select(Similarity.dot(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(native.map(java.lang.Double.doubleToLongBits).toSeq ==
+           hof.map(java.lang.Double.doubleToLongBits).toSeq)
+    // SQL registration works
+    graft.plans.VecDot.register(spark)
+    vecs.createOrReplaceTempView("vd")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) FROM vd").collect().map(_.getDouble(0))
+    assert(viaSql.map(java.lang.Double.doubleToLongBits).toSeq ==
+           hof.map(java.lang.Double.doubleToLongBits).toSeq)
+  }
+
   test("brute-force knn: self excluded, exactly k per query, sim within [-1,1]") {
     val rows = Similarity.knnBruteForce(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
