@@ -96,6 +96,8 @@ object SparkEntry {
     "q_knn_pq"            -> ((s, d) => Similarity.knnPq(s, d)),
     "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
     "q_stream_hourly"     -> ((s, d) => graft.streaming.StreamingQueries.streamEventsHourly(s, d)),
+    "q_stream_sessions"   -> ((s, d) => graft.streaming.StreamingQueries.streamUserSessions(s, d)),
+    "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingQueries.streamDedupExact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -214,8 +216,11 @@ object SparkEntry {
     "q_dsir_weights"            -> ops.Corpus.dsirWeightsOracle,
     "q_knn_pq"                  -> ops.Similarity.knnPqOracle,
     "q_knn_pq_recall"           -> ops.Similarity.knnPqRecallOracle,
-    // the STREAMING execution of the hourly rollup must match the same
-    // batch oracle — Structured Streaming rides the hash-compare gate
+    // STREAMING executions must match the same batch oracles — Structured
+    // Streaming (window agg, native session_window state, and
+    // mapGroupsWithState dedup) rides the hash-compare gate
     "q_stream_hourly"           -> ops.Temporal.eventsHourlyOracle,
+    "q_stream_sessions"         -> ops.Temporal.userSessionsOracle,
+    "q_stream_dedup"            -> ops.Dedup.dedupExactOracle,
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 import graft.util.Exact
 
@@ -50,5 +50,93 @@ object StreamingQueries {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy("hour_start", "event_type")
+  }
+
+  /** q_stream_sessions: [[graft.ops.Temporal.userSessions]] executed with the
+    * streaming engine's NATIVE `session_window` state store — the stateful
+    * operator the batch query's lag/running-sum form emulates. Complete
+    * output mode keeps every session in state so the final table is
+    * batch-equivalent regardless of micro-batch splits (and needs no
+    * watermark, so no arrival-order nondeterminism); the single-row summary
+    * is a BATCH readout of the drained sink, because chaining a second
+    * aggregation onto a streaming aggregation is unsupported by design.
+    *
+    * Gap semantics: `session_window(ts, gap)` closes at ≥gap while the
+    * batch/oracle lag-form splits at >gap. The two differ only on a gap of
+    * EXACTLY 1800.000000 s, measure-zero for microsecond event data —
+    * asserted equal on the fixture by StreamingSpec.
+    */
+  def streamUserSessions(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_user_sessions"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("n_events"))
+  }
+
+  /** q_stream_dedup: exact dedup as an INCREMENTAL stateful operator —
+    * `mapGroupsWithState` keyed by (source, content-hash), carrying
+    * (representative doc_id, group count) per key. This is the streaming
+    * face of [[graft.ops.Dedup.dedupExact]]: a training-data firehose
+    * deduped as it arrives instead of by nightly batch.
+    *
+    * Update output mode re-emits a key's CUMULATIVE (rep, count) each
+    * micro-batch it appears in; the memory sink accumulates those rows, and
+    * the batch readout reduces to the final state per key (`min(rep)` /
+    * `max(n)` — both monotone), so the result is batch-identical under ANY
+    * micro-batch split, then rolls up to the same per-source shape (and
+    * DuckDB oracle) as the batch query. State size is one (long, long) per
+    * distinct document — the minimum any exact dedup must retain.
+    */
+  def streamDedupExact(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val name = "stream_dedup_exact"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // maxFilesPerTrigger (tests only) forces a multi-file fixture through
+    // MULTIPLE micro-batches, proving the cumulative update-mode reduction
+    // below is split-invariant; the driver path runs single-batch
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val src = reader.parquet(s"$dir/documents.parque*")
+      .select(col("source"), md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+      .as[(String, String, Long)]
+    val emitted = src.groupByKey(d => (d._1, d._2))
+      .mapGroupsWithState[(Long, Long), (String, String, Long, Long)](
+        GroupStateTimeout.NoTimeout) { case ((source, h), rows, state) =>
+        var (rep, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+        rows.foreach { r => n += 1; if (r._3 < rep) rep = r._3 }
+        state.update((rep, n))
+        (source, h, rep, n)
+      }
+      .toDF("source", "h", "rep_id", "n_in_group")
+    val q = emitted.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("source", "h")
+      .agg(min("rep_id").as("rep_id"), max("n_in_group").as("n_in_group"))
+      .groupBy("source")
+      .agg(
+        sum("n_in_group").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n_in_group") - 1).as("n_removed"),
+        min("rep_id").as("min_rep_id"))
+      .orderBy("source")
   }
 }

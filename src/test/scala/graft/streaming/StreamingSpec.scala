@@ -209,4 +209,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "click", 1L), ("2024-01-01 01:00:00", "view", 1L))
     assert(got == expect) // the 09:00 window is still open -> not emitted
   }
+
+  test("streaming stateful dedup is micro-batch-split invariant (3 files, 1 per trigger)") {
+    // duplicate a slice of the fixture and scatter everything across 3 part
+    // files; 1 file per trigger forces hash groups to SPAN micro-batches, so
+    // the cumulative update-mode reduction (min rep / max count over the
+    // sink's accumulated rows) is what's actually under test
+    val dir = tmpDir("stream_dedup")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.union(docs.limit(7)).repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = StreamingQueries.streamDedupExact(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Dedup.dedupExact(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("streaming session_window summary equals the batch lag-form summary") {
+    val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
+    val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
+    assert(streamed == batch)
+  }
 }
