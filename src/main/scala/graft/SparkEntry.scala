@@ -97,6 +97,7 @@ object SparkEntry {
     "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
     "q_stream_hourly"     -> ((s, d) => graft.streaming.StreamingQueries.streamEventsHourly(s, d)),
     "q_stream_sessions"   -> ((s, d) => graft.streaming.StreamingQueries.streamUserSessions(s, d)),
+    "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingQueries.streamDedupExact(s, d)),
   )
 
@@ -221,6 +222,7 @@ object SparkEntry {
     // mapGroupsWithState dedup) rides the hash-compare gate
     "q_stream_hourly"           -> ops.Temporal.eventsHourlyOracle,
     "q_stream_sessions"         -> ops.Temporal.userSessionsOracle,
+    "q_semdedup"                -> ops.Similarity.semDedupOracle,
     "q_stream_dedup"            -> ops.Dedup.dedupExactOracle,
   )
 }

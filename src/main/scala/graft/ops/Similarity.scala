@@ -226,8 +226,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val knnIvfOracle: String =
-    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+  /** Shared oracle CTE prefix: embeddings → strided seeds → one quantized
+    * Lloyd step → `assigned(vec_id, v, cell)` — the exact SQL mirror of
+    * `assignCells(vecs, refinedCentroids(...))`, reused by the IVF and
+    * SemDeDup oracles so the two stay centroid-for-centroid identical.
+    */
+  private val assignedCteSql: String =
+    s"""e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentroidStride = 0),
        |seed AS (
        |  SELECT vec_id, v, cent_id AS cell FROM (
@@ -251,7 +256,10 @@ object Similarity {
        |    SELECT e.vec_id, e.v, c.cent_id,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosineSql("e.v", "c.cv")} DESC, c.cent_id) AS arn
-       |    FROM e CROSS JOIN c) WHERE arn = 1),
+       |    FROM e CROSS JOIN c) WHERE arn = 1)""".stripMargin
+
+  val knnIvfOracle: String =
+    s"""WITH $assignedCteSql,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
        |probes AS (
        |  SELECT query_id, qv, cent_id AS cell FROM (
@@ -575,4 +583,70 @@ object Similarity {
        |       CAST(SUM(CASE WHEN sim >= $NearDupCos THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
        |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // --- SemDeDup (cluster-then-dedup semantic dedup) --------------------------
+
+  /** q_semdedup: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the embedding space, then compare pairs
+    * ONLY within a cluster and greedily drop every vector that has a
+    * lower-id near-duplicate (cosine ≥ [[NearDupCos]]) in its cell.
+    *
+    * The clustering is the IVF machinery verbatim ([[refinedCentroids]] one
+    * quantized-Lloyd step over strided seeds, [[assignCells]]), so the whole
+    * pipeline stays deterministic and oracle-checkable. Scale shape: with
+    * seed stride S the cell count grows as N/S, so mean cell size stays ~S
+    * and the within-cell self-join is O(N·S) TOTAL — the linear-in-N
+    * near-dup pass that makes SemDeDup viable where all-pairs cosine is
+    * not. Skewed cells are bounded by the same Lloyd rebalancing defense as
+    * IVF; a DF-style cell cap (as in jaccardPairsCapped) is the documented
+    * escalation if a pathological corpus concentrates one cell.
+    *
+    * Keep rule: a vector is dropped iff some SMALLER vec_id in its cell
+    * clears the threshold — the id-orderd greedy sweep (keep-first), which
+    * needs no connected components: reachability through a kept
+    * representative is not required by SemDeDup semantics.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    val cents = refinedCentroids(vecs, seeds).persist()
+    // persisted: the assignment feeds both sides of the within-cell join;
+    // without it the N×C assignment pass runs twice
+    val assigned = assignCells(vecs, cents).persist()
+    val lhs = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val rhs = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val drops = lhs.join(rhs, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(pairSim(col("va"), col("vb"), col("na"), col("nb")) >= NearDupCos)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(drops, Seq("vec_id"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(0L)))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("dropped")).as("n_dropped"),
+        (count(lit(1)) - sum(col("dropped"))).as("n_kept"),
+        min(when(col("dropped") === 1L, col("vec_id"))).as("min_dropped_id"))
+      .orderBy("label")
+  }
+
+  val semDedupOracle: String =
+    s"""WITH $assignedCteSql,
+       |pairs AS (
+       |  SELECT y.vec_id AS id_b
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${cosineSql("x.v", "y.v")} >= $NearDupCos),
+       |drops AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       MIN(CASE WHEN d.vec_id IS NOT NULL THEN emb.vec_id END) AS min_dropped_id
+       |FROM embeddings emb LEFT JOIN drops d ON emb.vec_id = d.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -161,6 +161,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
            hof.map(java.lang.Double.doubleToLongBits).toSeq)
   }
 
+  test("semdedup drops planted exact duplicates and conserves counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toFile.getAbsolutePath
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val maxId = base.agg(max("vec_id")).head().getLong(0)
+    // plant exact copies under fresh HIGHER ids: an identical vector gets an
+    // identical (deterministic) cell assignment, so each copy shares a cell
+    // with its twin at cosine 1.0 and the greedy keep-min rule must drop it
+    val dups = base.filter(col("vec_id") % 17 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(maxId + 1))
+    val nPlanted = dups.count()
+    base.union(dups).write.parquet(s"$tmp/embeddings.parquet")
+    val res = Similarity.semDedup(spark, tmp).collect()
+    val dropped = res.map(_.getAs[Long]("n_dropped")).sum
+    val vecs = res.map(_.getAs[Long]("n_vecs")).sum
+    val kept = res.map(_.getAs[Long]("n_kept")).sum
+    assert(vecs == base.count() + nPlanted)
+    assert(kept + dropped == vecs)
+    assert(dropped >= nPlanted, s"only $dropped dropped, planted $nPlanted")
+  }
+
   test("brute-force knn: self excluded, exactly k per query, sim within [-1,1]") {
     val rows = Similarity.knnBruteForce(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
