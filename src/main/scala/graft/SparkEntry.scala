@@ -46,6 +46,7 @@ object SparkEntry {
     "q_quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "q_vocab_topk"        -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "q_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_quality_filter"          -> ops.TextAnalysis.qualityFilterOracle,
     "q_vocab_topk"              -> ops.TextAnalysis.vocabTopKOracle,
     "q_dedup_exact"             -> ops.Dedup.dedupExactOracle,
+    "q_dedup_incremental"       -> ops.Dedup.dedupIncrementalOracle,
     "q_dedup_ngram_jaccard"     -> ops.Dedup.ngramJaccardOracle,
     "q_dedup_jaccard_capped"    -> ops.Dedup.ngramJaccardCappedOracle,
     "q_source_mix"              -> ops.Dedup.sourceMixOracle,

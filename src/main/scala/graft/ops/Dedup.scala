@@ -118,6 +118,79 @@ object Dedup {
       |       MIN(rep_id) AS min_rep_id
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- incremental (daily-batch) dedup ---------------------------------------
+
+  /** Incremental dedup core: dedup `batch` internally (min doc_id per
+    * content hash per source), then drop the reps whose hash already
+    * exists in `history` (one anti-join on the hash). Returns the
+    * per-source audit: batch_docs, batch_distinct, dropped_known (already
+    * in the corpus), new_docs, min_new_id.
+    *
+    * This is the daily-ingest shape at 100 TB: the accumulated corpus is
+    * never re-deduped — it is represented by its content-hash index
+    * (narrow `h`-only relation, written bucketed by `h` once per day,
+    * the write-once/join-many layout `Relational.stageBucketedTables`
+    * demonstrates), and each day costs O(batch + touched index buckets):
+    * the batch groupBy is map-side combined on (source, h), and the
+    * anti-join shuffles only the batch's distinct hashes against the
+    * co-partitioned index — never the corpus text. `history` and `batch`
+    * carry (doc_id, source, h); only `h` is read from history, so column
+    * pruning keeps the index scan narrow.
+    */
+  def incrementalDedup(history: DataFrame, batch: DataFrame): DataFrame = {
+    val hist = history.select(col("h")).distinct()
+    val reps = batch.groupBy("source", "h")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_in_group"))
+    val fresh = reps.join(hist, Seq("h"), "left_anti")
+    val perSource = reps.groupBy("source")
+      .agg(sum("n_in_group").as("batch_docs"), count(lit(1)).as("batch_distinct"))
+    val freshPerSource = fresh.groupBy("source")
+      .agg(count(lit(1)).as("fresh_cnt"), min("rep_id").as("min_new_id"))
+    perSource.join(freshPerSource, Seq("source"), "left")
+      .select(
+        col("source"), col("batch_docs"), col("batch_distinct"),
+        (col("batch_distinct") - coalesce(col("fresh_cnt"), lit(0L))).as("dropped_known"),
+        coalesce(col("fresh_cnt"), lit(0L)).as("new_docs"),
+        col("min_new_id"))
+      .orderBy("source")
+  }
+
+  /** q_dedup_incremental: [[incrementalDedup]] over a deterministic
+    * history/batch partition of the fixture — docs with doc_id % 10 < 8
+    * are "already ingested", the rest are "today's drop". The planted
+    * exact duplicates straddle the boundary, so dropped_known is
+    * non-vacuous at fixture scale.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(lower(trim(col("text")))).as("h"))
+    incrementalDedup(
+      history = docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      batch   = docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+  }
+
+  val dedupIncrementalOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents),
+      |hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8),
+      |reps AS (
+      |  SELECT source, h, MIN(doc_id) AS rep_id, COUNT(*) AS n_in_group
+      |  FROM d WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
+      |fresh AS (
+      |  SELECT * FROM reps r WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = r.h)),
+      |per AS (
+      |  SELECT source, CAST(SUM(n_in_group) AS BIGINT) AS batch_docs,
+      |         COUNT(*) AS batch_distinct
+      |  FROM reps GROUP BY 1),
+      |fp AS (
+      |  SELECT source, COUNT(*) AS fresh_cnt, MIN(rep_id) AS min_new_id
+      |  FROM fresh GROUP BY 1)
+      |SELECT per.source, batch_docs, batch_distinct,
+      |       CAST(batch_distinct - COALESCE(fresh_cnt, 0) AS BIGINT) AS dropped_known,
+      |       CAST(COALESCE(fresh_cnt, 0) AS BIGINT) AS new_docs, min_new_id
+      |FROM per LEFT JOIN fp ON per.source = fp.source
+      |ORDER BY 1""".stripMargin
+
   // --- n-gram Jaccard near-dup ----------------------------------------------
 
   /** q_dedup_ngram_jaccard: exact pairwise Jaccard over word 3-gram shingles,

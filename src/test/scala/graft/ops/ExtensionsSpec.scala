@@ -300,6 +300,28 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(nestedDir == ahoDir)
   }
 
+  test("incrementalDedup: cross-boundary dups drop, batch-internal dups collapse, all-known source survives with zero new") {
+    import spark.implicits._
+    // history holds hashes hA, hB; batch: src1 has a known dup (hA), an
+    // internal dup pair (hC twice), and a fresh singleton (hD); src2 is
+    // entirely already-known (hB) — its min_new_id must be null
+    val history = Seq((1L, "src1", "hA"), (2L, "src2", "hB"))
+      .toDF("doc_id", "source", "h")
+    val batch = Seq(
+        (10L, "src1", "hA"), (11L, "src1", "hC"), (12L, "src1", "hC"),
+        (13L, "src1", "hD"), (14L, "src2", "hB"))
+      .toDF("doc_id", "source", "h")
+    val out = Dedup.incrementalDedup(history, batch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    assert(out == Seq(
+      // src1: 4 docs, 3 distinct (hA, hC, hD), hA known -> dropped, 2 new,
+      // min new rep = 11 (hC's min, beats hD's 13)
+      ("src1", 4L, 3L, 1L, 2L, 11L),
+      // src2: all known, nothing new
+      ("src2", 1L, 1L, 1L, 0L, -1L)))
+  }
+
   test("nfc_normalize: composes decomposed sequences, identity on ASCII and on NFC-clean text") {
     import spark.implicits._
     graft.plans.NfcNormalize.register(spark)
