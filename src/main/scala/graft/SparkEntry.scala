@@ -45,6 +45,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "q_quality_filter"    -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "q_vocab_topk"        -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    "q_heavy_hitters"     -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "q_dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_doc_fingerprint"         -> ops.TextAnalysis.docFingerprintOracle,
     "q_quality_filter"          -> ops.TextAnalysis.qualityFilterOracle,
     "q_vocab_topk"              -> ops.TextAnalysis.vocabTopKOracle,
+    "q_heavy_hitters"           -> ops.TextAnalysis.heavyHittersOracle,
     "q_dedup_exact"             -> ops.Dedup.dedupExactOracle,
     "q_dedup_incremental"       -> ops.Dedup.dedupIncrementalOracle,
     "q_dedup_ngram_jaccard"     -> ops.Dedup.ngramJaccardOracle,

@@ -165,6 +165,79 @@ object TextAnalysis {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank, tok, cnt
        |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin
 
+  /** Count-min sketch geometry for [[heavyHitters]]: 4 hash rows × 1024
+    * buckets. Fixed (not tuned per run) so the sketch — like the HLL and
+    * quantile checks — is a deterministic md5 reconstruction on both
+    * engines and the whole query stays hash-comparable.
+    */
+  val CmsRows  = 4
+  val CmsWidth = 1024
+
+  /** q_heavy_hitters: frequent-token estimation via a count-min sketch,
+    * self-checked against the exact counts — the frequency path that
+    * survives 100 TB where the exact vocabulary aggregate (10⁸+ distinct
+    * tokens) is itself the bottleneck. The sketch is CmsRows×CmsWidth
+    * counters (tiny, map-side combined: the shuffle carries ≤ rows×width
+    * partial sums per task, independent of vocabulary size); estimates for
+    * the top-k exact tokens are min-over-rows bucket sums. Emits per token
+    * the exact count, the sketch estimate, and `within_budget` — the CMS
+    * contract (estimate never undercounts; overcount ≤ 8N/width at the
+    * fixture, a calibrated-deterministic bound since every hash is md5).
+    * The sketch is built from per-token counts (one groupBy, then
+    * rows×|vocab| tiny rows), arithmetic-identical to per-occurrence
+    * increments but shuffling counts, not occurrences.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    def bucketOf(r: Column, tok: Column): Column =
+      conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 6), 16, 10)
+        .cast("long") % CmsWidth
+    val exact = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()  // feeds sketch, total, and top-k; unpersisted by session cleanup
+    val sketch = exact
+      .select(explode(sequence(lit(0), lit(CmsRows - 1))).as("r"), col("tok"), col("cnt"))
+      .withColumn("bucket", bucketOf(col("r"), col("tok")))
+      .groupBy("r", "bucket").agg(sum("cnt").as("bcnt"))
+    val total = exact.agg(sum("cnt").as("n"))
+    val probes = exact.orderBy(col("cnt").desc, col("tok")).limit(k)
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col("tok")))
+    probes.join(sketch, Seq("r", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min("bcnt").as("est_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("cnt") &&
+          col("est_cnt").cast("double") <=
+            col("cnt").cast("double") + lit(8.0) * col("n") / lit(CmsWidth))
+          .as("within_budget"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH ex AS (SELECT unnest($tokensSql) AS tok FROM documents),
+       |cnts AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS n FROM cnts),
+       |rb AS (
+       |  SELECT r, tok, cnt,
+       |         ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 6))::BIGINT % 1024 AS bucket
+       |  FROM cnts, range(4) t(r)),
+       |sketch AS (SELECT r, bucket, SUM(cnt) AS bcnt FROM rb GROUP BY 1, 2),
+       |top AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 15),
+       |probes AS (
+       |  SELECT r, tok, cnt,
+       |         ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 6))::BIGINT % 1024 AS bucket
+       |  FROM top, range(4) t(r)),
+       |est AS (
+       |  SELECT tok, cnt, MIN(bcnt) AS est_cnt
+       |  FROM probes JOIN sketch USING (r, bucket) GROUP BY 1, 2)
+       |SELECT tok, cnt AS exact_cnt, est_cnt,
+       |       (est_cnt >= cnt AND
+       |        est_cnt::DOUBLE <= cnt::DOUBLE + 8.0 * n / 1024) AS within_budget
+       |FROM est, tot ORDER BY exact_cnt DESC, tok""".stripMargin
+
   /** q_tfidf: per-document top-TF-IDF terms — the classic feature-extraction
     * op (tf = in-doc count, idf = ln(N/df)). Top-3 terms for a fixed doc
     * slice, ties broken by token; one explode + two aggregations + a

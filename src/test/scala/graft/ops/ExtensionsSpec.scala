@@ -322,6 +322,16 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       ("src2", 1L, 1L, 1L, 0L, -1L)))
   }
 
+  test("heavy hitters: sketch never undercounts and lands inside the error budget") {
+    val rows = TextAnalysis.heavyHitters(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(r.getBoolean(3), s"${r.getString(0)} outside budget: est $est exact $exact")
+    }
+  }
+
   test("nfc_normalize: composes decomposed sequences, identity on ASCII and on NFC-clean text") {
     import spark.implicits._
     graft.plans.NfcNormalize.register(spark)
