@@ -34,6 +34,7 @@ object SparkEntry {
     "q_inactive_customers" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "q_sales_rollup"      -> ((s, d) => Relational.salesRollup(s, d)),
     "q_revenue_pivot"     -> ((s, d) => Relational.revenuePivot(s, d)),
+    "q_sales_cube"        -> ((s, d) => Relational.salesCube(s, d)),
     "q_fixedwidth_parse"  -> ((s, d) => Ingestion.fixedWidthParse(s, d)),
     "q_pack_stats"        -> ((s, d) => Ingestion.packStats(s, d)),
     "q_pack_scalable_stats" -> ((s, d) => Ingestion.packScalableStats(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_inactive_customers"      -> ops.Relational.customersWithoutOrdersOracle,
     "q_sales_rollup"            -> ops.Relational.salesRollupOracle,
     "q_revenue_pivot"           -> ops.Relational.revenuePivotOracle,
+    "q_sales_cube"              -> ops.Relational.salesCubeOracle,
     "q_fixedwidth_parse"        -> ops.Ingestion.parsedAggOracle,
     "q_pack_stats"              -> ops.Ingestion.packStatsOracle,
     "q_pack_scalable_stats"     -> ops.Ingestion.packStatsOracle,

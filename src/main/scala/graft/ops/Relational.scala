@@ -203,6 +203,40 @@ object Relational {
        |GROUP BY ROLLUP(r.r_name, n.n_name)
        |ORDER BY 1, 2""".stripMargin
 
+  /** q_sales_cube: CUBE over two independent dimensions (region ×
+    * return-flag) — all four grouping sets in ONE pass over the fact
+    * table (Catalyst plans a single Expand + hash aggregate; four
+    * separate GROUP BYs would scan the 100 TB fact four times). Dims are
+    * non-null in the fixture, so the ALL-coalesce is unambiguous.
+    */
+  def salesCube(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_suppkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("l_returnflag"))
+      .agg(Exact.sum2(Exact.revenue).as("revenue"), count(lit(1)).as("n_lines"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              col("revenue"), col("n_lines"))
+      .orderBy("region", "returnflag")
+  }
+
+  val salesCubeOracle: String =
+    s"""SELECT COALESCE(r.r_name, 'ALL') AS region,
+       |       COALESCE(l.l_returnflag, 'ALL') AS returnflag,
+       |       ${Exact.sum2Sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY CUBE(r.r_name, l.l_returnflag)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Pivot: revenue by month × return-flag — the wide-format reshape
     * (§2.7-adjacent; Spark `pivot` is a groupBy extension, the oracle
     * expresses it as conditional aggregation).
