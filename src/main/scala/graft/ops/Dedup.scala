@@ -52,6 +52,12 @@ object Dedup {
   // so q_dedup_jaccard_capped exercises real stop-shingle removal, not a
   // vacuous no-op; a production corpus would set this orders higher.
   val MaxShingleDF = 5
+  // Hot (band, bandkey) bucket document-frequency cap for the capped SimHash
+  // variant — the banded analogue of MaxShingleDF. 50 fires at both fixture
+  // scales (sf0.01 has 5 buckets over, max 128; sf0.1 has 91, max 1338), so
+  // q_dedup_simhash_capped exercises real bucket removal; a production
+  // corpus would set this orders higher.
+  val MaxBandDF = 50
 
   // --- shared shingling ------------------------------------------------------
 
@@ -138,7 +144,13 @@ object Dedup {
     * pruning keeps the index scan narrow.
     */
   def incrementalDedup(history: DataFrame, batch: DataFrame): DataFrame = {
-    val hist = history.select(col("h")).distinct()
+    // no distinct() on the index side: LEFT ANTI is duplicate-insensitive
+    // on its right input, so deduping it buys nothing semantically and a
+    // distinct here would plan a full shuffle-aggregation over the ENTIRE
+    // corpus hash index every day — exactly the O(corpus) rescan the
+    // O(batch + touched buckets) claim forbids. (The production index is
+    // distinct-by-construction anyway: it accumulates only `fresh` reps.)
+    val hist = history.select(col("h"))
     val reps = batch.groupBy("source", "h")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_in_group"))
     val fresh = reps.join(hist, Seq("h"), "left_anti")
@@ -863,7 +875,8 @@ object Dedup {
     * bucket-frequency cap demonstrated (with oracle + skew test) in
     * [[jaccardPairsCapped]]: drop buckets whose document frequency exceeds
     * a cap before the self-join, at a bounded recall cost. Not applied here
-    * so the oracle stays the pure Manku-style reconstruction.
+    * so the oracle stays the pure Manku-style reconstruction; the
+    * scale-defended variant is [[simhashCapped]] (q_dedup_simhash_capped).
     */
   /** (doc_id, fp): the 32-bit SimHash fingerprint per document — exposed so
     * the banding-completeness property is testable at the fingerprint level
@@ -887,31 +900,80 @@ object Dedup {
           .reduce(_ + _).as("fp"))
   }
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhashFingerprints(spark, dir)
+  /** (doc_id, fp, band, bandkey): one row per fingerprint per band — the
+    * candidate-generation relation both SimHash variants self-join.
+    */
+  private def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
     val bandBits = SimHashBits / SimHashBands
-    val banded = fp.select(col("doc_id"), col("fp"),
+    simhashFingerprints(spark, dir)
+      .select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))
       .withColumn("bandkey", expr(s"shiftright(fp, band * $bandBits) & ${(1L << bandBits) - 1}"))
-      // pinned pre-join repartition: the banded table is bytes-tiny, so AQE
-      // coalesces its exchange to one partition — but the JOIN's output
-      // (candidate pairs within hot buckets) is quadratically bigger than
-      // its input, and the Hamming verification then runs single-task.
-      // Pinning the join distribution keeps pair generation at full width.
-      .repartition(fp.sparkSession.sessionState.conf.numShufflePartitions,
-                   col("band"), col("bandkey"))
+  }
+
+  /** Banded self-join → Hamming verification → pair dedup, shared by both
+    * SimHash variants.
+    */
+  private def simhashPairsFrom(banded0: DataFrame): DataFrame = {
+    // pinned pre-join repartition: the banded table is bytes-tiny, so AQE
+    // coalesces its exchange to one partition — but the JOIN's output
+    // (candidate pairs within hot buckets) is quadratically bigger than
+    // its input, and the Hamming verification then runs single-task.
+    // Pinning the join distribution keeps pair generation at full width.
+    val banded = banded0.repartition(
+      banded0.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band"), col("bandkey"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               expr("bit_count(a.fp ^ b.fp)").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter BELOW the pair-dedup: `hamming` is functionally determined by
+      // the pair (fp is per-doc), so the order is semantics-preserving — but
+      // Catalyst can't push a non-grouping predicate through the aggregate
+      // itself, and the unfiltered candidate set is quadratic in hot-bucket
+      // size while the ≤HammingMax survivors are near-dups only. Filtering
+      // first means the dedup shuffle carries survivors, not candidates.
       .filter(col("hamming") <= HammingMax)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
-  val simhashOracle: String = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(simhashBanded(spark, dir))
+
+  /** q_dedup_simhash_capped: [[simhash]] with hot (band, bandkey) buckets
+    * dropped before the self-join — the scale-defended variant, mirroring
+    * the [[ngramJaccard]]/[[ngramJaccardCapped]] pair. A bucket holding d
+    * docs contributes d(d-1)/2 candidate pairs (at sf0.1 the hottest bucket
+    * already holds >1300 docs ≈ 900k pairs from ONE bucket), so at 100 TB a
+    * degenerate bucket is quadratic; the cap bounds every bucket's pair
+    * yield at cap². Recall loss is bounded and partial: a pair is lost only
+    * if EVERY band it agrees on is over-cap — pairs still surface through
+    * any non-hot shared band (the pigeonhole guarantee degrades, not
+    * collapses). [[MaxBandDF]] is set to fire at fixture scale so the
+    * oracle exercises real bucket removal.
+    */
+  def simhashCapped(spark: SparkSession, dir: String, cap: Int = MaxBandDF): DataFrame = {
+    val banded = simhashBanded(spark, dir)
+    val hot = banded.groupBy("band", "bandkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("band", "bandkey")
+    // no forced broadcast on the hot set — same no-driver-ceiling rule as
+    // jaccardPairsCapped (AQE broadcasts it at runtime when it is tiny)
+    simhashPairsFrom(banded.join(hot, Seq("band", "bandkey"), "left_anti"))
+  }
+
+  /** Oracle body shared by both SimHash variants; `cap` adds the hot-bucket
+    * removal CTEs mirroring [[simhashCapped]].
+    */
+  private def simhashOracleSql(cap: Option[Int]): String = {
     val bandBits = SimHashBits / SimHashBands
+    val capCtes = cap.fold("")(c =>
+      s""",
+         |hot AS (SELECT band, bandkey FROM (
+         |  SELECT band, bandkey, COUNT(*) AS df FROM banded GROUP BY 1, 2) WHERE df > $c),
+         |b2 AS (SELECT banded.* FROM banded ANTI JOIN hot USING (band, bandkey))""".stripMargin)
+    val src = cap.fold("banded")(_ => "b2")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS tok FROM documents),
        |tc AS (
@@ -930,13 +992,16 @@ object Dedup {
        |banded AS (
        |  SELECT doc_id, fp, band,
        |         (fp >> (band * $bandBits)) & ${(1L << bandBits) - 1} AS bandkey
-       |  FROM fp, unnest(range(0, $SimHashBands)) AS t(band)),
+       |  FROM fp, unnest(range(0, $SimHashBands)) AS t(band))$capCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         bit_count(xor(a.fp, b.fp)) AS hamming
-       |  FROM banded a JOIN banded b
+       |  FROM $src a JOIN $src b
        |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
        |FROM cand WHERE hamming <= $HammingMax ORDER BY 1, 2""".stripMargin
   }
+
+  val simhashOracle: String = simhashOracleSql(None)
+  val simhashCappedOracle: String = simhashOracleSql(Some(MaxBandDF))
 }

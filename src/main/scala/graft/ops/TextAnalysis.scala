@@ -224,7 +224,7 @@ object TextAnalysis {
        |  SELECT r, tok, cnt,
        |         ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 6))::BIGINT % 1024 AS bucket
        |  FROM cnts, range(4) t(r)),
-       |sketch AS (SELECT r, bucket, SUM(cnt) AS bcnt FROM rb GROUP BY 1, 2),
+       |sketch AS (SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt FROM rb GROUP BY 1, 2),
        |top AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 15),
        |probes AS (
        |  SELECT r, tok, cnt,

@@ -184,15 +184,23 @@ object FixedWidthParseExplode {
         if (bytes(a) == '-' || bytes(a) == '+') { neg = bytes(a) == '-'; a += 1 }
         if (a == b) null
         else {
+          // accumulate NEGATIVE so Long.MinValue (whose magnitude exceeds
+          // MaxValue) parses exactly; overflow → null, matching the
+          // declarative path's try_cast-to-long semantics
           var v = 0L
           var ok = true
           var i = a
           while (i < b && ok) {
             val d = bytes(i) - '0'
-            if (d < 0 || d > 9) ok = false else v = v * 10 + d
+            if (d < 0 || d > 9) ok = false
+            else if (v < (java.lang.Long.MIN_VALUE + d) / 10) ok = false
+            else v = v * 10 - d
             i += 1
           }
-          if (!ok) null else java.lang.Long.valueOf(if (neg) -v else v)
+          if (!ok) null
+          else if (neg) java.lang.Long.valueOf(v)
+          else if (v == java.lang.Long.MIN_VALUE) null
+          else java.lang.Long.valueOf(-v)
         }
       }
     case 's' =>

@@ -40,11 +40,32 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT nulls the whole sum (matching the aggregate(zip_with)
+  // HOF this expression replaced), so the result can be null even when both
+  // array inputs are non-null
+  private def mayHaveNullElem: Boolean = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElem
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    VecDot.dotOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecDot.dot($a, $b)")
+    if (!mayHaveNullElem) {
+      // elements provably non-null by schema → keep the tight primitive loop
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecDot.dot($a, $b)")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val boxed = ctx.freshName("dot")
+        s"""java.lang.Double $boxed = graft.plans.VecDot.dotOrNull($a, $b);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+      })
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -65,6 +86,23 @@ object VecDot {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** Null-element-aware variant for nullable-element array schemas: any
+    * null element in the shared prefix nulls the result, matching the
+    * aggregate(zip_with) HOF semantics. ArrayData.getDouble would otherwise
+    * silently read a null slot as 0.0 — a wrong number, not a null.
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   def column(a: Column, b: Column): Column =

@@ -23,6 +23,9 @@ object StageBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // listener events arrive asynchronously on the listener-bus thread;
+    // guard the buffer and drain the bus before reading/clearing so late
+    // stage-completed events are neither lost nor billed to the next query
     val lines = new StringBuilder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -30,11 +33,13 @@ object StageBench {
         val m = si.taskMetrics
         val wall =
           (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-        lines.append(
-          f"   stage ${si.stageId}%4d tasks=${si.numTasks}%3d wall=$wall%6.2fs " +
-          f"run=${m.executorRunTime / 1e3}%7.1fs gc=${m.jvmGCTime / 1e3}%5.1fs " +
-          f"shufWr=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%8.1fMB " +
-          f"recsIn=${m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead}%9d\n")
+        lines.synchronized {
+          lines.append(
+            f"   stage ${si.stageId}%4d tasks=${si.numTasks}%3d wall=$wall%6.2fs " +
+            f"run=${m.executorRunTime / 1e3}%7.1fs gc=${m.jvmGCTime / 1e3}%5.1fs " +
+            f"shufWr=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%8.1fMB " +
+            f"recsIn=${m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead}%9d\n")
+        }
       }
     })
 
@@ -42,11 +47,13 @@ object StageBench {
     names.foreach { name =>
       spark.catalog.clearCache()
       System.gc()
-      lines.clear()
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      lines.synchronized(lines.clear())
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
-      print(lines.toString)
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      print(lines.synchronized(lines.toString))
     }
     spark.stop()
   }

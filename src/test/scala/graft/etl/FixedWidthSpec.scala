@@ -18,6 +18,32 @@ class FixedWidthSpec extends SparkSpec {
       .orderBy("rec_idx").select("record").collect().map(_.getString(0)).toSeq
   }
 
+  test("parseField long overflow returns null, matching try_cast-to-long (19+ digit fields)") {
+    import graft.plans.FixedWidthParseExplode.parseField
+    def parseLong(s: String): Any = {
+      val b = s.getBytes("UTF-8")
+      parseField(b, 0, b.length, 'l')
+    }
+    // boundary values parse exactly
+    assert(parseLong(Long.MaxValue.toString) == Long.MaxValue)
+    assert(parseLong(Long.MinValue.toString) == Long.MinValue)
+    assert(parseLong("  42 ") == 42L)
+    // one past the boundary overflows -> null (try_cast semantics), never a
+    // silently wrapped value
+    assert(parseLong("9223372036854775808") == null)
+    assert(parseLong("-9223372036854775809") == null)
+    assert(parseLong("99999999999999999999") == null)
+    // and the Spark-side equivalence the generator claims: try_cast agrees
+    import spark.implicits._
+    val vals = Seq(Long.MaxValue.toString, Long.MinValue.toString,
+      "9223372036854775808", "-9223372036854775809", "99999999999999999999", "7")
+    val viaCast = vals.toDF("s").selectExpr("try_cast(s AS long)")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val viaParse = vals.map(parseLong)
+    assert(viaParse.zip(viaCast).forall { case (a, b) => a == b },
+           s"parseField=$viaParse try_cast=${viaCast.toSeq}")
+  }
+
   test("exact multiple: n x 520 chars -> n records, all width 520") {
     for (n <- Seq(0, 1, 3)) {
       val s = "ab" * 260 * n // 520*n chars

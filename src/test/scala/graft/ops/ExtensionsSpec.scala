@@ -72,6 +72,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(maxHam <= Dedup.HammingMax)
   }
 
+  test("capped simhash: strict subset of uncapped, cap actually fires, radius still enforced") {
+    val uncapped = Dedup.simhash(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashCapped(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dropping hot buckets can only LOSE candidate pairs, never invent them
+    assert(capped.subsetOf(uncapped))
+    // MaxBandDF is calibrated to fire at fixture scale (hot buckets exist),
+    // so the capped set must be strictly smaller — a vacuous no-op cap
+    // would silently stop testing the removal path
+    assert(capped.size < uncapped.size,
+           s"cap did not fire: capped=${capped.size} uncapped=${uncapped.size}")
+    assert(capped.nonEmpty)
+    // recall loss is partial: pairs with a non-hot shared band survive
+    assert(capped.size.toDouble / uncapped.size >= 0.5,
+           s"capped recall ${capped.size}/${uncapped.size} below 0.5")
+    val maxHam = Dedup.simhashCapped(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("hamming")).head().getInt(0)
+    assert(maxHam <= Dedup.HammingMax)
+  }
+
   test("IVF ANN results are a subset of the brute-force candidate space with bounded recall loss") {
     val bf = Similarity.knnBruteForce(spark, dir)
       .select("query_id", "neighbor_id").collect()
@@ -159,6 +180,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     val viaSql = spark.sql("SELECT vec_dot(a, b) FROM vd").collect().map(_.getDouble(0))
     assert(viaSql.map(java.lang.Double.doubleToLongBits).toSeq ==
            hof.map(java.lang.Double.doubleToLongBits).toSeq)
+  }
+
+  test("vec_dot propagates a null ELEMENT to a null sum (HOF parity), not a silent 0.0") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val hof = rows.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    val native = rows.select(Similarity.dot(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(native.toSeq == hof.toSeq)
+    assert(native(0) == null && native(1) == 11.0)
   }
 
   test("semdedup drops planted exact duplicates and conserves counts") {

@@ -31,6 +31,22 @@ def norm_cell(v):
     return str(v)
 
 
+def dtype_kinds(df):
+    # collapse dtypes to comparison classes: int-like, float, bool, other.
+    # The driver's hash stringifies raw values, so a DuckDB HUGEINT/DECIMAL
+    # that pandas materializes as float64 ("908.0") mismatches a Spark
+    # BIGINT ("908") even when numerically identical — surface that class
+    # of divergence locally instead of masking it with %.6g.
+    def kind(dt):
+        k = dt.kind
+        if k in "iu":
+            return "int"
+        if k == "f":
+            return "float"
+        return k
+    return {c: kind(df[c].dtype) for c in df.columns}
+
+
 def frame_sig(df):
     rows = []
     for t in df.itertuples(index=False):
@@ -61,6 +77,13 @@ def main(sf_dir, out_dir):
             continue
         if len(oracle) != len(got):
             print(f"FAIL {name}: rows oracle={len(oracle)} got={len(got)}")
+            n_fail += 1
+            continue
+        okinds, gkinds = dtype_kinds(oracle), dtype_kinds(got)
+        if okinds != gkinds:
+            diff = {c: (okinds[c], gkinds[c])
+                    for c in okinds if okinds[c] != gkinds[c]}
+            print(f"FAIL {name}: dtype kinds differ (oracle, got): {diff}")
             n_fail += 1
             continue
         osig, gsig = frame_sig(oracle), frame_sig(got)
