@@ -902,10 +902,18 @@ object Dedup {
 
   /** (doc_id, fp, band, bandkey): one row per fingerprint per band — the
     * candidate-generation relation both SimHash variants self-join.
+    *
+    * The fingerprint table is persisted: it feeds BOTH self-join sides
+    * (and, in the capped variant, the hot-bucket derivation too), so
+    * without a persist the 32-column bit-sum aggregation — the expensive
+    * stage — recomputes 2-3× per query. Same multi-consumer persist
+    * discipline as [[jaccardPairsCapped]]'s shingle projection; freed by
+    * the caller's/bench's cache clear.
     */
   private def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
     val bandBits = SimHashBits / SimHashBands
     simhashFingerprints(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))
       .withColumn("bandkey", expr(s"shiftright(fp, band * $bandBits) & ${(1L << bandBits) - 1}"))

@@ -179,6 +179,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"ADC lookups must broadcast:\n$plan")
   }
 
+  test("simhash: Hamming radius fuses into the band self-join, below the pair-dedup; width pinned") {
+    for (q <- Seq(ops.Dedup.simhash(spark, dir), ops.Dedup.simhashCapped(spark, dir))) {
+      val plan = planOf(q)
+      // the radius predicate must sit in (or directly below) the self-join,
+      // never above the pair-dedup aggregate: the unfiltered candidate set
+      // is quadratic in hot-bucket size, the ≤HammingMax survivors are not.
+      // Tree text is parent-first, so the dedup HashAggregate keyed on
+      // (doc_a, doc_b) must appear BEFORE the bit_count predicate.
+      val aggIdx = plan.indexOf("HashAggregate(keys=[doc_a")
+      val predIdx = plan.indexOf("bit_count")
+      assert(aggIdx >= 0, s"pair-dedup aggregate missing:\n$plan")
+      assert(predIdx > aggIdx,
+             s"Hamming predicate must be below the pair-dedup:\n$plan")
+      assert(!plan.substring(0, aggIdx).contains("Filter"),
+             s"no post-dedup filter allowed above the aggregate:\n$plan")
+      // pinned pre-join width: AQE would coalesce the bytes-tiny banded
+      // exchange to one partition and serialize quadratic pair generation
+      assert(plan.contains("REPARTITION_BY_NUM") &&
+             plan.contains("hashpartitioning(band"),
+             s"banded join width must be pinned:\n$plan")
+    }
+    // the capped variant drops hot buckets via anti-join BEFORE pairing
+    val capped = planOf(ops.Dedup.simhashCapped(spark, dir))
+    assert(capped.contains("LeftAnti"),
+           s"hot-bucket removal must be an anti-join:\n$capped")
+  }
+
+  test("dedup resolution: labels resolve at construction and broadcast; docs scan stays narrow") {
+    val df = ops.Dedup.dedupResolution(spark, dir)
+    val plan = planOf(df)
+    // below the driver edge bound the labels are a local relation (union-
+    // find output) broadcast against the pruned documents scan — the final
+    // join must never shuffle the corpus side
+    assert(plan.contains("LocalTableScan"), s"labels must be local:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           s"label join must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("text#"),
+           s"documents scan must not read the text column:\n$plan")
+  }
+
   test("lang quota windows only the hash-pruned survivors, not the corpus") {
     val df = ops.Dedup.langQuota(spark, dir, k = 5)
     val plan = planOf(df)
