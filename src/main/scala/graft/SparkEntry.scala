@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_capped" -> ((s, d) => Dedup.simhashCapped(s, d)),
+    "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
     "q_data_split"        -> ((s, d) => Dedup.dataSplit(s, d)),
     "q_source_mix"        -> ((s, d) => Dedup.sourceMix(s, d)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
     "q_dedup_simhash_capped"    -> ops.Dedup.simhashCappedOracle,
+    "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
     "q_data_split"              -> ops.Dedup.dataSplitOracle,
     "q_decontamination"         -> ops.Dedup.decontaminationOracle,

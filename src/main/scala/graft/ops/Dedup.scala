@@ -886,6 +886,11 @@ object Dedup {
     // One shuffle: 32 per-bit contribution sums as parallel aggregate
     // columns (map-side combined) instead of exploding 32 rows per token —
     // the row-explosion form shuffles 32× the data for the same result.
+    // A (doc_id, tok)-count pre-aggregation (the oracle's tc CTE shape) was
+    // stage-profiled and NOT taken: the stage is dominated by tokenize+md5
+    // (paid per occurrence either way), the bit-sums are already map-side
+    // combined, and the pre-agg adds a shuffle for a per-row saving of 32
+    // CASE evaluations.
     val occ = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
@@ -910,11 +915,16 @@ object Dedup {
     * discipline as [[jaccardPairsCapped]]'s shingle projection; freed by
     * the caller's/bench's cache clear.
     */
-  private def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashBanded(spark: SparkSession, dir: String): DataFrame =
+    bandedOf(simhashFingerprints(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Banding of an explicit (doc_id, fp) relation — injectable for skew
+    * tests (same pattern as [[jaccardPairsCapped]]'s shingle relation).
+    */
+  def bandedOf(fp: DataFrame): DataFrame = {
     val bandBits = SimHashBits / SimHashBands
-    simhashFingerprints(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col("doc_id"), col("fp"),
+    fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(SimHashBands - 1))).as("band"))
       .withColumn("bandkey", expr(s"shiftright(fp, band * $bandBits) & ${(1L << bandBits) - 1}"))
   }
@@ -962,8 +972,11 @@ object Dedup {
     * collapses). [[MaxBandDF]] is set to fire at fixture scale so the
     * oracle exercises real bucket removal.
     */
-  def simhashCapped(spark: SparkSession, dir: String, cap: Int = MaxBandDF): DataFrame = {
-    val banded = simhashBanded(spark, dir)
+  def simhashCapped(spark: SparkSession, dir: String, cap: Int = MaxBandDF): DataFrame =
+    simhashPairsCapped(simhashBanded(spark, dir), cap)
+
+  /** Hot-bucket removal + pairing over an explicit banded relation. */
+  def simhashPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
     val hot = banded.groupBy("band", "bandkey").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("band", "bandkey")
     // no forced broadcast on the hot set — same no-driver-ceiling rule as

@@ -364,33 +364,48 @@ object Similarity {
     * fixed expression on both engines; the 4-term ADC sum is written
     * left-to-right (no aggregation order to vary); all ties break on ids.
     */
-  def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
-    val subs = subVectors(vecs)
-    val cb = subs.filter(col("vec_id") % PqCodeStride === 0)
+  /** (m, code_id, cv, cc): the strided-row codebook, one codeword set per
+    * subspace — tiny (C×M rows), always broadcast.
+    */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") % PqCodeStride === 0)
       .select(col("m"), col("vec_id").as("code_id"),
               col("sv").as("cv"), col("ss").as("cc"))
-    // nearest codeword per (vector, subspace): max_by over (-d2, -code) =
-    // argmin d2 with ties to the smallest code id — an aggregation, not a
-    // window, so it partial-combines map-side (the assignCells argument)
+
+  /** (vec_id, code_0..code_{M-1}): the compressed corpus representation.
+    * Nearest codeword per (vector, subspace) is a max_by over (-d2, -code)
+    * = argmin d2 with ties to the smallest code id — an aggregation, not a
+    * window, so it partial-combines map-side (the assignCells argument).
+    */
+  private def pqCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
     val assigned = subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("code_id"),
         (col("ss") - lit(2.0) * dot(col("sv"), col("cv")) + col("cc")).as("d2"))
       .groupBy("vec_id", "m")
       .agg(max_by(col("code_id"), struct((-col("d2")).as("nd"),
                                          (-col("code_id")).as("nc"))).as("code"))
-    // one wide row of codes per vector — the compressed representation
     val codeCols = (0 until PqM).map(m =>
       max(when(col("m") === m, col("code"))).as(s"code_$m"))
-    val codes = assigned.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+    assigned.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+  }
 
-    // per-query distance tables to every codeword, one per subspace
-    val qsubs = subs.filter(col("vec_id") % QueryStride === 0)
+  /** (query_id, m, code_id, d): per-query asymmetric distance tables to
+    * every codeword, one per subspace — Q×C×M rows, always broadcast.
+    */
+  private def pqDistTable(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("m"),
               col("sv").as("qsv"), col("ss").as("qss"))
-    val dtab = qsubs.join(broadcast(cb), Seq("m"))
+      .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code_id"),
         (col("qss") - lit(2.0) * dot(col("qsv"), col("cv")) + col("cc")).as("d"))
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val subs = subVectors(vecs)
+    val cb = pqCodebook(subs)
+    val codes = pqCodes(subs, cb)
+    val dtab = pqDistTable(subs, cb)
     def dm(m: Int): DataFrame = dtab.filter(col("m") === m)
       .select(col("query_id").as(s"q_$m"), col("code_id").as(s"k_$m"),
               col("d").as(s"d_$m"))
@@ -467,6 +482,134 @@ object Similarity {
        |             ORDER BY approx ASC, vec_id) AS srn
        |    FROM adc) WHERE srn <= $PqShortlist),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |ranked AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |         ${cosineSql("q.qv", "e.v")} AS sim,
+       |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${cosineSql("q.qv", "e.v")} DESC, s.vec_id) AS rank
+       |  FROM short s JOIN e ON s.vec_id = e.vec_id
+       |               JOIN q ON s.query_id = q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_knn_ivf_pq: the composed IVF-PQ index — the production 100 TB ANN
+    * path (Jégou et al. 2011 §IV; what FAISS calls IVFxx,PQyy). IVF cuts
+    * the per-query candidate set from N to the members of the NProbe probed
+    * cells; PQ cuts the bytes touched per candidate to M code bytes + a
+    * broadcast ADC table lookup. The full-scan [[knnPq]] fans codes to N×Q
+    * scored rows; here the fan-out is N×Q×(NProbe/C) — the only corpus-
+    * sized inputs are the code table (narrow) and the cell assignment
+    * (2 longs/vector), and both broadcast joins (probes, distance tables)
+    * are query-sized. ADC shortlist re-ranked exactly, same as knnPq.
+    *
+    * Deterministic end-to-end (exact-integer Lloyd centroids + fixed-order
+    * ADC sums + id tie-breaks), so the composition is oracle-checked too —
+    * not just its parts.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    // IVF side: refined centroids, cell per vector, probed cells per query
+    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    val cents = refinedCentroids(vecs, seeds).persist()
+    val cells = assignCells(vecs, cents).select(col("vec_id"), col("cell"))
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val pw = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+              pairSim(col("qv"), col("cv"), col("nq"), col("nc")).as("csim"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    // PQ side: codebook, codes, per-query distance tables
+    val subs = subVectors(vecs)
+    val cb = pqCodebook(subs)
+    val codes = pqCodes(subs, cb)
+    val dtab = pqDistTable(subs, cb)
+    // candidates: codes of the vectors in each query's probed cells — the
+    // IVF scan cut; a vector lives in exactly one cell, so no pair dedup
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    // ADC over candidates only: all four lookups join on (query, code)
+    def dm(m: Int): DataFrame = dtab.filter(col("m") === m)
+      .select(col("query_id").as(s"q_$m"), col("code_id").as(s"k_$m"),
+              col("d").as(s"d_$m"))
+    val adc = (0 until PqM).foldLeft(cand) { (acc, m) =>
+        acc.join(broadcast(dm(m)),
+          col("query_id") === col(s"q_$m") && col(s"code_$m") === col(s"k_$m"))
+      }
+      .select(col("query_id"), col("vec_id"),
+        (col("d_0") + col("d_1") + col("d_2") + col("d_3")).as("approx"))
+    val sw = Window.partitionBy("query_id").orderBy(col("approx").asc, col("vec_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqShortlist).select("query_id", "vec_id")
+    // exact cosine re-rank of the shortlist
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(vecs, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnIvfPqOracle: String = {
+    val codeSel = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code_id END) AS code_$m")
+      .mkString(",\n       |       ")
+    val adcJoins = (0 until PqM)
+      .map(m => s"JOIN dtab d$m ON d$m.m = $m AND d$m.code_id = cd.code_$m AND d$m.query_id = cd.query_id")
+      .mkString("\n       |  ")
+    s"""WITH $assignedCteSql,
+       |subs AS (
+       |  SELECT vec_id, m, v[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |subs2 AS (SELECT vec_id, m, sv, list_dot_product(sv, sv) AS ss FROM subs),
+       |cb AS (SELECT m, vec_id AS code_id, sv AS cv, ss AS cc
+       |       FROM subs2 WHERE vec_id % $PqCodeStride = 0),
+       |asg AS (
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT s.vec_id, s.m, c.code_id,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY (s.ss - 2.0*list_dot_product(s.sv, c.cv) + c.cc) ASC, c.code_id) AS rn
+       |    FROM subs2 s JOIN cb c USING (m)) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |       $codeSel
+       |  FROM asg GROUP BY 1),
+       |qsubs AS (SELECT vec_id AS query_id, m, sv AS qsv, ss AS qss
+       |          FROM subs2 WHERE vec_id % $QueryStride = 0),
+       |dtab AS (
+       |  SELECT query_id, m, code_id,
+       |         (qss - 2.0*list_dot_product(qsv, cv) + cc) AS d
+       |  FROM qsubs JOIN cb USING (m)),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.cent_id) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, cs.vec_id, cs.code_0, cs.code_1, cs.code_2, cs.code_3
+       |  FROM codes cs JOIN assigned a ON cs.vec_id = a.vec_id
+       |       JOIN probes p ON p.cell = a.cell
+       |  WHERE cs.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |         (d0.d + d1.d + d2.d + d3.d) AS approx
+       |  FROM cand cd
+       |  $adcJoins),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY approx ASC, vec_id) AS srn
+       |    FROM adc) WHERE srn <= $PqShortlist),
        |ranked AS (
        |  SELECT s.query_id, s.vec_id AS neighbor_id,
        |         ${cosineSql("q.qv", "e.v")} AS sim,

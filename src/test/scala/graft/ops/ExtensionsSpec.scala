@@ -156,6 +156,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.05, s"PQ recall $recall suspiciously low")
   }
 
+  test("IVF-PQ composition: well-formed per-query top-k with recall against brute force") {
+    val bf = Similarity.knnBruteForce(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.knnIvfPq(spark, dir)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // every query emits a dense 1..k (or shorter) rank sequence
+    for ((_, g) <- rows.groupBy(_._1))
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length) && g.length <= Similarity.TopK)
+    // the composition inherits BOTH approximations (cell pruning + code
+    // quantization), so recall is bounded by the IVF candidate cut; assert
+    // it still finds a meaningful fraction on near-random fixtures
+    val recall = rows.map(t => (t._1, t._2)).toSet.intersect(bf).size.toDouble / bf.size
+    assert(recall > 0.05, s"IVF-PQ recall $recall suspiciously low")
+  }
+
   test("vec_dot codegen expression is bit-identical to the HOF fold it replaced") {
     import spark.implicits._
     // adversarial magnitudes: double addition is order-sensitive, so bit

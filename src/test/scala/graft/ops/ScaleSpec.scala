@@ -102,6 +102,25 @@ class ScaleSpec extends SparkSpec {
     assert(rows.head.getDouble(5) == 1.0)
   }
 
+  test("simhash band-bucket cap collapses the degenerate-fingerprint blowup (100 TB skew defense)") {
+    import spark.implicits._
+    // 100 boilerplate docs with IDENTICAL fingerprints (one hot bucket per
+    // band) + 1 genuine near-dup pair on a distinct fingerprint — the
+    // degenerate-corpus shape the scale note on simhash warns about
+    val boiler = (0L until 100L).map(i => (i, 0x11111111L))
+    val dups = Seq((1000L, 0x22222222L), (1001L, 0x22222222L))
+    val banded = Dedup.bandedOf((boiler ++ dups).toDF("doc_id", "fp"))
+    // uncapped (cap that never fires): every boilerplate pair is a
+    // candidate AND passes (hamming 0) — quadratic in the hot bucket
+    assert(Dedup.simhashPairsCapped(banded, Int.MaxValue).count() == 100L * 99 / 2 + 1)
+    // capped: the boilerplate buckets (df=100 > 10) are removed in every
+    // band; only the genuine pair (df=2 per bucket) survives
+    val rows = Dedup.simhashPairsCapped(banded, 10).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+    assert(rows.head.getInt(2) == 0)
+  }
+
   test("forced distributed connected-components equals the driver union-find path") {
     val viaDriver = Dedup.dedupResolution(spark, sf0001)
       .collect().map(_.toSeq).toSeq
