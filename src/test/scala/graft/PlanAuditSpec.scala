@@ -219,6 +219,23 @@ class PlanAuditSpec extends SparkSpec {
            s"documents scan must not read the text column:\n$plan")
   }
 
+  test("IVF-PQ composition: probes and ADC tables broadcast; code assignment partial-aggregates") {
+    val plan = planOf(ops.Similarity.knnIvfPq(spark, dir))
+    // code assignment must stay an aggregation (map-side combinable), and
+    // every query-sized relation (probes, distance tables, queries) rides a
+    // broadcast — the corpus-sized sides (codes, cells) are never broadcast
+    // and never sort-merge-shuffled against each other at fixture scale
+    assert(plan.contains("partial_max_by"), s"code argmin must partial-aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe/ADC lookups must broadcast:\n$plan")
+    // the ONE legitimate shuffle join is codes ⋈ cells — both corpus-sized
+    // (N code rows, N cell rows), so a sort-merge on vec_id is the correct
+    // 100 TB plan; any OTHER sort-merge (a query-sized side missing its
+    // broadcast) is a regression
+    val smjKeys = "SortMergeJoin \\[(\\w+)#".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(smjKeys.subsetOf(Set("vec_id")),
+           s"only the corpus codes⋈cells join may sort-merge, got $smjKeys:\n$plan")
+  }
+
   test("lang quota windows only the hash-pruned survivors, not the corpus") {
     val df = ops.Dedup.langQuota(spark, dir, k = 5)
     val plan = planOf(df)
