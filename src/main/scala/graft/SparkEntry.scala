@@ -55,6 +55,11 @@ object SparkEntry {
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_capped" -> ((s, d) => Dedup.simhashCapped(s, d)),
     "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
+    "q_knn_sq"            -> ((s, d) => Similarity.knnSq(s, d)),
+    "q_knn_sq_recall"     -> ((s, d) => Similarity.knnSqRecall(s, d)),
+    "q_allpairs_cosine"   -> ((s, d) => Dedup.allPairsCosine(s, d)),
+    "q_dedup_blocking"    -> ((s, d) => Dedup.blockingDedup(s, d)),
+    "q_sample_weighted"   -> ((s, d) => Corpus.weightedSample(s, d)),
     "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
     "q_data_split"        -> ((s, d) => Dedup.dataSplit(s, d)),
     "q_source_mix"        -> ((s, d) => Dedup.sourceMix(s, d)),
@@ -194,6 +199,11 @@ object SparkEntry {
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
     "q_dedup_simhash_capped"    -> ops.Dedup.simhashCappedOracle,
     "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,
+    "q_knn_sq"                  -> ops.Similarity.knnSqOracle,
+    "q_knn_sq_recall"           -> ops.Similarity.knnSqRecallOracle,
+    "q_allpairs_cosine"         -> ops.Dedup.allPairsCosineOracle,
+    "q_dedup_blocking"          -> ops.Dedup.blockingDedupOracle,
+    "q_sample_weighted"         -> ops.Corpus.weightedSampleOracle,
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
     "q_data_split"              -> ops.Dedup.dataSplitOracle,
     "q_decontamination"         -> ops.Dedup.decontaminationOracle,

@@ -241,4 +241,55 @@ object Corpus {
        |       CAST(SUM(per.s) AS DOUBLE) AS sum_w
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- deterministic weighted sampling (Efraimidis–Spirakis) -----------------
+
+  /** Per-source sample size for [[weightedSample]]. */
+  val SampleK = 5
+
+  /** q_sample_weighted: weighted sampling without replacement, the
+    * Efraimidis–Spirakis (2006) one-pass reservoir form: each doc draws a
+    * deterministic uniform u from md5(doc_id), gets key = ln(u)/w (the
+    * log-space equivalent of u^(1/w) — monotone, numerically safe), and the
+    * top-[[SampleK]] keys per source are the sample. P(selected) ∝ w with
+    * w = n_chars + 1, i.e. length-proportional sampling — the standard
+    * "sample training docs proportional to token count" pass.
+    *
+    * Scale shape (100 TB): one narrow projection and ONE top-k-per-group —
+    * at production scale the row_number window over a salted two-phase
+    * top-k; at fixture scale the plain window is the right plan (the
+    * per-source partitions are the parallelism). No RNG: u is md5-derived,
+    * so the sample is reproducible and exactly oracle-checkable.
+    *
+    * Determinism: u is an exact double (52 md5 bits / 2^52); the ln only
+    * ORDERS rows (a cross-engine last-ulp difference would need two keys
+    * within an ulp to flip a rank), and the hashed output carries only
+    * exact columns (rank, doc_id, w, u) — the transcendental never reaches
+    * the hash compare.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), (col("n_chars") + 1).as("w"),
+        (conv(substring(md5(concat(lit("es:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").cast("double") / lit(4503599627370496.0)).as("u"))
+      .withColumn("es_key", log(col("u")) / col("w"))
+    val win = Window.partitionBy("source").orderBy(col("es_key").desc, col("doc_id"))
+    docs.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= SampleK)
+      .select("source", "rank", "doc_id", "w", "u")
+      .orderBy("source", "rank")
+  }
+
+  val weightedSampleOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, n_chars + 1 AS w,
+       |         (('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+       |           / 4503599627370496.0 AS u
+       |  FROM documents),
+       |k AS (SELECT *, ln(u) / w AS es_key FROM s),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rank
+       |      FROM k)
+       |SELECT source, CAST(rank AS INT) AS rank, doc_id, w, u
+       |FROM r WHERE rank <= $SampleK ORDER BY 1, 2""".stripMargin
 }

@@ -58,6 +58,20 @@ object Dedup {
   // q_dedup_simhash_capped exercises real bucket removal; a production
   // corpus would set this orders higher.
   val MaxBandDF = 50
+  // All-pairs-similarity-search knobs: terms with document frequency above
+  // the cap are dropped from every vector before the inverted-index
+  // self-join (Bayardo et al., WWW'07 — high-df terms carry the least
+  // signal and ALL the join cost, Σ df² per term). 8 fires at fixture
+  // scale (3-gram term df reaches 7; at sf0.1 the planted near-dups still
+  // surface), bounding every index bucket at df².
+  val ApssDfCap  = 8
+  val ApssCosine = 0.2
+  // Blocking dedup knobs: the blocking key is the first BlockPrefix tokens;
+  // blocks larger than BlockCap are skipped outright (a shared-boilerplate
+  // prefix at web scale would otherwise cost |block|² pairs). 64 is a
+  // no-op at fixture scale (max block 4) but the plan carries the bound.
+  val BlockPrefix = 3
+  val BlockCap    = 64
 
   // --- shared shingling ------------------------------------------------------
 
@@ -1025,4 +1039,156 @@ object Dedup {
 
   val simhashOracle: String = simhashOracleSql(None)
   val simhashCappedOracle: String = simhashOracleSql(Some(MaxBandDF))
+
+  // --- all-pairs count-vector cosine (APSS) ----------------------------------
+
+  /** q_allpairs_cosine: exact all-pairs cosine over word [[ShingleN]]-gram
+    * COUNT vectors, candidates from the inverted term index with the
+    * [[ApssDfCap]] document-frequency prune — the Bayardo et al. (WWW'07)
+    * all-pairs-similarity-search shape. Complements [[ngramJaccard]]
+    * (set overlap) with the weighted vector-space measure: repeated
+    * boilerplate shingles count, not just presence.
+    *
+    * Determinism: term weights are raw integer counts, so the pair dot
+    * product and both squared norms are exact-integer sums — order-
+    * independent under any partitioning (same policy as the exact-integer
+    * Lloyd step in Similarity) — and `sim` is a single double expression
+    * over those exact integers, identical on both engines. A tf-idf
+    * weighted variant would quantize `tf·ln(N/df)` through floor(x·2^20)
+    * ([[graft.ops.Similarity.QuantScale]]); raw counts skip the
+    * transcendental entirely.
+    *
+    * Scale shape (100 TB): one explode → (doc, term, tf) aggregation, a
+    * tiny over-cap term set anti-joined away (no driver ceiling — AQE
+    * broadcasts it when small), norms carried THROUGH the pair aggregation
+    * via max() instead of a corpus-wide post-join, and the self-join
+    * shuffles on the term text — every bucket bounded at df ≤ cap, so the
+    * candidate fan-out is ≤ cap²·|vocab|, never |corpus|². The next
+    * refinement at scale is Bayardo prefix filtering (index only the
+    * lowest-weight prefix of each vector); the df cap is the coarse form.
+    */
+  def allPairsCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+    // positional (non-distinct) n-grams: the COUNT vector, not the shingle set
+    val terms = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (ShingleN - 1)),
+        i => concat_ws(" ", (0 until ShingleN).map(o => element_at(col("toks"), i + o)): _*)))
+        .as("term"))
+    // persisted AND materialized eagerly: the relation feeds the hot-term
+    // derivation and both self-join sides — inside one final action those
+    // consumers race to compute the not-yet-cached explode+agg CONCURRENTLY
+    // under core contention (the knnRecall flapping, observed here as
+    // 7→14 s run-to-run); the one tiny extra job pins the cache first
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val hot = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ApssDfCap).select("term")
+    val kept = tf.join(hot, Seq("term"), "left_anti")
+    val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nq"))
+    val ex = kept.join(nrm, "doc_id")
+    ex.as("a").join(ex.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // nq is constant within a pair group: max() carries it through the
+      // aggregation — no second join against a corpus-wide norms table
+      .agg(count(lit(1)).as("n_shared"), sum(col("a.tf") * col("b.tf")).as("dot_q"),
+           max(col("a.nq")).as("na"), max(col("b.nq")).as("nb"))
+      .withColumn("sim", col("dot_q").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("sim") >= ApssCosine)
+      .select("doc_a", "doc_b", "n_shared", "dot_q", "sim")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val allPairsCosineOracle: String = {
+    val toks = TextAnalysis.tokensSql
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - ${ShingleN - 1} + 1),
+       |           i -> ${(0 until ShingleN).map(o => s"toks[i + $o]").mkString(" || ' ' || ")})) AS term
+       |  FROM t WHERE len(toks) >= $ShingleN),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+       |hot AS (SELECT term FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) WHERE df > $ApssDfCap),
+       |kept AS (SELECT doc_id, term, tf FROM tf WHERE term NOT IN (SELECT term FROM hot)),
+       |nrm AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nq FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         COUNT(*) AS n_shared, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot_q
+       |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_a, doc_b, n_shared, dot_q,
+       |         dot_q::DOUBLE / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)) AS sim
+       |  FROM pairs JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_shared, dot_q, sim
+       |FROM sims WHERE sim >= $ApssCosine ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- blocking dedup (sorted-neighborhood family) ---------------------------
+
+  /** q_dedup_blocking: entity-resolution-style blocking dedup (Hernández &
+    * Stolfo's sorted-neighborhood, in its standard distributed "key
+    * blocking" form): docs sharing a cheap blocking key — the first
+    * [[BlockPrefix]] tokens — are compared pairwise with EXACT shingle
+    * Jaccard; everything else is never compared at all. A fourth candidate
+    * generator next to the inverted index (Jaccard), MinHash bands, and
+    * SimHash bands: O(1) key per doc, no per-term explode, at the price of
+    * recall limited to prefix-sharing edits.
+    *
+    * Scale shape (100 TB): one narrow projection, one groupBy to find
+    * over-[[BlockCap]] blocks (anti-joined away — the boilerplate-prefix
+    * defense, |block|² pair cost bounded at cap²), then a self-join
+    * shuffling on the block key only. Shingle arrays ride the shuffle but
+    * blocks are tiny by construction. All-integer Jaccard → exact oracle.
+    */
+  def blockingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
+              shingles(col("text")).as("sh"))
+      .filter(size(col("toks")) >= lit(math.max(BlockPrefix, ShingleN)))
+      .select(col("doc_id"),
+              concat_ws(" ", slice(col("toks"), 1, BlockPrefix)).as("bkey"),
+              col("sh"), size(col("sh")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // pin before the three consumers race (see allPairsCosine)
+    val big = d.groupBy("bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BlockCap).select("bkey")
+    val blocked = d.join(big, Seq("bkey"), "left_anti")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+              col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val blockingDedupOracle: String = {
+    val toks = TextAnalysis.tokensSql
+    s"""WITH d AS (
+       |  SELECT doc_id, $toks AS toks, $shinglesSql AS sh FROM documents),
+       |k AS (
+       |  SELECT doc_id, array_to_string(toks[1:$BlockPrefix], ' ') AS bkey,
+       |         sh, len(sh) AS n
+       |  FROM d WHERE len(toks) >= ${math.max(BlockPrefix, ShingleN)}),
+       |big AS (SELECT bkey FROM (SELECT bkey, COUNT(*) AS bn FROM k GROUP BY 1) WHERE bn > $BlockCap),
+       |blocked AS (SELECT * FROM k WHERE bkey NOT IN (SELECT bkey FROM big)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.sh, b.sh)) AS inter,
+       |         a.n AS n_a, b.n AS n_b
+       |  FROM blocked a JOIN blocked b
+       |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       inter::DOUBLE / (n_a + n_b - inter) AS jaccard
+       |FROM pairs WHERE inter::DOUBLE / (n_a + n_b - inter) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

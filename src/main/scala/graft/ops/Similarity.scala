@@ -792,4 +792,135 @@ object Similarity {
        |       MIN(CASE WHEN d.vec_id IS NOT NULL THEN emb.vec_id END) AS min_dropped_id
        |FROM embeddings emb LEFT JOIN drops d ON emb.vec_id = d.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- scalar quantization (SQ) ANN ------------------------------------------
+
+  /** Scalar-quantization levels per dimension (8-bit codes). */
+  val SqLevels = 256
+
+  /** Per-dimension corpus min/max as two [[Dim]]-wide array columns — 2·Dim
+    * map-side-combinable aggregates in ONE pass (no posexplode: the
+    * per-dim explode would shuffle Dim× the rows to compute 128 numbers).
+    * min/max are order-independent, so the bounds are exact and
+    * deterministic under any partitioning.
+    */
+  private def sqBounds(vecs: DataFrame): DataFrame =
+    vecs.agg(
+      array((1 to Dim).map(i => min(element_at(col("v"), i))): _*).as("mns"),
+      array((1 to Dim).map(i => max(element_at(col("v"), i))): _*).as("mxs"))
+
+  /** 8-bit codes + dequantized (bucket-center) vectors with their norm.
+    * floor-based bucketing, NOT round(): round's tie rule differs between
+    * engines (HALF_UP vs away-from-zero), floor of a bit-identical double
+    * is identical everywhere. x = mx lands in bucket [[SqLevels]] and is
+    * clamped; a constant dimension (mx = mn) codes to 0.
+    */
+  private def sqDequantized(vecs: DataFrame): DataFrame = {
+    val mm = sqBounds(vecs)
+    def mn(i: Column) = element_at(col("mns"), i)
+    def mx(i: Column) = element_at(col("mxs"), i)
+    // one crossJoin: the bounds ride along to the dequant projection instead
+    // of re-aggregating the corpus for a second broadcast
+    vecs.crossJoin(broadcast(mm))
+      .select(col("vec_id"), col("mns"), col("mxs"),
+        transform(sequence(lit(1), lit(Dim)), i =>
+          when(mx(i) === mn(i), lit(0L)).otherwise(
+            least(floor((element_at(col("v"), i) - mn(i)) / (mx(i) - mn(i)) * lit(SqLevels)),
+                  lit((SqLevels - 1).toLong)))).as("code"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(Dim)), i =>
+          mn(i) + (element_at(col("code"), i) + lit(0.5)) * (mx(i) - mn(i)) / lit(SqLevels.toDouble))
+          .as("dv"))
+      .withColumn("ndv", norm(col("dv")))
+  }
+
+  /** q_knn_sq: ANN over 8-bit scalar-quantized vectors — the production
+    * memory-reduction path when PQ's codebook training is overkill (what
+    * FAISS calls SQ8): per-dimension min/max → byte codes (8× smaller than
+    * float32, 16× smaller than the widened doubles), scores computed
+    * against the dequantized bucket centers. Full corpus scan per query,
+    * same scan shape as [[knnBruteForce]] but over reconstructed vectors —
+    * compose with IVF cell pruning at scale exactly like [[knnIvfPq]].
+    *
+    * Deterministic end-to-end: exact min/max bounds, floor-based codes, and
+    * sequential-fold cosines — the quantized index is bit-identical on both
+    * engines, so the ANN results are exactly oracle-checkable.
+    */
+  def knnSq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val deq = sqDequantized(vecs)
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val scored = deq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("dv"), col("nq"), col("ndv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle CTE: dequantized corpus vectors. */
+  private val sqDeqCteSql: String =
+    s"""e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |mm AS (
+       |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+       |  FROM (SELECT dim, MIN(v[dim]) AS mn, MAX(v[dim]) AS mx
+       |        FROM e, range(1, ${Dim + 1}) t(dim) GROUP BY dim)),
+       |codes AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Dim + 1}), i ->
+       |           CASE WHEN mxs[i] = mns[i] THEN 0
+       |                ELSE LEAST(CAST(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * $SqLevels) AS BIGINT),
+       |                           ${SqLevels - 1}) END) AS code
+       |  FROM e, mm),
+       |deq AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${Dim + 1}), i ->
+       |           mns[i] + (code[i] + 0.5) * (mxs[i] - mns[i]) / ${SqLevels.toDouble}) AS dv
+       |  FROM codes, mm)""".stripMargin
+
+  val knnSqOracle: String =
+    s"""WITH $sqDeqCteSql,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT query_id, d.vec_id AS neighbor_id,
+       |         ${cosineSql("qv", "dv")} AS sim
+       |  FROM deq d JOIN q ON d.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q_knn_sq_recall: SQ quality audit — [[knnSq]] joined against the
+    * [[knnBruteForce]] ground truth, recall@k. Same persist-then-
+    * materialize discipline as [[knnRecall]] (both sides' lineage is a full
+    * O(N×Q) scan; racing consumers would recompute it concurrently).
+    */
+  def knnSqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    val sq = knnSq(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    bf.count(); sq.count()
+    val hits = bf.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_hits"))
+    val truth = bf.groupBy().agg(
+      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
+    truth.crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
+  }
+
+  val knnSqRecallOracle: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
+       |sq AS (SELECT query_id, neighbor_id FROM ($knnSqOracle) t),
+       |h AS (SELECT COUNT(*) AS n_hits FROM bf
+       |      WHERE EXISTS (SELECT 1 FROM sq
+       |                    WHERE sq.query_id = bf.query_id
+       |                      AND sq.neighbor_id = bf.neighbor_id)),
+       |tr AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM bf)
+       |SELECT n_queries, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
+       |FROM tr, h""".stripMargin
 }

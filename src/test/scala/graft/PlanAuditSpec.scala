@@ -236,6 +236,52 @@ class PlanAuditSpec extends SparkSpec {
            s"only the corpus codes⋈cells join may sort-merge, got $smjKeys:\n$plan")
   }
 
+  test("all-pairs cosine: partial pair aggregation, hot-term anti-join, term index computed once") {
+    val plan = planOf(ops.Dedup.allPairsCosine(spark, dir))
+    // the pair dot/norm aggregation must map-side combine: the self-join's
+    // candidate fan-out is the big intermediate, and partial aggregation
+    // collapses it before the (doc_a, doc_b) shuffle
+    assert(plan.contains("partial_sum"), s"pair aggregation not partial:\n$plan")
+    // over-cap terms leave via anti-join (no driver-side collect ceiling)
+    assert(plan.contains("LeftAnti"), s"df cap not an anti-join:\n$plan")
+    // the (doc, term, tf) index feeds the cap derivation and both join
+    // sides from ONE persisted relation — not three re-explodes
+    assert(plan.contains("InMemoryRelation"), s"term index not persisted:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
+  }
+
+  test("blocking dedup: Jaccard verify fused into the block join, big blocks anti-joined away") {
+    val plan = planOf(ops.Dedup.blockingDedup(spark, dir))
+    // the >= threshold predicate must sit INSIDE the self-join condition —
+    // a post-join filter would materialize every in-block pair first
+    assert("Join [^\\n]*>= 0\\.5".r.findFirstIn(plan).isDefined,
+           s"jaccard filter not fused into the join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"block-size cap not an anti-join:\n$plan")
+    // one narrow blocked relation feeds both sides
+    assert(plan.contains("InMemoryRelation"), s"blocked projection not persisted:\n$plan")
+  }
+
+  test("weighted sampling: map-side top-k (partial WindowGroupLimit), narrow scan") {
+    val plan = planOf(ops.Corpus.weightedSample(spark, dir))
+    // rank-limit pushdown: each task keeps only K rows per source BEFORE
+    // the shuffle — the property that makes the plain window scale-safe
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
+           s"top-k not partial (full window shuffle):\n$plan")
+    assert(!plan.contains("text"), s"documents scan not pruned to id/source/n_chars:\n$plan")
+  }
+
+  test("SQ ANN: one-pass map-side min/max bounds, bounds and queries broadcast, partial top-k") {
+    val plan = planOf(ops.Similarity.knnSq(spark, dir))
+    // per-dim bounds are 2·Dim combinable aggregates in one corpus pass —
+    // not a posexplode (which would shuffle Dim× the rows)
+    assert(plan.contains("partial_min"), s"bounds not map-side combined:\n$plan")
+    assert(!plan.contains("Generate posexplode"), s"bounds via explode:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"bounds/queries not broadcast:\n$plan")
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
+           s"top-k not partial:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled against query side:\n$plan")
+  }
+
   test("lang quota windows only the hash-pruned survivors, not the corpus") {
     val df = ops.Dedup.langQuota(spark, dir, k = 5)
     val plan = planOf(df)

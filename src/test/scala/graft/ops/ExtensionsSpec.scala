@@ -416,4 +416,66 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     q.collect()
     assert(q.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("all-pairs cosine: well-formed pairs, sim bounded, finds every strong exact-Jaccard dup") {
+    val pairs = Dedup.allPairsCosine(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val sim = r.getAs[Double]("sim")
+      // Cauchy–Schwarz: dot ≤ √(na·nb); ulp slack for the final division
+      assert(sim >= Dedup.ApssCosine && sim <= 1.0 + 1e-9, s"sim out of range: $sim")
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+    // cross-family recall: a pair at exact shingle-set Jaccard ≥ 0.5 shares
+    // at least that fraction of count-vector mass — it must clear the far
+    // looser 0.2 cosine bar (df-capped terms on both sides, same cap scale)
+    val apss = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.subsetOf(apss), s"missed exact dups: ${exact -- apss}")
+  }
+
+  test("blocking dedup: exact subset of the inverted-index Jaccard pairs, full recall on the fixture") {
+    // same shingle sets, same threshold, but candidates restricted to
+    // prefix-sharing blocks — so blocking can only LOSE pairs, never add
+    val block = Dedup.blockingDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(block.subsetOf(exact), s"false pairs from blocking: ${block -- exact}")
+    // the fixture's planted near-dups are head-preserving edits, so the
+    // 3-token-prefix block recalls all of them here (NOT a general claim)
+    assert(block == exact, s"fixture recall shortfall: ${exact -- block}")
+  }
+
+  test("weighted sampling: exactly K contiguous ranks per source, deterministic, weight-monotone for equal uniforms") {
+    val out = Corpus.weightedSample(spark, dir).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Corpus.SampleK))
+    }
+    out.foreach { r =>
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u < 1.0)
+      assert(r.getAs[Long]("w") >= 1L)
+    }
+    // reproducible: md5-derived uniforms, no RNG state
+    val again = Corpus.weightedSample(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("SQ ANN: k per query, self excluded, codes reconstruct well enough for high recall") {
+    val sq = Similarity.knnSq(spark, dir).collect()
+    val perQuery = sq.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Similarity.TopK))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // 8-bit bucket centers keep per-dim error ≤ (mx-mn)/512; on the fixture
+    // that preserves ≥ 80% of the exact top-k (measured 96% at sf0.001)
+    val recall = Similarity.knnSqRecall(spark, dir).collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.8, s"SQ recall degraded: $recall")
+  }
 }
