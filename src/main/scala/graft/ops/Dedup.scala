@@ -1067,26 +1067,30 @@ object Dedup {
     * refinement at scale is Bayardo prefix filtering (index only the
     * lowest-weight prefix of each vector); the df cap is the coarse form.
     */
-  def allPairsCosine(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.util.Spread.forCpu(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleN)
-    // positional (non-distinct) n-grams: the COUNT vector, not the shingle set
-    val terms = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - (ShingleN - 1)),
-        i => concat_ws(" ", (0 until ShingleN).map(o => element_at(col("toks"), i + o)): _*)))
-        .as("term"))
+  /** APSS core over an explicit (doc_id, term, tf) count-vector relation
+    * (injectable for skew tests): df-cap prune → norms → inverted-index
+    * self-join → exact-integer pair aggregation → cosine threshold.
+    * Returns unordered qualifying pairs.
+    */
+  def apssPairsCapped(tf0: DataFrame, cap: Int): DataFrame = {
     // persisted AND materialized eagerly: the relation feeds the hot-term
-    // derivation and both self-join sides — inside one final action those
+    // derivation and the capped index — inside one final action those
     // consumers race to compute the not-yet-cached explode+agg CONCURRENTLY
     // under core contention (the knnRecall flapping, observed here as
     // 7→14 s run-to-run); the one tiny extra job pins the cache first
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tf.count()
     val hot = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ApssDfCap).select("term")
+      .filter(col("df") > cap).select("term")
+    // the CAPPED index is what the norm pass and both self-join sides
+    // consume — persist it (4× smaller than tf at sf0.1: the df cap drops
+    // the hot head) so those three passes read the pruned rows instead of
+    // re-running the anti-join over the full index each time; tf itself is
+    // done once kept materializes
     val kept = tf.join(hot, Seq("term"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    tf.unpersist(blocking = false)
     val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nq"))
     val ex = kept.join(nrm, "doc_id")
     ex.as("a").join(ex.as("b"),
@@ -1100,7 +1104,19 @@ object Dedup {
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("sim") >= ApssCosine)
       .select("doc_a", "doc_b", "n_shared", "dot_q", "sim")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  def allPairsCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+    // positional (non-distinct) n-grams: the COUNT vector, not the shingle set
+    val terms = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (ShingleN - 1)),
+        i => concat_ws(" ", (0 until ShingleN).map(o => element_at(col("toks"), i + o)): _*)))
+        .as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    apssPairsCapped(tf, ApssDfCap).orderBy("doc_a", "doc_b")
   }
 
   val allPairsCosineOracle: String = {
@@ -1145,18 +1161,16 @@ object Dedup {
     * shuffling on the block key only. Shingle arrays ride the shuffle but
     * blocks are tiny by construction. All-integer Jaccard → exact oracle.
     */
-  def blockingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.util.Spread.forCpu(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
-              shingles(col("text")).as("sh"))
-      .filter(size(col("toks")) >= lit(math.max(BlockPrefix, ShingleN)))
-      .select(col("doc_id"),
-              concat_ws(" ", slice(col("toks"), 1, BlockPrefix)).as("bkey"),
-              col("sh"), size(col("sh")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // pin before the three consumers race (see allPairsCosine)
+  /** Blocking core over an explicit (doc_id, bkey, sh, n) relation
+    * (injectable for skew tests): over-cap block removal → block self-join
+    * with the exact-Jaccard verify fused into the join. Returns unordered
+    * qualifying pairs.
+    */
+  def blockingPairs(d0: DataFrame, cap: Int): DataFrame = {
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // pin before the three consumers race (see apssPairsCapped)
     val big = d.groupBy("bkey").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > BlockCap).select("bkey")
+      .filter(col("bn") > cap).select("bkey")
     val blocked = d.join(big, Seq("bkey"), "left_anti")
     blocked.as("a").join(blocked.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -1166,7 +1180,17 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  def blockingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
+              shingles(col("text")).as("sh"))
+      .filter(size(col("toks")) >= lit(math.max(BlockPrefix, ShingleN)))
+      .select(col("doc_id"),
+              concat_ws(" ", slice(col("toks"), 1, BlockPrefix)).as("bkey"),
+              col("sh"), size(col("sh")).as("n"))
+    blockingPairs(d, BlockCap).orderBy("doc_a", "doc_b")
   }
 
   val blockingDedupOracle: String = {

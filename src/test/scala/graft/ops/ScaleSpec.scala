@@ -102,6 +102,43 @@ class ScaleSpec extends SparkSpec {
     assert(rows.head.getDouble(5) == 1.0)
   }
 
+  test("APSS df cap collapses the boilerplate-term blowup (100 TB skew defense)") {
+    import spark.implicits._
+    // 100 boilerplate docs with IDENTICAL count vectors (every term df=100)
+    // + 1 genuine dup pair on rare terms — same web-scale shape as the
+    // jaccard/simhash cap tests
+    val boiler = (0L until 100L).flatMap(i =>
+      Seq((i, "all rights reserved", 2L), (i, "terms of service", 1L)))
+    val dups = Seq((1000L, "quick brown fox", 3L), (1001L, "quick brown fox", 3L))
+    val tf = (boiler ++ dups).toDF("doc_id", "term", "tf")
+    // uncapped: identical vectors ⇒ every boilerplate pair scores 1.0 —
+    // quadratic in the hot inverted-index buckets
+    assert(Dedup.apssPairsCapped(tf, Int.MaxValue).count() == 100L * 99 / 2 + 1)
+    // capped: df=100 terms pruned from every vector — boilerplate docs
+    // drop out of the index entirely; only the rare-term pair survives
+    val rows = Dedup.apssPairsCapped(tf, 10).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+    assert(rows.head.getAs[Double]("sim") == 1.0)
+  }
+
+  test("blocking cap skips the shared-prefix mega-block (100 TB skew defense)") {
+    import spark.implicits._
+    // 100 docs sharing one blocking key AND identical shingles (the
+    // boilerplate-prefix block) + 1 genuine dup pair in a 2-doc block
+    val boiler = (0L until 100L).map(i =>
+      (i, "all rights reserved", Seq("all rights reserved", "reserved legal text"), 2))
+    val dups = Seq(
+      (1000L, "quick brown fox", Seq("quick brown fox", "fox jumps over"), 2),
+      (1001L, "quick brown fox", Seq("quick brown fox", "fox jumps over"), 2))
+    val d = (boiler ++ dups).toDF("doc_id", "bkey", "sh", "n")
+    assert(Dedup.blockingPairs(d, Int.MaxValue).count() == 100L * 99 / 2 + 1)
+    val rows = Dedup.blockingPairs(d, 10).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+    assert(rows.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("simhash band-bucket cap collapses the degenerate-fingerprint blowup (100 TB skew defense)") {
     import spark.implicits._
     // 100 boilerplate docs with IDENTICAL fingerprints (one hot bucket per
