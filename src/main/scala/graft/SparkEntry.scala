@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_simhash_capped" -> ((s, d) => Dedup.simhashCapped(s, d)),
     "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "q_knn_sq"            -> ((s, d) => Similarity.knnSq(s, d)),
+    "q_embed_outliers"    -> ((s, d) => Similarity.embedOutliers(s, d)),
     "q_knn_sq_recall"     -> ((s, d) => Similarity.knnSqRecall(s, d)),
     "q_allpairs_cosine"   -> ((s, d) => Dedup.allPairsCosine(s, d)),
     "q_dedup_blocking"    -> ((s, d) => Dedup.blockingDedup(s, d)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "q_dedup_simhash_capped"    -> ops.Dedup.simhashCappedOracle,
     "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,
     "q_knn_sq"                  -> ops.Similarity.knnSqOracle,
+    "q_embed_outliers"          -> ops.Similarity.embedOutliersOracle,
     "q_knn_sq_recall"           -> ops.Similarity.knnSqRecallOracle,
     "q_allpairs_cosine"         -> ops.Dedup.allPairsCosineOracle,
     "q_dedup_blocking"          -> ops.Dedup.blockingDedupOracle,

@@ -912,6 +912,59 @@ object Similarity {
               (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
   }
 
+  /** q_embed_outliers: per-label centroid-distance audit — the standard
+    * "find mislabeled / contaminated vectors" curation pass: each label's
+    * centroid, then the top-3 most-distant members (squared L2). The
+    * centroid is the QUANTIZED mean (per-dim sums of floor(x·2^20) —
+    * [[QuantScale]], the exact-integer Lloyd policy): integer sums are
+    * order-independent under any partitioning, and the reconstruction
+    * `qs/(n·2^20)` is one deterministic double expression, so even the
+    * distances are exactly oracle-checkable. Quantization error ≤ 2⁻²⁰
+    * per dim — three decimal orders below the distances it ranks.
+    *
+    * Scale shape (100 TB): one map-side-combinable groupBy(label) for the
+    * centroid sums (2+Dim columns), one join back keyed on label (AQE
+    * broadcasts the centroid table when small; no forced hint — label
+    * cardinality has no driver ceiling), one partial-WindowGroupLimit
+    * top-k. Never an all-pairs distance.
+    */
+  def embedOutliers(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    val vecs = graft.util.Spread.forCpu(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cents = vecs.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      array((1 to Dim).map(i =>
+        sum(floor(element_at(col("v"), i) * lit(QuantScale)))): _*).as("qsl"))
+    def centAt(i: Column) = element_at(col("qsl"), i) / (col("n") * lit(QuantScale))
+    val diff = transform(sequence(lit(1), lit(Dim)), i => element_at(col("v"), i) - centAt(i))
+    val scored = vecs.join(cents, "label")
+      .select(col("label"), col("vec_id"), dot(diff, diff).as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("label", "rank", "vec_id", "dist")
+      .orderBy("label", "rank")
+  }
+
+  val embedOutliersOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+       |qs AS (
+       |  SELECT label, dim,
+       |         CAST(SUM(CAST(floor(v[dim] * $QuantScale) AS BIGINT)) AS BIGINT) AS s,
+       |         COUNT(*) AS n
+       |  FROM e, range(1, ${Dim + 1}) t(dim) GROUP BY 1, 2),
+       |c AS (SELECT label, list(s ORDER BY dim) AS qsl, MIN(n) AS n FROM qs GROUP BY 1),
+       |d AS (
+       |  SELECT e.vec_id, e.label,
+       |         list_dot_product(
+       |           list_transform(range(1, ${Dim + 1}), i -> v[i] - (qsl[i] / (n * $QuantScale))),
+       |           list_transform(range(1, ${Dim + 1}), i -> v[i] - (qsl[i] / (n * $QuantScale)))) AS dist
+       |  FROM e JOIN c USING (label)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+       |      FROM d)
+       |SELECT label, CAST(rank AS INT) AS rank, vec_id, dist
+       |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
+
   val knnSqRecallOracle: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
        |sq AS (SELECT query_id, neighbor_id FROM ($knnSqOracle) t),

@@ -282,6 +282,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled against query side:\n$plan")
   }
 
+  test("embed outliers: map-side centroid sums, label-keyed join, partial top-k") {
+    val plan = planOf(ops.Similarity.embedOutliers(spark, dir))
+    // the 2+Dim centroid aggregates must combine map-side: the only
+    // corpus-sized shuffle is label-keyed and carries partial sums
+    assert(plan.contains("partial_sum"), s"centroid sums not map-side combined:\n$plan")
+    assert(!plan.contains("Generate posexplode"), s"centroid via explode:\n$plan")
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
+           s"top-k not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
+  }
+
   test("lang quota windows only the hash-pruned survivors, not the corpus") {
     val df = ops.Dedup.langQuota(spark, dir, k = 5)
     val plan = planOf(df)

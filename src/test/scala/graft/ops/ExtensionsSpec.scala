@@ -465,6 +465,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("embed outliers: contiguous ranks per label, distances non-negative and rank-monotone") {
+    val out = Similarity.embedOutliers(spark, dir).collect()
+    val byLabel = out.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val dists = sorted.map(_.getAs[Double]("dist"))
+      assert(dists.forall(_ >= 0.0))
+      // rank order IS distance order (ties broken by id, so non-strict)
+      assert(dists.zip(dists.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("SQ ANN: k per query, self excluded, codes reconstruct well enough for high recall") {
     val sq = Similarity.knnSq(spark, dir).collect()
     val perQuery = sq.groupBy(_.getAs[Long]("query_id"))
