@@ -75,6 +75,9 @@ object SparkEntry {
     "q_decontamination"   -> ((s, d) => Dedup.decontamination(s, d)),
     "q_decontamination_exact" -> ((s, d) => Dedup.decontaminationExact(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_ngram_lm"          -> ((s, d) => Corpus.ngramLm(s, d)),
+    "q_stream_join"       -> ((s, d) => graft.streaming.StreamingQueries.streamClickAttribution(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -211,6 +214,10 @@ object SparkEntry {
     "q_decontamination"         -> ops.Dedup.decontaminationOracle,
     "q_decontamination_exact"   -> ops.Dedup.decontaminationExactOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
+    "q_hard_negatives"          -> ops.Similarity.hardNegativesOracle,
+    "q_ngram_lm"                -> ops.Corpus.ngramLmOracle,
+    // stream-stream interval join rides the batch range-join oracle
+    "q_stream_join"             -> ops.Temporal.clickAttributionOracle,
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,
     "q_media_features"          -> ops.Multimodal.mediaFeaturesOracle,

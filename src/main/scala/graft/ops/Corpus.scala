@@ -242,6 +242,88 @@ object Corpus {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- bigram language-model scoring -----------------------------------------
+
+  /** Per-source audit of bigram-LM log-likelihood — the n-gram step up from
+    * the unigram [[TextAnalysis.lmQuality]] / [[dsirAudit]] models: train
+    * add-one-smoothed bigram probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)
+    * on the corpus itself, score every document by its total and mean
+    * per-bigram log-probability, and roll up per source. Low mean log-prob
+    * (high perplexity) under a self-trained LM is the classic
+    * "gibberish / boilerplate / wrong-language" curation signal
+    * (CCNet-style filtering, Wenzek et al. 2020).
+    *
+    * Plan: one token explode feeds the unigram counts, the positional pair
+    * explode feeds the bigram counts, and scoring joins each document
+    * bigram to both count tables — all three aggregations are map-side
+    * combined and every join is keyed on the token/bigram (hash-shuffle
+    * joins with no broadcast ceiling: vocabulary size never touches the
+    * driver). The V scalar rides a broadcast 1-row cross join. Per-bigram
+    * log-probs are summed as DECIMAL(28,10) so document scores are
+    * summation-order independent (the [[dsirAudit]] cross-engine exactness
+    * idiom); the mean divides AFTER one final cast to double, so it is a
+    * single IEEE division on both engines.
+    */
+  def ngramLmAudit(docsIn: DataFrame): DataFrame = {
+    val toks = docsIn
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val bi = toks.filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+                      element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vSize = c1.agg(count(lit(1)).cast("double").as("v"))
+    val lp = c12.join(c1, "w1").crossJoin(broadcast(vSize))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+          .cast("decimal(28,10)").as("lp"))
+    val per = bi.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("lp").as("s"), count(lit(1)).as("n_bigrams"))
+    docsIn.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(col("s")).cast("double").as("sum_lp"),
+        min(col("s").cast("double") / col("n_bigrams")).as("min_avg_lp"),
+        max(col("s").cast("double") / col("n_bigrams")).as("max_avg_lp"))
+      .orderBy("source")
+  }
+
+  /** q_ngram_lm: bigram-LM scoring audit over the documents table. */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    ngramLmAudit(Tables.documents(spark, dir))
+
+  val ngramLmOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |             FROM t WHERE len(toks) >= 2)),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT unnest(toks) AS w1 FROM t),
+       |c1c AS (SELECT w1, COUNT(*) AS c1 FROM c1 GROUP BY 1),
+       |vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1c),
+       |lp AS (SELECT w1, w2,
+       |              CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(28,10)) AS lp
+       |       FROM c12 JOIN c1c USING (w1), vs),
+       |per AS (SELECT bi.doc_id, SUM(lp.lp) AS s, COUNT(*) AS n_bigrams
+       |        FROM bi JOIN lp USING (w1, w2) GROUP BY 1)
+       |SELECT d.source,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN per.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |       CAST(SUM(per.s) AS DOUBLE) AS sum_lp,
+       |       MIN(CAST(per.s AS DOUBLE) / per.n_bigrams) AS min_avg_lp,
+       |       MAX(CAST(per.s AS DOUBLE) / per.n_bigrams) AS max_avg_lp
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- deterministic weighted sampling (Efraimidis–Spirakis) -----------------
 
   /** Per-source sample size for [[weightedSample]]. */

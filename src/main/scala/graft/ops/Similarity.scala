@@ -112,6 +112,55 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // --- hard-negative mining --------------------------------------------------
+
+  /** q_hard_negatives: contrastive hard-negative mining — for each query
+    * vector, the [[TopK]] most-cosine-similar corpus vectors carrying a
+    * DIFFERENT label. This is the standard retrieval/contrastive-training
+    * data-prep pass: positives come from the query's own label, and the
+    * highest-similarity cross-label vectors are exactly the "hard"
+    * negatives worth putting in the batch (easy negatives teach nothing).
+    *
+    * Plan shape is [[knnBruteForce]] with the self-exclusion predicate
+    * widened to label inequality: the tiny query side broadcasts, the
+    * corpus streams through one codegen'd projection, and the only
+    * shuffle is the per-query top-k. At 100 TB the same IVF/PQ candidate
+    * pruning the q_knn_ivf_pq line demonstrates composes in front of this
+    * scoring unchanged (the label filter is a cheap residual predicate on
+    * the candidate stream) — brute force is kept here so the mining pass
+    * itself stays exactly oracle-checkable.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.util.Spread.forCpu(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+              col("v").as("qv"), col("nv").as("nq"))
+    val scored = vecs.join(broadcast(queries), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |      FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("qv", "v")} AS sim
+       |  FROM e JOIN q ON e.label <> q.qlabel),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   // --- IVF ANN ---------------------------------------------------------------
 
   /** Quantization scale for the Lloyd centroid accumulator: components

@@ -84,6 +84,24 @@ object Temporal {
        |       COUNT(*) AS n_events, ${Exact.sum2Sql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Oracle for q_stream_join ([[graft.streaming.StreamingQueries
+    * .streamClickAttribution]]): the same click→purchase attribution as a
+    * plain batch range join. DuckDB loads the parquet TIMESTAMP(NANOS)
+    * column truncated to microseconds, matching the Spark side's
+    * `timestamp_micros(ts div 1000)`, so the interval boundary agrees
+    * exactly across engines.
+    */
+  val clickAttributionOracle: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, click_id, purchase_id, value
+      |FROM c JOIN p USING (user_id)
+      |WHERE purchase_ts >= click_ts
+      |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** q_events_props: JSON property extraction from the dynamic `props`
     * column (the reference's checkpoint/notification JSON handling,
     * SURVEY.md §1.1) — regexp-based so both engines share one code path.

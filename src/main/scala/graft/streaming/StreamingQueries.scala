@@ -87,6 +87,52 @@ object StreamingQueries {
         sum("n_events").as("n_events"))
   }
 
+  /** q_stream_join: stream-stream INNER equi-join with an event-time range
+    * condition — click→purchase attribution: every (click, purchase) pair
+    * for the same user where the purchase lands within one hour after the
+    * click. Both sides are streams derived from the same file source
+    * (Structured Streaming's stream-stream self-join), so this exercises
+    * the symmetric-hash join state store, the third stateful operator
+    * family after windowed aggregation (q_stream_hourly) and arbitrary
+    * state (q_stream_dedup).
+    *
+    * Determinism: an INNER stream-stream join emits exactly the batch join
+    * result for a drained finite input regardless of micro-batch splits —
+    * each pair matches exactly once, whichever side arrives first (the
+    * join buffers both). No watermark, so no arrival-order late-drop
+    * nondeterminism (the q_stream_hourly trade); production would add
+    * `withWatermark` on both sides plus the range condition to bound state
+    * — the condition is already in the watermark-evictable shape
+    * (purchase_ts between click_ts and click_ts + 1h), so that is a
+    * one-line hardening, not a redesign.
+    *
+    * The emitted pairs carry only exact columns (ids, source values), so
+    * the readout is hash-comparable against the plain-SQL range join.
+    */
+  def streamClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_click_attr"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** q_stream_dedup: exact dedup as an INCREMENTAL stateful operator —
     * `mapGroupsWithState` keyed by (source, content-hash), carrying
     * (representative doc_id, group count) per key. This is the streaming

@@ -70,6 +70,20 @@ class PlanAuditSpec extends SparkSpec {
            s"query side must broadcast:\n$plan")
   }
 
+  test("hard negatives: query side broadcasts, corpus never shuffles for the join") {
+    val plan = planOf(ops.Similarity.hardNegatives(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the scoring join:\n$plan")
+  }
+
+  test("ngram LM: all three count aggregations combine map-side, scalar V broadcasts") {
+    val plan = planOf(ops.Corpus.ngramLm(spark, dir))
+    assert(plan.contains("partial_count"), s"counts not map-side combined:\n$plan")
+    // the only nested-loop join is the broadcast 1-row V scalar
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast scalar cross join:\n$plan")
+  }
+
   test("IVF cell assignment partial-aggregates map-side (no row_number window over N×C)") {
     val plan = planOf(ops.Similarity.knnIvf(spark, dir))
     // the argmax must be a max_by AGGREGATION with a partial phase, never a

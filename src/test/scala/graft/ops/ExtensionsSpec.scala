@@ -465,6 +465,39 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("hard negatives: every neighbor carries a different label, ranks contiguous, sim-monotone") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) != labels(q), s"neighbor $n shares query $q's label ${labels(q)}")
+    }
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ngram LM: log-probs strictly negative, scored subset bounded, means within sum bounds") {
+    val rows = graft.ops.Corpus.ngramLm(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs"); val nScored = r.getAs[Long]("n_scored")
+      assert(nScored <= nDocs && nScored >= 0)
+      if (nScored > 0) {
+        val minA = r.getAs[Double]("min_avg_lp"); val maxA = r.getAs[Double]("max_avg_lp")
+        // add-one smoothing keeps every p(w2|w1) < 1, so every mean log-prob < 0
+        assert(minA <= maxA && maxA < 0.0)
+        assert(r.getAs[Double]("sum_lp") < 0.0)
+      }
+    }
+  }
+
   test("embed outliers: contiguous ranks per label, distances non-negative and rank-monotone") {
     val out = Similarity.embedOutliers(spark, dir).collect()
     val byLabel = out.groupBy(_.getAs[Int]("label"))

@@ -170,6 +170,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("gold" -> 12.5, "silver" -> 5.0))
   }
 
+  test("stream-stream interval self-join equals the batch range join on the events fixture") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamClickAttribution(spark, sf0001).collect()
+    val e = graft.Tables.events(spark, sf0001)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    val batch = c.join(p,
+        col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id", "value")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    assert(streamed.nonEmpty, "fixture yields no click->purchase pairs")
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("native session_window equals the lag-based sessionization on the events fixture") {
     // Temporal.userSessions splits at gaps > 30 min via lag(); Spark's
     // session_window(ts, '30 minutes') closes a session when the next event
