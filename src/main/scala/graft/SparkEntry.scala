@@ -76,6 +76,10 @@ object SparkEntry {
     "q_decontamination_exact" -> ((s, d) => Dedup.decontaminationExact(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_knn_mutual"        -> ((s, d) => Similarity.knnMutual(s, d)),
+    "q_minhash_est_check" -> ((s, d) => Dedup.minhashEstCheck(s, d)),
+    "q_events_gapfill"    -> ((s, d) => Temporal.eventsGapfill(s, d)),
+    "q_winsorize"         -> ((s, d) => Relational.winsorizedStats(s, d)),
     "q_ngram_lm"          -> ((s, d) => Corpus.ngramLm(s, d)),
     "q_stream_join"       -> ((s, d) => graft.streaming.StreamingQueries.streamClickAttribution(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -215,6 +219,10 @@ object SparkEntry {
     "q_decontamination_exact"   -> ops.Dedup.decontaminationExactOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
     "q_hard_negatives"          -> ops.Similarity.hardNegativesOracle,
+    "q_knn_mutual"              -> ops.Similarity.knnMutualOracle,
+    "q_minhash_est_check"       -> ops.Dedup.minhashEstCheckOracle,
+    "q_events_gapfill"          -> ops.Temporal.eventsGapfillOracle,
+    "q_winsorize"               -> ops.Relational.winsorizedStatsOracle,
     "q_ngram_lm"                -> ops.Corpus.ngramLmOracle,
     // stream-stream interval join rides the batch range-join oracle
     "q_stream_join"             -> ops.Temporal.clickAttributionOracle,

@@ -448,6 +448,60 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q_minhash_est_check: MinHash sketch-accuracy governance — the same
+    * self-check-as-oracle pattern as the HLL ([[Relational.kyakusuApproxCheck]])
+    * and quantile-sketch audits, applied to the LSH dedup pipeline's
+    * signatures. For every verified near-dup pair, the signature-agreement
+    * estimate Ĵ = |{i : sig_a[i] = sig_b[i]}| / [[NumHashes]] is compared
+    * against the exact shingle Jaccard the verify stage already computed;
+    * the audit row carries the pair count, the worst absolute error, and
+    * the count of errors past 1/4 — the error DISTRIBUTION is
+    * hash-compared, not a hoped-for bound (E[Ĵ] = J; per-pair deviation at
+    * k=12 has σ ≈ 0.14, so nonzero tail counts are expected and exact).
+    *
+    * At 100 TB this is the audit you run before trusting banding
+    * parameters: if the sketch disagrees with exact Jaccard on the pairs
+    * you CAN verify, the (bands, rows) recall model is wrong for your
+    * shingle distribution. Cost is one signature recompute joined onto the
+    * verified pairs — candidate-bounded, never corpus all-pairs.
+    */
+  def minhashEstCheck(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).filter(size(col("shingles")) > 0)
+    val sig = sh.select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+    val pairs = minhashLsh(spark, dir)
+    pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+                     b => b)).cast("double") / NumHashes).as("est"))
+      .withColumn("err", abs(col("est") - col("jaccard")))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max("err").as("max_abs_err"),
+        sum(when(col("err") > 0.25, 1L).otherwise(0L)).as("n_err_gt_quarter"))
+  }
+
+  val minhashEstCheckOracle: String =
+    s"""WITH pairs AS (SELECT * FROM ($minhashLshOracle) t),
+       |sh2 AS (SELECT doc_id, shingles FROM $docShinglesSql t WHERE len(shingles) > 0),
+       |sig2 AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, $NumHashes),
+       |           i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+       |  FROM sh2),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard,
+       |         CAST(len(list_filter(list_transform(range(1, ${NumHashes + 1}),
+       |                i -> a.sig[i] = b.sig[i]), x -> x)) AS DOUBLE) / $NumHashes AS est
+       |  FROM pairs p
+       |  JOIN sig2 a ON p.doc_a = a.doc_id
+       |  JOIN sig2 b ON p.doc_b = b.doc_id)
+       |SELECT COUNT(*) AS n_pairs,
+       |       MAX(abs(est - jaccard)) AS max_abs_err,
+       |       CAST(SUM(CASE WHEN abs(est - jaccard) > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_gt_quarter
+       |FROM est""".stripMargin
+
   // --- deterministic splits + decontamination --------------------------------
 
   /** q_data_split: hash-based train/val/test assignment (80/10/10) — the

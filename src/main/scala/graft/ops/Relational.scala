@@ -572,6 +572,71 @@ object Relational {
       s"SELECT CAST($q AS DOUBLE) AS q, TRUE AS within_bound")
       .mkString("\nUNION ALL\n")
 
+  /** Winsorization bounds for [[winsorizedStats]]. */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** q_winsorize: robust per-group stats via discrete-percentile
+    * winsorization — clamp `value` to the exact p05/p95 ORDER STATISTICS
+    * per event_type, then aggregate the clamped measure. The boundary is
+    * the element at rank ceil(q·n) under the total order (value,
+    * event_id), i.e. an actual data value — so unlike interpolated
+    * percentiles (whose convention differs across engines) the bounds and
+    * every clamped value hash-compare bit-exactly.
+    *
+    * Scale: the ranking pass is one sort-shuffle partitioned by
+    * event_type (exact order statistics are the point of this audit; at
+    * 100 TB with skewed/low-cardinality groups the one-pass mergeable
+    * sketch path is [[quantileProfileCheck]] — that pair is the same
+    * exact/approx trade as [[tableProfile]] vs
+    * [[tableProfileApproxCheck]]). The bounds table is group-cardinality
+    * rows and broadcasts back onto a plain scan for the clamped
+    * aggregation — the corpus is never shuffled a second time.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val cw = Window.partitionBy("event_type")
+    val ranked = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    val bounds = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === ceil(col("n") * lit(WinsorLo)), col("value"))).as("p05"),
+      max(when(col("rn") === ceil(col("n") * lit(WinsorHi)), col("value"))).as("p95"))
+    val clamped = greatest(least(col("value"), col("p95")), col("p05"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("p05").as("p05"),
+        max("p95").as("p95"),
+        Exact.sum2(clamped).as("sum_winsorized"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clamped_high"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedStatsOracle: String =
+    s"""WITH e AS (SELECT event_type, event_id, value FROM events),
+       |r AS (SELECT *,
+       |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY event_type) AS n
+       |      FROM e),
+       |b AS (SELECT event_type,
+       |             MAX(CASE WHEN rn = ceil(n * $WinsorLo) THEN value END) AS p05,
+       |             MAX(CASE WHEN rn = ceil(n * $WinsorHi) THEN value END) AS p95
+       |      FROM r GROUP BY 1)
+       |SELECT e.event_type,
+       |       COUNT(*) AS n,
+       |       MAX(b.p05) AS p05,
+       |       MAX(b.p95) AS p95,
+       |       ${Exact.sum2Sql("greatest(least(value, b.p95), b.p05)")} AS sum_winsorized,
+       |       CAST(SUM(CASE WHEN value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+       |       CAST(SUM(CASE WHEN value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+       |FROM e JOIN b USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def tempFinalPromotion(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val cutoff = lit("1998-01-01").cast("date")

@@ -161,6 +161,63 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // --- mutual-kNN graph ------------------------------------------------------
+
+  /** q_knn_mutual: the reciprocal (mutual) kNN graph over the query-stride
+    * subset — edges (a, b) where b is in a's cosine top-[[TopK]] AND a is
+    * in b's. Mutual-kNN edges are the high-precision backbone used for
+    * graph-based semantic clustering and for consistency-filtering ANN
+    * results (an asymmetric neighbor is usually a hub artifact; a mutual
+    * one is a genuine semantic tie).
+    *
+    * Plan: ONE top-k pass over the subset (broadcast both-sides self-score,
+    * per-query partial top-k), persisted, then a self-join of that ranked
+    * edge list on the reversed pair — the mutuality test touches only
+    * k·|subset| edges, never the corpus. Cosine is symmetric bit-for-bit
+    * (the sequential fold multiplies the same components in the same index
+    * order on either argument side), so (a,b) and (b,a) carry the same
+    * `sim` and the edge list needs no re-scoring.
+    */
+  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val sub = vectors(spark, dir).filter(col("vec_id") % QueryStride === 0)
+    val queries = sub.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val scored = sub.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "sim")
+      .persist()
+    ranked.as("x").join(ranked.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+              col("x.sim").as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val knnMutualOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings
+       |           WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("qv", "v")} AS sim
+       |  FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                     ORDER BY sim DESC, neighbor_id) AS rank
+       |        FROM scored)
+       |  WHERE rank <= $TopK)
+       |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.sim AS sim
+       |FROM ranked x JOIN ranked y
+       |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+       | AND x.query_id < x.neighbor_id
+       |ORDER BY 1, 2""".stripMargin
+
   // --- IVF ANN ---------------------------------------------------------------
 
   /** Quantization scale for the Lloyd centroid accumulator: components

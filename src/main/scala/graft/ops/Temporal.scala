@@ -84,6 +84,53 @@ object Temporal {
        |       COUNT(*) AS n_events, ${Exact.sum2Sql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_events_gapfill: dense hourly time series with zero-filled gaps — the
+    * standard "regularize an event stream before rate/anomaly analysis"
+    * pass: every (hour, event_type) cell in the observed global hour range
+    * appears exactly once, with n_events = 0 and is_gap = 1 where no event
+    * landed.
+    *
+    * Scale shape: the corpus-sized input collapses through ONE map-side
+    * combined aggregation; everything after operates on aggregated data —
+    * the hour spine is generated from a 1-row bounds aggregate via
+    * `sequence` (never a driver loop), the type dimension is the distinct
+    * of the rollup, and the final left join is dense-spine × rollup
+    * (hours × types rows, both tiny relative to the input; AQE broadcasts
+    * the rollup side). The rollup feeds three consumers (bounds, types,
+    * join probe) and is persisted so the corpus aggregation runs once.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist()
+    val bounds = hourly.agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = hourly.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(hourly, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.cast("int").as("is_gap"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val eventsGapfillOracle: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+      |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b),
+      |types AS (SELECT DISTINCT event_type FROM hourly)
+      |SELECT h.hour_start, t.event_type,
+      |       COALESCE(x.n_events, 0) AS n_events,
+      |       CAST(x.n_events IS NULL AS INT) AS is_gap
+      |FROM hours h CROSS JOIN types t
+      |LEFT JOIN hourly x
+      |  ON x.hour_start = h.hour_start AND x.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin
+
   /** Oracle for q_stream_join ([[graft.streaming.StreamingQueries
     * .streamClickAttribution]]): the same click→purchase attribution as a
     * plain batch range join. DuckDB loads the parquet TIMESTAMP(NANOS)

@@ -77,6 +77,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the scoring join:\n$plan")
   }
 
+  test("events gapfill: corpus collapses through one partial agg, rollup reused via cache") {
+    val df = ops.Temporal.eventsGapfill(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"), s"hourly rollup not map-side combined:\n$plan")
+    // the persisted rollup feeds bounds/types/probe without rescanning events
+    assert(plan.contains("InMemoryTableScan"), s"rollup recomputed per consumer:\n$plan")
+  }
+
+  test("winsorize: bounds broadcast back, clamped aggregation is partial+final") {
+    val plan = planOf(ops.Relational.winsorizedStats(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+           s"final aggregation not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
+  }
+
+  test("mutual kNN: one partial top-k pass, reciprocal join touches only the edge list") {
+    val plan = planOf(ops.Similarity.knnMutual(spark, dir))
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
+           s"top-k not partial:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+           s"ranked edge list recomputed per join side:\n$plan")
+  }
+
   test("ngram LM: all three count aggregations combine map-side, scalar V broadcasts") {
     val plan = planOf(ops.Corpus.ngramLm(spark, dir))
     assert(plan.contains("partial_count"), s"counts not map-side combined:\n$plan")

@@ -498,6 +498,41 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mutual kNN: edges are exactly the reciprocal top-k pairs of the stride subset") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.knnMutual(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("sim")))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, s) => a < b && s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12 })
+    // independent reconstruction: subset top-k via a second pipeline, then
+    // the reciprocal intersection computed driver-side
+    val sub = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = sub.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ranked = sub.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), Similarity.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rk") <= Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = ranked.collect { case (a, b) if a < b && ranked((b, a)) => (a, b) }
+    assert(out.map(t => (t._1, t._2)).toSet == expect)
+  }
+
+  test("minhash estimate check: pair count matches the LSH query, error stats well-formed") {
+    val row = Dedup.minhashEstCheck(spark, dir).head()
+    val nPairs = row.getAs[Long]("n_pairs")
+    assert(nPairs == Dedup.minhashLsh(spark, dir).count())
+    val maxErr = row.getAs[Double]("max_abs_err")
+    assert(maxErr >= 0.0 && maxErr <= 1.0)
+    val tail = row.getAs[Long]("n_err_gt_quarter")
+    assert(tail >= 0 && tail <= nPairs)
+    // k=12 signatures: σ ≈ 0.14 per pair, so the >0.25 tail should stay a
+    // minority of verified near-dups (Hoeffding: P < 0.45 per pair)
+    assert(tail.toDouble <= math.max(1.0, 0.5 * nPairs), s"tail=$tail of $nPairs")
+  }
+
   test("embed outliers: contiguous ranks per label, distances non-negative and rank-monotone") {
     val out = Similarity.embedOutliers(spark, dir).collect()
     val byLabel = out.groupBy(_.getAs[Int]("label"))

@@ -115,4 +115,40 @@ class JoinOpsSpec extends SparkSpec {
     assert(rows.length == Relational.ProfileQuantiles.length)
     rows.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
   }
+
+  test("events gapfill: dense hour x type grid, conserved counts, gap flags consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.eventsGapfill(spark, sf0001).collect()
+    val e = graft.Tables.events(spark, sf0001)
+    val nTypes = e.select("event_type").distinct().count()
+    val hours = out.map(_.getAs[java.sql.Timestamp]("hour_start")).distinct
+    // dense grid: every hour carries every type exactly once
+    assert(out.length == hours.length * nTypes)
+    assert(out.map(r => (r.get(0), r.get(1))).distinct.length == out.length)
+    // zero-fill conserves the event total
+    assert(out.map(_.getAs[Long]("n_events")).sum == e.count())
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_events"); val gap = r.getAs[Int]("is_gap")
+      assert(if (gap == 1) n == 0 else n > 0, r.toString)
+    }
+    // the spine is contiguous: hour steps are exactly 3600s
+    val sorted = hours.map(_.getTime).sorted
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => b - a == 3600000L })
+  }
+
+  test("winsorize: bounds are order statistics, clamp fractions respect the quantiles") {
+    val out = Relational.winsorizedStats(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val p05 = r.getAs[Double]("p05"); val p95 = r.getAs[Double]("p95")
+      assert(p05 <= p95, r.toString)
+      // strictly-below-p05 rows are fewer than rank(p05) = ceil(0.05 n)
+      assert(r.getAs[Long]("n_clamped_low") < math.ceil(n * Relational.WinsorLo) + 1)
+      // strictly-above-p95 rows are at most n - ceil(0.95 n)
+      assert(r.getAs[Long]("n_clamped_high") <= n - math.ceil(n * Relational.WinsorHi).toLong)
+      val s = r.getAs[Double]("sum_winsorized")
+      assert(s >= n * p05 - 0.01 && s <= n * p95 + 0.01, r.toString)
+    }
+  }
 }
