@@ -26,17 +26,23 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution — far below host-window noise):
+    // full nanosecond digits ballooned the 88-query line past the harness's
+    // captured-stdout tail, which is why BENCH_r05.parsed came back null
+    // even with bench_out.json present.
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // Also persist to a file: a long per-query map can overflow the
-    // harness's captured-stdout tail, and a bench you can't fully read is
-    // a bench you can't fully grade.
+    // Also persist to a file, belt-and-braces against any stdout capture
+    // limit. NonFatal only: an OOM or interrupt here must surface, not
+    // masquerade as a silently missing bench_out.json.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"WARN: bench_out.json write failed: $e") }
     spark.stop()
   }
 }

@@ -25,10 +25,9 @@ import graft.Tables
   *
   * Cache lifecycle: the LSH pipeline persists three small relations
   * (banded, candidate pairs, candidate shingles) for intra-query reuse and
-  * leaves reclamation to the session (`spark.catalog.clearCache()` between
-  * queries — Bench and Verify do). Long-lived sessions invoking these
-  * repeatedly should do the same, or cached blocks accumulate until
-  * eviction.
+  * leaves reclamation to the session per the package-level contract
+  * ([[graft.ops]]): callers `spark.catalog.clearCache()` after consuming a
+  * result — Bench, Verify, and StageBench do.
   */
 object Dedup {
 

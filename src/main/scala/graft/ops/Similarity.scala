@@ -189,6 +189,10 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "sim")
       .persist()
+    // pin the cache before the self-join: both sides race to compute the
+    // uncached O(N×Q) scoring lineage concurrently on first action otherwise
+    // (the knnRecall/apssPairsCapped flapping pattern)
+    ranked.count()
     ranked.as("x").join(ranked.as("y"),
         col("x.query_id") === col("y.neighbor_id") &&
           col("x.neighbor_id") === col("y.query_id") &&

@@ -22,9 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Summation is strictly left-to-right — bit-identical to both the HOF
   * fold it replaces and DuckDB's `list_dot_product` (the oracle side), so
   * swapping it in changes no hash-compared result. Element nulls are not
-  * expected (embeddings are dense); lengths are trusted equal by callers
-  * (vectors of one corpus share a dim) and the shorter length wins
-  * defensively. Registered as SQL `vec_dot(a, b)`.
+  * expected (embeddings are dense) but propagate to a null sum, and
+  * unequal lengths null the result too — exactly the HOF's behavior
+  * (`zip_with` pads the shorter array with nulls, which the sum
+  * propagates). Registered as SQL `vec_dot(a, b)`.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,16 +49,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     case _ => false
   }
 
-  override def nullable: Boolean =
-    left.nullable || right.nullable || mayHaveNullElem
+  // unequal lengths also null the result (lengths aren't statically
+  // provable equal), so the expression is always nullable
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecDot.dotOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!mayHaveNullElem) {
-      // elements provably non-null by schema → the tight helper loop
-      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecDot.dot($a, $b)")
+      // elements provably non-null by schema → one length check (perfectly
+      // predicted on same-dim corpora), then the tight helper loop
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.plans.VecDot.dot($a, $b); }""".stripMargin)
     } else {
       // nullable-element schema: ONE fused inline loop with the null check
       // folded in — no boxing (a per-row java.lang.Double cost ~2x on knn)
@@ -68,13 +73,15 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("sum")
-        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-           |  $s += $a.getDouble($i) * $b.getDouble($i);
-           |}
-           |${ev.value} = $s;""".stripMargin
+        s"""int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $s;
+           |}""".stripMargin
       })
     }
 
@@ -88,24 +95,27 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 object VecDot {
   val Name = "vec_dot"
 
-  /** Called from both interpreted eval and generated Java. Left-to-right
-    * accumulation — do not reorder (oracle bit-equality depends on it).
+  /** Called from both interpreted eval and generated Java, AFTER the
+    * caller has established equal lengths. Left-to-right accumulation —
+    * do not reorder (oracle bit-equality depends on it).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
 
-  /** Interpreted-eval form of the codegen fused loop: any null element in
-    * the shared prefix nulls the whole sum (aggregate(zip_with) HOF
-    * semantics). ArrayData.getDouble would silently read a null slot as
-    * 0.0 — a wrong number, not a null.
+  /** Interpreted-eval form of the codegen fused loop: unequal lengths or
+    * any null element null the whole sum (aggregate(zip_with) HOF
+    * semantics — zip_with pads the shorter array with nulls, which the
+    * sum propagates). ArrayData.getDouble would silently read a null slot
+    * as 0.0 — a wrong number, not a null.
     */
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -305,7 +305,13 @@ class PlanAuditSpec extends SparkSpec {
     // the shuffle — the property that makes the plain window scale-safe
     assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
            s"top-k not partial (full window shuffle):\n$plan")
-    assert(!plan.contains("text"), s"documents scan not pruned to id/source/n_chars:\n$plan")
+    // anchor the pruning check to the documents scan's ReadSchema (a raw
+    // whole-plan substring match would trip on any benign 'text' occurrence)
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    assert(readSchemas.forall(!_.contains("text:")),
+           s"documents scan not pruned to id/source/n_chars:\n$plan")
   }
 
   test("SQ ANN: one-pass map-side min/max bounds, bounds and queries broadcast, partial top-k") {

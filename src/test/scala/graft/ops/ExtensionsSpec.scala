@@ -215,6 +215,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(native(0) == null && native(1) == 11.0)
   }
 
+  test("vec_dot nulls on unequal lengths (HOF parity) in both codegen paths") {
+    import spark.implicits._
+    // non-nullable-element schema (Array[Double] → containsNull=false):
+    // exercises the tight-loop codegen branch
+    val dense = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("a", "b")
+    // nullable-element schema: exercises the fused-loop branch
+    val boxed = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    for (df <- Seq(dense, boxed)) {
+      val hof = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      val native = df.select(Similarity.dot(col("a"), col("b")))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      assert(native.toSeq == hof.toSeq)
+      assert(native(0) == null && native(1) == 11.0)
+    }
+  }
+
   test("semdedup drops planted exact duplicates and conserves counts") {
     val tmp = java.nio.file.Files.createTempDirectory("semdedup").toFile.getAbsolutePath
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
