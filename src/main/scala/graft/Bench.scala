@@ -26,23 +26,43 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // 4-decimal seconds (0.1 ms resolution — far below host-window noise):
-    // full nanosecond digits ballooned the 88-query line past the harness's
-    // captured-stdout tail, which is why BENCH_r05.parsed came back null
-    // even with bench_out.json present.
+    // 4-decimal seconds (0.1 ms resolution — far below host-window noise)
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist to a file, belt-and-braces against any stdout capture
-    // limit. NonFatal only: an OOM or interrupt here must surface, not
-    // masquerade as a silently missing bench_out.json.
+    def lineOf(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query map (alphabetical) → bench_out.json. The harness
+    // captures only a bounded stdout TAIL (~2000 chars, BENCH_r04/r05 both
+    // truncated), and the suite has outgrown it at any numeric precision —
+    // so stdout carries a SELF-TRUNCATING line instead: per-query entries
+    // slowest-first until the budget, remainder aggregated into "rest"
+    // (sum of omitted times) + "omitted" (their count). Slowest-first
+    // keeps every perf-relevant number parseable; the omitted tail is
+    // sub-second queries, all present in bench_out.json.
+    val fullLine = lineOf(results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}"))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"WARN: bench_out.json write failed: $e") }
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1700").toInt
+    val bySlowest = results.sortBy { case (k, v) => (-v, k) }
+    val overhead = lineOf("{}").length + "\"rest\":12345.6789,\"omitted\":123".length
+    var used = overhead
+    val kept = bySlowest.takeWhile { case (k, v) =>
+      val w = k.length + fmt(v).length + 4 // quotes + colon + comma
+      if (used + w <= budget) { used += w; true } else false
+    }
+    val stdoutLine =
+      if (kept.length == results.length) fullLine
+      else {
+        val rest = results.map(_._2).sum - kept.map(_._2).sum
+        val qs = (kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) } :+
+          ("\"rest\":" + fmt(rest) + ",\"omitted\":" + (results.length - kept.length)))
+          .mkString("{", ",", "}")
+        lineOf(qs)
+      }
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -117,6 +117,12 @@ object SparkEntry {
     "q_stream_sessions"   -> ((s, d) => graft.streaming.StreamingQueries.streamUserSessions(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingQueries.streamDedupExact(s, d)),
+    "q_tokenize_ids"      -> ((s, d) => Curation.tokenizeIds(s, d)),
+    "q_batch_padding"     -> ((s, d) => Curation.batchPadding(s, d)),
+    "q_mix_temperature"   -> ((s, d) => Curation.mixTemperature(s, d)),
+    "q_cdc_chunks"        -> ((s, d) => Curation.cdcChunks(s, d)),
+    "q_dedup_cluster_stats" -> ((s, d) => Curation.dedupClusterStats(s, d)),
+    "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,5 +267,11 @@ object SparkEntry {
     "q_stream_sessions"         -> ops.Temporal.userSessionsOracle,
     "q_semdedup"                -> ops.Similarity.semDedupOracle,
     "q_stream_dedup"            -> ops.Dedup.dedupExactOracle,
+    "q_tokenize_ids"            -> ops.Curation.tokenizeIdsOracle,
+    "q_batch_padding"           -> ops.Curation.batchPaddingOracle,
+    "q_mix_temperature"         -> ops.Curation.mixTemperatureOracle,
+    "q_cdc_chunks"              -> ops.Curation.cdcChunksOracle,
+    "q_dedup_cluster_stats"     -> ops.Curation.dedupClusterStatsOracle,
+    "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
   )
 }

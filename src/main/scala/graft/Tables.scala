@@ -26,16 +26,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL): read nanos as long and truncate to
-    * microsecond timestamps (Spark's native precision). Sub-µs truncation
-    * is invisible to every date/window/gap operator downstream.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (early
+    * fixture generations — vanilla Spark rejects it, PARQUET_TYPE_ILLEGAL,
+    * so read nanos as long and truncate to microseconds) or plain
+    * TIMESTAMP(MICROS)/NTZ (round-6 regeneration). Dispatch on the read
+    * schema so both layouts land on the same session-TZ TimestampType
+    * column; sub-µs truncation on the nanos path is invisible to every
+    * date/window/gap operator downstream.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,351 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-set curation operators, round 6 of the north-star extension
+  * suite (SURVEY.md §2.8): the steps between "filtered corpus" and "tensors
+  * on the trainer" that large-scale LLM data pipelines run after the
+  * dedup/quality passes in [[Dedup]] / [[TextAnalysis]] / [[Corpus]]:
+  *
+  *  - [[tokenizeIds]]: vocabulary-indexed tokenization — map every token to
+  *    a dense integer id under a corpus-derived top-K vocabulary (OOV → 0),
+  *    the id-ification step every tokenizer pipeline ends with.
+  *  - [[batchPadding]]: length-grouped batching audit — assign docs to
+  *    fixed-size batches by descending token count (the standard
+  *    padding-minimization trick) and account the padding waste per batch.
+  *  - [[mixTemperature]]: temperature-scaled source mixing (the multilingual
+  *    α-sampling of Conneau & Lample 2019, α = 0.5): per-source sampling
+  *    weights ∝ count^α, flattening the source distribution so head sources
+  *    don't drown the tail.
+  *  - [[cdcChunks]]: content-defined chunking — Rabin/FastCDC-style rolling
+  *    hash boundaries, so chunk edges survive insertions/deletions and
+  *    chunk-level dedup can dedupe storage across near-identical documents.
+  *  - [[dedupClusterStats]]: duplicate-cluster size histogram — the summary
+  *    metric curation reports actually publish (how many singletons, how
+  *    many N-way duplicate groups).
+  *  - [[qualityQuartiles]]: per-source quality stratification — NTILE
+  *    quartiles over the stopword-ratio quality signal, the bucketing step
+  *    of curriculum/mixture schedule construction.
+  *
+  * Scale shape: everything is scan → (posexplode | window keyed on source |
+  * hash groupBy) → aggregation. The only windows are partitioned by
+  * `source` (parallel across sources; for one giant source the two-phase
+  * range-bucketed pattern of [[SeqPack]] applies) or run over a vocabulary
+  * already LIMITed to a bounded size. No all-pairs joins, no UDFs, no
+  * driver-side loops; vocab and mixing tables are broadcast.
+  */
+object Curation {
+
+  /** Vocabulary size for id-tokenization (top-K by corpus frequency). */
+  val VocabSize = 256
+
+  /** Docs per batch for length-grouped batching. */
+  val BatchSize = 16
+
+  /** Doc-id slice bound for the per-token outputs (keeps the oracle result
+    * row count bounded while the vocab stays corpus-wide).
+    */
+  val TokenizeDocSlice = 20
+
+  // --- vocabulary-indexed tokenization ---------------------------------------
+
+  /** q_tokenize_ids: corpus-vocabulary tokenization to integer ids.
+    *
+    * The vocabulary is the corpus-wide top-[[VocabSize]] tokens by
+    * (frequency desc, token) — a total order, so the cut at K is
+    * deterministic — with ids 1..K in that order; out-of-vocabulary tokens
+    * map to 0 (the UNK convention). Output is the exploded (doc_id, pos,
+    * tok, tok_id) stream for the audit slice doc_id < [[TokenizeDocSlice]].
+    *
+    * Plan shape: one posexplode for the token stream; the vocab is a
+    * map-side-combined groupBy over the same stream, LIMITed to K rows
+    * BEFORE its row_number window (the window input is K rows, not the
+    * vocabulary — bounded regardless of corpus size) and broadcast into the
+    * id-lookup join, so the per-token side never shuffles. The doc-slice
+    * filter sits below the explode on the lookup side; the vocab side stays
+    * corpus-wide (ids are a corpus artifact, like idf in [[TextAnalysis.tfidf]]).
+    */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val tokRows = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+    val topVocab = tokRows.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(VocabSize)
+    // window over the already-LIMITed K rows only — not a corpus-wide window
+    val vocab = topVocab
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .select("tok", "tok_id")
+    tokRows.filter(col("doc_id") < TokenizeDocSlice)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+              coalesce(col("tok_id"), lit(0)).as("tok_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val tokenizeIdsOracle: String = {
+    import TextAnalysis.tokensSql
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+       |               unnest(toks) AS tok
+       |        FROM t),
+       |vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INT) AS tok_id
+       |          FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT $VocabSize)
+       |SELECT t.doc_id, t.pos, t.tok, COALESCE(v.tok_id, 0) AS tok_id
+       |FROM tok t LEFT JOIN vocab v USING (tok)
+       |WHERE t.doc_id < $TokenizeDocSlice
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  // --- length-grouped batching audit -----------------------------------------
+
+  /** q_batch_padding: length-grouped batching with padding-waste accounting.
+    *
+    * Within each source, documents are ordered by (token count desc,
+    * doc_id) and grouped into batches of [[BatchSize]]; each batch pads to
+    * its longest member, so `pad_waste = max_len·n_docs − sum_len` is the
+    * token budget burned on padding. Length-sorting is exactly the trick
+    * trainers use to make that waste small; the audit makes it measurable.
+    *
+    * The row_number window is partitioned by source — sources are the
+    * parallelism, no global single-partition sort. All outputs are exact
+    * integers.
+    */
+  def batchPadding(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+    val w = Window.partitionBy("source").orderBy(col("n_toks").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", (((col("rn") - 1) / BatchSize).cast("int")))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+           max("n_toks").as("max_len"),
+           sum("n_toks").as("sum_len"))
+      .withColumn("pad_waste", col("max_len") * col("n_docs") - col("sum_len"))
+      .orderBy("source", "batch_id")
+  }
+
+  val batchPaddingOracle: String = {
+    import TextAnalysis.tokensSql
+    s"""WITH t AS (SELECT doc_id, source, len($tokensSql) AS n_toks FROM documents),
+       |r AS (SELECT source, n_toks,
+       |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id) AS rn
+       |      FROM t)
+       |SELECT source, CAST((rn - 1) // $BatchSize AS INT) AS batch_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(MAX(n_toks) AS INT) AS max_len,
+       |       CAST(SUM(n_toks) AS BIGINT) AS sum_len,
+       |       CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT) AS pad_waste
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- temperature-scaled source mixing --------------------------------------
+
+  /** Epoch size (documents) the mixing weights are projected onto. */
+  val MixEpochDocs = 10000L
+
+  /** q_mix_temperature: temperature-scaled source-mixing weights.
+    *
+    * weight_s = count_s^α / Σ count^α with α = 0.5 — the multilingual
+    * α-sampling scheme (Conneau & Lample 2019; GPT-3 uses the same shape
+    * for source mixing). α = 0.5 makes count^α an IEEE-exact `sqrt`, and
+    * the denominator is summed as DECIMAL(28,10) so the sum is
+    * order-independent (same cross-engine exactness discipline as
+    * [[TextAnalysis.lmQuality]]); the final division is one double op.
+    * `epoch_docs = floor(weight · epochSize)` uses floor, not round —
+    * floor of a double is engine-independent, round-half conventions are
+    * not.
+    *
+    * Plan: one map-side-combined groupBy, a 1-row broadcast denominator —
+    * the per-source table is bounded by source cardinality, never
+    * corpus-sized.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val denom = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast("decimal(28,10)")).as("wsum"))
+    counts.crossJoin(broadcast(denom))
+      .withColumn("weight", sqrt(col("n_docs").cast("double")) / col("wsum").cast("double"))
+      .withColumn("epoch_docs", floor(col("weight") * lit(MixEpochDocs.toDouble)).cast("bigint"))
+      .select("source", "n_docs", "weight", "epoch_docs")
+      .orderBy("source")
+  }
+
+  val mixTemperatureOracle: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |s AS (SELECT SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,10))) AS wsum FROM c)
+       |SELECT source, n_docs,
+       |       sqrt(CAST(n_docs AS DOUBLE)) / CAST(wsum AS DOUBLE) AS weight,
+       |       CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / CAST(wsum AS DOUBLE) * ${MixEpochDocs}.0) AS BIGINT) AS epoch_docs
+       |FROM c, s ORDER BY 1""".stripMargin
+
+  // --- content-defined chunking ----------------------------------------------
+
+  /** Rolling-hash window width (chars) for CDC boundary detection. */
+  val CdcWindow = 8
+
+  /** Boundary divisor: a position is a cut when hash % CdcMask == 0 —
+    * expected chunk length ≈ CdcMask chars.
+    */
+  val CdcMask = 64L
+
+  /** Polynomial base powers 31^0..31^(w-1) — fits comfortably in a long
+    * (127 · Σ 31^j < 2^63 for w = 8), so no modular reduction is needed and
+    * the arithmetic is exact on both engines.
+    */
+  private val CdcPows: Seq[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(CdcWindow).toSeq
+
+  /** q_cdc_chunks: content-defined chunking + chunk-level dedup audit.
+    *
+    * Every char position p gets the polynomial hash of the [[CdcWindow]]
+    * chars starting there (Σ code(c_{p+j})·31^j — Rabin-style, exact long
+    * arithmetic); positions where the hash ≡ 0 mod [[CdcMask]] cut the
+    * document AFTER the window. Chunk edges therefore move with content,
+    * not offsets — an insertion reshuffles only the chunks it touches,
+    * which is what makes chunk-digest dedup across near-identical documents
+    * work (FastCDC / LBFS lineage). Per source the audit reports chunk
+    * counts, distinct-digest counts (the dedupable fraction), and length
+    * extremes.
+    *
+    * Plan shape: boundary detection runs INSIDE array transforms (sequence
+    * → transform → filter) so only the per-chunk rows are ever exploded —
+    * one scan, one explode (≈ chars/[[CdcMask]] rows per doc), one
+    * map-side-combined aggregation; linear in corpus chars, embarrassingly
+    * parallel per document. Digests are md5, the cross-engine-identical
+    * hash used throughout ([[TextAnalysis]] design rules).
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = CdcWindow
+    def rollHash(p: Column): Column =
+      CdcPows.zipWithIndex.map { case (pw, j) =>
+        ascii(col("text").substr(p + lit(j), lit(1))).cast("bigint") * lit(pw)
+      }.reduce(_ + _)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= 1)
+    val spans = docs
+      // cut positions: p + w for every boundary p (cut AFTER the window),
+      // kept only while inside the document
+      .withColumn("cuts",
+        when(col("n") >= w,
+          filter(
+            transform(sequence(lit(1), col("n") - w + 1),
+              p => when(rollHash(p) % CdcMask === 0, p + w).otherwise(lit(null).cast("int"))),
+            c => c.isNotNull && c <= col("n")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(1)), col("cuts")))
+      // ends[i] = starts[i+1], last end = n+1 → len = end − start
+      .withColumn("ends",
+        concat(slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+               array(col("n") + 1)))
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("s"), (e - s).as("clen")))).as("ch"))
+      .select(col("source"), col("ch.clen").as("clen"),
+              md5(col("text").substr(col("ch.s"), col("ch.clen"))).as("dg"))
+    spans.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+           count_distinct(col("dg")).as("n_uniq_chunks"),
+           sum("clen").as("sum_chars"),
+           max("clen").as("max_len"),
+           min("clen").as("min_len"))
+      .orderBy("source")
+  }
+
+  val cdcChunksOracle: String = {
+    val w = CdcWindow
+    val hashTerms = CdcPows.zipWithIndex
+      .map { case (pw, j) => s"CAST(ascii(substr(text, p + $j, 1)) AS BIGINT) * $pw" }
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+       |           FROM documents WHERE length(text) >= 1),
+       |pos AS (SELECT doc_id, text, n, unnest(range(1, n - $w + 2)) AS p
+       |        FROM d WHERE n >= $w),
+       |cuts AS (SELECT doc_id, p + $w AS s FROM pos
+       |         WHERE ($hashTerms) % $CdcMask = 0 AND p + $w <= n),
+       |starts AS (SELECT doc_id, 1 AS s FROM d
+       |           UNION ALL SELECT doc_id, CAST(s AS INT) FROM cuts),
+       |sp AS (SELECT doc_id, s, LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+       |       FROM starts),
+       |ch AS (SELECT d.source,
+       |              CAST(COALESCE(sp.nxt, d.n + 1) - sp.s AS INT) AS clen,
+       |              md5(substr(d.text, sp.s, COALESCE(sp.nxt, d.n + 1) - sp.s)) AS dg
+       |       FROM sp JOIN d USING (doc_id))
+       |SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT dg) AS n_uniq_chunks,
+       |       CAST(SUM(clen) AS BIGINT) AS sum_chars,
+       |       CAST(MAX(clen) AS INT) AS max_len,
+       |       CAST(MIN(clen) AS INT) AS min_len
+       |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- duplicate-cluster size histogram --------------------------------------
+
+  /** q_dedup_cluster_stats: exact-duplicate cluster-size histogram — for
+    * each cluster size s, how many content-hash clusters have exactly s
+    * members and how many documents they hold. The headline numbers of a
+    * dedup report (singleton fraction, largest clone family) in one pass:
+    * two map-side-combined aggregations keyed on md5(text) then size —
+    * scale-safe at any corpus size.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("dg"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+
+  val dedupClusterStatsOracle: String =
+    """WITH cl AS (SELECT md5(text) AS dg, COUNT(*) AS cluster_size
+      |            FROM documents GROUP BY 1)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- per-source quality stratification -------------------------------------
+
+  /** q_quality_quartiles: NTILE(4) quality stratification per source over
+    * the stopword-ratio signal (deterministic total order via the doc_id
+    * tiebreak). The bucketing step of curriculum schedules and
+    * quality-mixed sampling ("train on top-half first"). Window is
+    * partitioned by source; ratio is a single exact double division, and
+    * per-bucket outputs are counts + min/max (order-independent), so the
+    * oracle hash-compares.
+    */
+  def qualityQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(Tables.documents(spark, dir))
+      .withColumn("ratio",
+        col("n_stopwords").cast("double") / greatest(col("n_tokens"), lit(1)))
+    val w = Window.partitionBy("source").orderBy(col("ratio"), col("doc_id"))
+    sig.withColumn("quartile", ntile(4).over(w))
+      .groupBy("source", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+           min("ratio").as("min_ratio"),
+           max("ratio").as("max_ratio"),
+           sum("n_tokens").as("n_tokens"))
+      .orderBy("source", "quartile")
+  }
+
+  val qualityQuartilesOracle: String = {
+    import TextAnalysis.{tokensSql, stopwordsSql}
+    s"""WITH sig AS (
+       |  SELECT doc_id, source, len(toks) AS n_tokens,
+       |         CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+       |           / greatest(len(toks), 1) AS ratio
+       |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)),
+       |q AS (SELECT source, n_tokens, ratio,
+       |             NTILE(4) OVER (PARTITION BY source ORDER BY ratio, doc_id) AS quartile
+       |      FROM sig)
+       |SELECT source, CAST(quartile AS INT) AS quartile, COUNT(*) AS n_docs,
+       |       MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+}

@@ -13,6 +13,27 @@ import graft.util.Exact
   */
 object StreamingQueries {
 
+  /** Streaming read of the events fixture with `ts` normalized to
+    * session-TZ TimestampType — same dual-generation dispatch as
+    * [[graft.Tables.events]] (TIMESTAMP(NANOS)-as-long in early fixture
+    * generations, TIMESTAMP(MICROS)/NTZ from round 6), but with the schema
+    * declared up front as a stream source requires. The fixture is a single
+    * FILE; FileStreamSource requires its basePath to be a directory, so the
+    * file is addressed through a glob — the source then roots itself at the
+    * parent dir and matches only this file.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** q_stream_hourly: the [[graft.ops.Temporal.eventsHourly]] hourly rollup
     * executed as a Structured Streaming query — file stream source →
     * event-time window aggregation → complete-mode memory sink, drained
@@ -32,15 +53,7 @@ object StreamingQueries {
     // idempotent re-entry: a prior run's active query would collide on the
     // memory sink's temp-view name
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    // same nanos handling as Tables.events (parquet TIMESTAMP(NANOS) →
-    // micros), but the schema must be declared up front for a stream source
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the fixture is a single FILE; FileStreamSource requires its basePath
-    // to be a directory, so address the file through a glob — the source
-    // then roots itself at the parent dir and matches only this file
-    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir)
     val agg = src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Exact.sum2(col("value")).as("sum_value"))
@@ -69,11 +82,7 @@ object StreamingQueries {
   def streamUserSessions(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_user_sessions"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val sessions = src
+    val sessions = eventsStream(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"))
     val q = sessions.writeStream.format("memory").queryName(name)
@@ -112,10 +121,7 @@ object StreamingQueries {
   def streamClickAttribution(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_click_attr"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
               col("ts").as("click_ts"))

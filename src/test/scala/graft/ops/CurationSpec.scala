@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Structural properties of the round-6 curation operators ([[Curation]])
+  * beyond the DuckDB-oracle hash gate: invariants the hash-compare can't
+  * express (coverage identities, waste bounds, boundary determinism).
+  */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tokenizeIds: ids are dense 1..K, OOV maps to 0, stream covers every token") {
+    val out = Curation.tokenizeIds(spark, dir).cache()
+    try {
+      val ids = out.select("tok_id").distinct().collect().map(_.getInt(0)).toSet
+      assert(ids.max <= Curation.VocabSize)
+      assert(ids.min >= 0)
+      // one row per (doc, pos): positions are 1..n with no gaps per doc
+      val bad = out.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .filter(col("n") =!= col("mx") || col("mn") =!= 1)
+        .count()
+      assert(bad == 0, "position stream has gaps")
+      // a token mapped to an id > 0 must always map to the SAME id
+      val inconsistent = out.filter(col("tok_id") > 0)
+        .groupBy("tok").agg(count_distinct(col("tok_id")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(inconsistent == 0, "vocab id not functional on token")
+    } finally out.unpersist()
+  }
+
+  test("batchPadding: batches cover all docs, sizes <= BatchSize, waste nonneg and tight") {
+    val docs = graft.Tables.documents(spark, dir).count()
+    val out = Curation.batchPadding(spark, dir).cache()
+    try {
+      assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs)
+      assert(out.filter(col("n_docs") > Curation.BatchSize).count() == 0)
+      assert(out.filter(col("pad_waste") < 0).count() == 0)
+      // only the LAST batch of a source may be short
+      val short = out.filter(col("n_docs") < Curation.BatchSize)
+        .groupBy("source").count().filter(col("count") > 1).count()
+      assert(short == 0, "non-terminal short batch")
+    } finally out.unpersist()
+  }
+
+  test("mixTemperature: weights sum to ~1 and flatten the distribution toward the tail") {
+    val rows = Curation.mixTemperature(spark, dir)
+      .select("n_docs", "weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    val total = rows.map(_._1).sum.toDouble
+    // temperature < 1 upweights tail sources, downweights head sources
+    for ((c, w) <- rows) {
+      val raw = c / total
+      if (raw < 1.0 / rows.length) assert(w >= raw, s"tail source not upweighted: $c")
+      else if (raw > 1.0 / rows.length) assert(w <= raw, s"head source not downweighted: $c")
+    }
+  }
+
+  test("cdcChunks: chunk chars reconstruct the corpus exactly") {
+    val docs = graft.Tables.documents(spark, dir)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val out = Curation.cdcChunks(spark, dir)
+    val sums = out.agg(sum("sum_chars"), min("min_len")).collect()(0)
+    assert(sums.getLong(0) == docs, "chunks do not partition the corpus")
+    assert(sums.getInt(1) >= 1)
+  }
+
+  test("cdcChunks: boundaries are content-defined — a prefix edit does not move distant cuts") {
+    import spark.implicits._
+    // same tail after an insertion near the head → chunk digests of the
+    // tail must re-align (the CDC property fixed-width chunking lacks)
+    val base = ("x" * 40) + ("the quick brown fox jumps over the lazy dog " * 8)
+    val edited = "INSERTED! " + base
+    val df = Seq((1L, "a", base), (2L, "a", edited)).toDF("doc_id", "source", "text")
+    // digest multisets per doc via the same chunking pipeline on a temp view:
+    // run cdc over a 2-doc frame by writing it as parquet and reusing the op
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // satisfy the loader contract for the other tables it reads (none here)
+    val out = Curation.cdcChunks(spark, tmp)
+    // both docs share one source: shared tail content must make distinct
+    // digests < total chunks (i.e. tail chunks dedupe across the two docs)
+    val r = out.collect()(0)
+    val (n, uniq) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_uniq_chunks"))
+    assert(n > uniq, s"no cross-doc chunk reuse after prefix edit: n=$n uniq=$uniq")
+  }
+
+  test("dedupClusterStats: histogram mass equals corpus size") {
+    val docs = graft.Tables.documents(spark, dir).count()
+    val out = Curation.dedupClusterStats(spark, dir)
+      .agg(sum("n_docs"), sum(col("cluster_size") * col("n_clusters"))).collect()(0)
+    assert(out.getLong(0) == docs)
+    assert(out.getLong(1) == docs)
+  }
+
+  test("qualityQuartiles: quartiles partition each source and ranges are ordered") {
+    val out = Curation.qualityQuartiles(spark, dir).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    for ((_, rows) <- bySource) {
+      val qs = rows.map(_.getAs[Int]("quartile")).sorted
+      assert(qs.toSeq == (1 to qs.length))
+      // quartile k's min_ratio >= quartile k-1's max_ratio (ordered strata)
+      val sortedRows = rows.sortBy(_.getAs[Int]("quartile"))
+      for (Array(a, b) <- sortedRows.sliding(2).map(_.toArray)) {
+        assert(b.getAs[Double]("min_ratio") >= a.getAs[Double]("max_ratio") - 1e-12)
+      }
+    }
+  }
+}
