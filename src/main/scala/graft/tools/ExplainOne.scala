@@ -18,7 +18,10 @@ object ExplainOne {
     val t0 = System.nanoTime()
     df.count()
     println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
-    println(df.queryExecution.executedPlan.toString.take(8000))
+    // formatted mode (same dump PLANS.md sections use): numbered operator
+    // tree + per-operator detail incl. PushedFilters / ReadSchema
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).take(12000))
     spark.stop()
   }
 }

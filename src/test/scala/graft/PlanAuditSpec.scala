@@ -346,4 +346,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("< CASE WHEN"),
            s"hash-threshold prune missing below the window:\n$plan")
   }
+
+  test("tokenize ids: vocab bounded via top-k then broadcast, token stream never shuffles for the lookup") {
+    val plan = planOf(ops.Curation.tokenizeIds(spark, dir))
+    // the (freq desc, tok) cut runs as TakeOrderedAndProject — the vocab
+    // window's input is K rows, never the corpus vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab cut not top-k:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab lookup not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           s"token stream shuffled for the vocab lookup:\n$plan")
+    // vocab counting is map-side combined
+    assert(plan.contains("partial_count"), s"vocab counts not partial:\n$plan")
+  }
+
+  test("batch padding + quality quartiles: windows are source-partitioned, never global") {
+    for (df <- Seq(ops.Curation.batchPadding(spark, dir),
+                   ops.Curation.qualityQuartiles(spark, dir))) {
+      val plan = planOf(df)
+      assert("windowspecdefinition\\(source#".r.findFirstIn(plan).isDefined,
+             s"window not partitioned by source:\n$plan")
+    }
+  }
+
+  test("cdc chunks: boundary math stays in array transforms — one Generate, pruned scan, partial agg") {
+    val plan = planOf(ops.Curation.cdcChunks(spark, dir))
+    // only the per-chunk rows explode; positions never become rows
+    assert("(?s)Generate".r.findAllIn(plan).length == 1,
+           s"more than one explode (positions materialized as rows?):\n$plan")
+    assert(plan.contains("partial_count"), s"audit agg not map-side combined:\n$plan")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("lang:")),
+           s"documents scan not pruned (lang read but unused):\n$plan")
+  }
+
+  test("mix temperature: denominator is a 1-row broadcast, no shuffle join") {
+    val plan = planOf(ops.Curation.mixTemperature(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"denominator not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+           s"per-source table shuffled against the 1-row denominator:\n$plan")
+  }
 }
