@@ -123,6 +123,9 @@ object SparkEntry {
     "q_cdc_chunks"        -> ((s, d) => Curation.cdcChunks(s, d)),
     "q_dedup_cluster_stats" -> ((s, d) => Curation.dedupClusterStats(s, d)),
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
+    "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
+    "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -273,5 +276,8 @@ object SparkEntry {
     "q_cdc_chunks"              -> ops.Curation.cdcChunksOracle,
     "q_dedup_cluster_stats"     -> ops.Curation.dedupClusterStatsOracle,
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
+    "q_kmeans"                  -> ops.Similarity.kmeansOracle,
+    "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
+    "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,
   )
 }

@@ -122,6 +122,55 @@ object Corpus {
        |FROM base LEFT JOIN agg USING (source) ORDER BY 1""".stripMargin
   }
 
+  // --- cross-source overlap matrix -------------------------------------------
+
+  /** q_source_overlap: pairwise cross-source content-overlap matrix — for
+    * every source pair, the number of distinct [[DupSpanTokens]]-token
+    * rolling-window hashes that occur in BOTH sources. The provenance
+    * question dedup reports answer next ("which feeds are copying each
+    * other / syndicating the same wire text"), and the input to
+    * source-level dedup ordering; exact-text overlap is vacuous here
+    * (every fixture text is unique) while span overlap is not — the
+    * planted near-dups cross source boundaries.
+    *
+    * Scale shape: the span explode is [[dupSpanAudit]]'s (linear in corpus
+    * tokens); the matrix comes from a DISTINCT (hash, source) projection —
+    * at most #sources rows per hash, so the hash-keyed self-join fans out
+    * to at most C(#sources, 2) rows per hash, bounded by source
+    * cardinality, never by corpus size. No all-pairs document join.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val w = DupSpanTokens
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+    val hs = t
+      .select(col("source"), explode(
+        transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("h"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapOracle: String = {
+    val w = DupSpanTokens
+    s"""WITH t AS (SELECT source, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |ex AS (SELECT source, toks, unnest(range(0, len(toks) - $w + 1)) AS i
+       |       FROM t WHERE len(toks) >= $w),
+       |hs AS (SELECT DISTINCT source,
+       |              md5(array_to_string(toks[(i+1):(i+$w)], ' ')) AS h
+       |       FROM ex)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       COUNT(*) AS n_shared_spans
+       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // --- BPE pair-merge counting -----------------------------------------------
 
   /** Top-k adjacent token pairs with dense rank — the argmax-candidate table

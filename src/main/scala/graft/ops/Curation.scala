@@ -284,6 +284,87 @@ object Curation {
        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- stratified sampling (largest-remainder allocation) --------------------
+
+  /** Total sample size for stratified sampling — kept <= the sf0.001 corpus
+    * (50 docs) so the allocation is meaningful at every fixture scale.
+    */
+  val StratTotal = 30
+
+  /** q_sample_stratified: proportional stratified sampling with EXACT
+    * total — Hamilton's largest-remainder method over source strata, then
+    * a deterministic content-hash draw inside each stratum.
+    *
+    * Allocation is pure integer arithmetic: base_s = ⌊count_s·T / N⌋
+    * (exact `div`, never a float quotient whose rounding could cross an
+    * integer boundary), remainder_s = (count_s·T) mod N, and the
+    * T − Σbase leftover seats go to the largest remainders (source asc
+    * tiebreak) — so Σalloc = T exactly, the property plain per-stratum
+    * rounding loses. The within-stratum draw ranks by md5(doc_id)
+    * (reproducible under any partitioning, the [[Corpus.weightedSample]]
+    * discipline — no RNG), and the audit reports the allocation plus a
+    * selected-id checksum so the oracle verifies the actual draw, not just
+    * the quotas.
+    *
+    * Scale shape: stratum stats are one map-side-combined groupBy; the
+    * remainder-ranking window runs over #sources rows (bounded, like the
+    * tokenize vocab window); the selection window partitions BY SOURCE.
+    * Corpus-sized data crosses the shuffle once, keyed on source.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_docs * $StratTotal) div n_total"))
+      .withColumn("rem", expr(s"(n_docs * $StratTotal) % n_total"))
+    val leftover = quota.agg((lit(StratTotal.toLong) - sum("base")).as("n_extra"))
+    // remainder ranking: #sources rows — bounded regardless of corpus size
+    val rw = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = quota.crossJoin(broadcast(leftover))
+      .withColumn("rrk", row_number().over(rw))
+      .withColumn("alloc",
+        col("base") + when(col("rrk") <= col("n_extra"), 1L).otherwise(0L))
+      .select("source", "n_docs", "alloc")
+    val sw = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))), col("doc_id"))
+    val picked = docs.withColumn("srn", row_number().over(sw))
+      .join(broadcast(alloc.select("source", "alloc")), Seq("source"))
+      .filter(col("srn") <= col("alloc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sel_checksum"))
+    alloc.join(picked, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+      .orderBy("source")
+  }
+
+  val sampleStratifiedOracle: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(n_docs) AS n_total FROM c),
+       |q AS (SELECT source, n_docs,
+       |             (n_docs * $StratTotal) // n_total AS base,
+       |             (n_docs * $StratTotal) % n_total AS rem
+       |      FROM c, tot),
+       |lo AS (SELECT $StratTotal - SUM(base) AS n_extra FROM q),
+       |al AS (SELECT source, n_docs,
+       |              CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= lo.n_extra
+       |                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |       FROM q, lo),
+       |r AS (SELECT doc_id, source,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |               ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id) AS srn
+       |      FROM documents),
+       |sel AS (SELECT r.source, COUNT(*) AS n_selected,
+       |               CAST(SUM(r.doc_id) AS BIGINT) AS sel_checksum
+       |        FROM r JOIN al ON r.source = al.source AND r.srn <= al.alloc
+       |        GROUP BY 1)
+       |SELECT al.source, al.n_docs, al.alloc,
+       |       COALESCE(sel.n_selected, 0) AS n_selected,
+       |       COALESCE(sel.sel_checksum, 0) AS sel_checksum
+       |FROM al LEFT JOIN sel ON al.source = sel.source ORDER BY 1""".stripMargin
+
   // --- duplicate-cluster size histogram --------------------------------------
 
   /** q_dedup_cluster_stats: exact-duplicate cluster-size histogram — for

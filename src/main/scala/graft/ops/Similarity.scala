@@ -386,6 +386,131 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // --- distributed k-means ---------------------------------------------------
+
+  /** Lloyd iterations for q_kmeans. Two full refinement passes over the
+    * strided seeds — enough to demonstrate convergence behavior (cell
+    * migration between generations) while keeping the oracle's unrolled
+    * CTE chain readable; the implementation takes any count.
+    */
+  val KmeansIters = 2
+
+  /** Nearest-centroid assignment that also KEEPS the winning cosine — the
+    * [[assignCells]] aggregation form (map-side-combinable max_by, never a
+    * window over N×C scored rows) with (cell, csim) in the payload, for
+    * consumers that need per-member cohesion, not just membership.
+    */
+  def assignCellsSim(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+              pairSim(col("v"), col("cv"), col("nv"), col("nc")).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("csim")),
+                  struct(col("csim"), -col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+              col("best.csim").as("csim"))
+
+  /** q_kmeans: multi-iteration distributed k-means over the embedding
+    * corpus — the document-clustering pass (topic bucketing, cluster-based
+    * curation à la SemDeDup's prerequisite) run as ITERATED Lloyd, not the
+    * single refinement step IVF needs.
+    *
+    * Each iteration is one [[refinedCentroids]] pass: an aggregation-only
+    * assign (broadcast centroids, map-side-combined max_by — no window over
+    * the N×C scored rows) followed by the exact-integer quantized centroid
+    * sum ([[QuantScale]] floor-to-long, associative long addition), so
+    * every generation of centroids is bit-identical across engines and
+    * partitionings and the whole iterated pipeline stays oracle-checkable —
+    * no driver-side kmeans, no float accumulation drift. Per-generation
+    * centroid tables are persisted, materialized, and the PREVIOUS
+    * generation unpersisted as soon as its successor exists (bounded cache
+    * footprint at any iteration count). The final audit reports per-cell
+    * membership and DECIMAL-summed mean cohesion (order-independent, so
+    * the double mean hash-compares).
+    *
+    * 100 TB shape: per iteration, the corpus is read once, the shuffle
+    * carries C×dim longs (partial-combined), and centroids broadcast —
+    * Lloyd's canonical distributed form. Iteration count is a constant
+    * multiplier, not a scale hazard.
+    */
+  def kmeans(spark: SparkSession, dir: String, iters: Int = KmeansIters): DataFrame = {
+    require(iters >= 1, s"kmeans needs >= 1 iteration, got $iters")
+    // N×dim vectors feed iters+1 full passes — persist once, eagerly
+    // (persist-then-materialize discipline, see graft.ops package doc)
+    val vecs = vectors(spark, dir).persist()
+    vecs.count()
+    val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+    var cents = seeds
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val next = refinedCentroids(vecs, cents).persist()
+      next.count()
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      cents = next
+    }
+    assignCellsSim(vecs, cents)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("csim").cast("decimal(28,10)")).as("coh"),
+           min("vec_id").as("min_member"),
+           max("vec_id").as("max_member"))
+      .select(col("cell"), col("n_members"),
+              (col("coh").cast("double") / col("n_members")).as("avg_cohesion"),
+              col("min_member"), col("max_member"))
+      .orderBy("cell")
+  }
+
+  /** The iterated-Lloyd CTE chain: c_0 = strided seeds, then per iteration
+    * t an assignment to c_(t-1) and the quantized centroid re-sum into
+    * c_t — the SQL mirror of `iterate(refinedCentroids)`, generated for
+    * any iteration count so the oracle unrolls exactly what the engine
+    * runs.
+    */
+  private def lloydChainSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+              |c_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentroidStride = 0)""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++= s""",
+                |a_$t AS (
+                |  SELECT vec_id, v, cent_id AS cell FROM (
+                |    SELECT e.vec_id, e.v, c_$p.cent_id,
+                |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                |             ORDER BY ${cosineSql("e.v", s"c_$p.cv")} DESC, c_$p.cent_id) AS rn
+                |    FROM e CROSS JOIN c_$p) WHERE rn = 1),
+                |flat_$t AS (
+                |  SELECT cell, unnest(range(1, len(v) + 1)) AS idx,
+                |         CAST(floor(unnest(v) * $QuantScale) AS BIGINT) AS qc
+                |  FROM a_$t),
+                |csum_$t AS (SELECT cell, idx, CAST(SUM(qc) AS BIGINT) AS sq
+                |            FROM flat_$t GROUP BY cell, idx),
+                |c_$t AS (
+                |  SELECT cent_id, cv FROM (
+                |    SELECT cell AS cent_id, list(CAST(sq AS DOUBLE) ORDER BY idx) AS cv
+                |    FROM csum_$t GROUP BY cell)
+                |  WHERE list_dot_product(cv, cv) > 0)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val kmeansOracle: String =
+    s"""WITH ${lloydChainSql(KmeansIters)},
+       |fin AS (
+       |  SELECT vec_id, cell, csim FROM (
+       |    SELECT e.vec_id, c_$KmeansIters.cent_id AS cell,
+       |           ${cosineSql("e.v", s"c_$KmeansIters.cv")} AS csim,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.v", s"c_$KmeansIters.cv")} DESC, c_$KmeansIters.cent_id) AS rn
+       |    FROM e CROSS JOIN c_$KmeansIters) WHERE rn = 1)
+       |SELECT cell, COUNT(*) AS n_members,
+       |       CAST(SUM(CAST(csim AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_cohesion,
+       |       CAST(MIN(vec_id) AS BIGINT) AS min_member,
+       |       CAST(MAX(vec_id) AS BIGINT) AS max_member
+       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_knn_recall: self-measured ANN quality — IVF results joined against
     * the brute-force ground truth, recall@k per corpus. Both inputs are
     * deterministic, so even the quality metric is oracle-checkable.

@@ -387,4 +387,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
            s"per-source table shuffled against the 1-row denominator:\n$plan")
   }
+
+  test("kmeans: centroids broadcast into the final assignment, aggregation-form argmin, partial audit agg") {
+    val plan = planOf(ops.Similarity.kmeans(spark, dir))
+    // assignment is the max_by aggregation, never a window over N×C rows
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+           s"assignment not map-side combined:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+           s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window over scored rows:\n$plan")
+    spark.catalog.clearCache() // kmeans persists vecs + final centroids
+  }
+
+  test("source overlap: hash-keyed self-join (no cartesian), distinct+count partial-aggregated") {
+    val plan = planOf(ops.Corpus.sourceOverlap(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+           s"span self-join not hash-keyed:\n$plan")
+    assert(plan.contains("partial_count"), s"matrix counts not map-side combined:\n$plan")
+  }
+
+  test("stratified sampling: selection window is source-partitioned, quotas broadcast") {
+    val plan = planOf(ops.Curation.sampleStratified(spark, dir))
+    assert("windowspecdefinition\\(source#".r.findFirstIn(plan).isDefined,
+           s"selection window not partitioned by source:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"alloc table not broadcast:\n$plan")
+  }
 }

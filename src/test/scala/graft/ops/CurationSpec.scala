@@ -98,6 +98,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(1) == docs)
   }
 
+  test("sampleStratified: allocation sums to exactly StratTotal and every seat is filled") {
+    val out = Curation.sampleStratified(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == Curation.StratTotal)
+    // proportional base + at-most-one largest-remainder seat => alloc never
+    // exceeds the stratum, so the draw fills every allocated seat
+    for (r <- out) {
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_selected") == r.getAs[Long]("alloc"))
+    }
+  }
+
+  test("kmeans: cells partition the corpus and a second iteration moves membership") {
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val two = Similarity.kmeans(spark, dir, iters = 2).cache()
+    try {
+      assert(two.agg(sum("n_members")).collect()(0).getLong(0) == n)
+      assert(two.filter(col("avg_cohesion") > 1.0 || col("avg_cohesion") < -1.0).count() == 0)
+      val one = Similarity.kmeans(spark, dir, iters = 1)
+        .select("cell", "n_members").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val twoM = two.select("cell", "n_members").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(one != twoM, "second Lloyd iteration changed nothing — iteration plumbing suspect")
+    } finally two.unpersist()
+  }
+
+  test("sourceOverlap: matrix is upper-triangular, non-vacuous, and bounded by per-source span counts") {
+    val out = Corpus.sourceOverlap(spark, dir).collect()
+    assert(out.nonEmpty, "no cross-source span overlap found (planted near-dups should cross sources)")
+    for (r <- out) {
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_shared_spans") > 0)
+    }
+  }
+
   test("qualityQuartiles: quartiles partition each source and ranges are ordered") {
     val out = Curation.qualityQuartiles(spark, dir).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))
