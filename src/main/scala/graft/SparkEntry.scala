@@ -126,6 +126,7 @@ object SparkEntry {
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
+    "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +280,6 @@ object SparkEntry {
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
     "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,
+    "q_pca_power"               -> ops.Similarity.pcaPowerOracle,
   )
 }

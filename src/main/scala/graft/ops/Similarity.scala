@@ -511,6 +511,88 @@ object Similarity {
        |       CAST(MAX(vec_id) AS BIGINT) AS max_member
        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- PCA power iteration ---------------------------------------------------
+
+  /** Power-iteration count for q_pca_power. Two matvec rounds separate the
+    * dominant direction clearly on the fixture while keeping the oracle's
+    * unrolled CTE chain readable; the implementation takes any count.
+    */
+  val PcaIters = 2
+
+  /** q_pca_power: the corpus's dominant principal direction via distributed
+    * power iteration — the embedding-space diagnostic behind whitening,
+    * anisotropy audits ("all-but-the-top"), and low-rank drift checks on
+    * 100 TB embedding stores.
+    *
+    * Each iteration is one distributed matvec against the Gram matrix
+    * without materializing it: u_i = ⟨x_i, v⟩ per row (broadcast v), then
+    * w = Σ_i x_i·u_i accumulated EXACTLY — each contribution is quantized
+    * `floor((x_ij·u_i)·2^20)` to longs and summed with the associative
+    * [[VecLongSum]] Lloyd accumulator, so w is bit-identical under any
+    * partitioning and to the SQL oracle; the only float steps between
+    * iterations (norm + divide) are fixed-order IEEE ops computed
+    * identically by both engines. No driver-side linear algebra — the
+    * driver never sees a vector; v stays a 1-row broadcast plan.
+    *
+    * 100 TB shape: per iteration one corpus scan, map-side-combined
+    * dim-long partial sums (dim longs cross the shuffle per task), 1-row
+    * broadcast back. Iterations are a constant multiplier.
+    */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = PcaIters): DataFrame = {
+    require(iters >= 1, s"pcaPower needs >= 1 iteration, got $iters")
+    val sumAgg = udaf(VecLongSum)
+    val vecs = vectors(spark, dir).select("v").persist()
+    vecs.count()
+    // deterministic start: the all-ones direction (shaped off the corpus
+    // row, so dim is never hard-coded)
+    var vDf: DataFrame = vecs.limit(1)
+      .select(transform(col("v"), _ => lit(1.0)).as("vcur"))
+    for (_ <- 1 to iters) {
+      val next = vecs.crossJoin(broadcast(vDf))
+        .select(col("v"), dot(col("v"), col("vcur")).as("u"))
+        .select(transform(col("v"),
+          x => floor((x * col("u")) * lit(QuantScale))).as("q"))
+        .agg(sumAgg(col("q")).as("s"))
+        .select(transform(col("s"), x => x.cast("double")).as("w"))
+        .withColumn("nw", norm(col("w")))
+        .select(transform(col("w"), x => x / col("nw")).as("vcur"))
+      vDf = next
+    }
+    vDf.select(posexplode(col("vcur")).as(Seq("idx0", "loading")))
+      .select((col("idx0") + 1).as("idx"), col("loading"))
+      .orderBy("idx")
+  }
+
+  /** Unrolled power-iteration CTE chain — v_0 = all-ones, then per
+    * iteration the rowwise projection, quantized contribution sum, and
+    * normalize, mirroring `pcaPower` step for step.
+    */
+  private def pcaChainSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+              |v_0 AS (SELECT list_transform(v, x -> 1.0) AS vcur FROM e
+              |        WHERE vec_id = (SELECT MIN(vec_id) FROM e))""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++= s""",
+                |u_$t AS (SELECT e.v, list_dot_product(e.v, v_$p.vcur) AS u FROM e, v_$p),
+                |flat_$t AS (SELECT unnest(range(1, len(v) + 1)) AS idx,
+                |                   CAST(floor((unnest(v) * u) * $QuantScale) AS BIGINT) AS q
+                |            FROM u_$t),
+                |s_$t AS (SELECT idx, CAST(SUM(q) AS BIGINT) AS sq FROM flat_$t GROUP BY idx),
+                |w_$t AS (SELECT list(CAST(sq AS DOUBLE) ORDER BY idx) AS w FROM s_$t),
+                |v_$t AS (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS vcur
+                |         FROM w_$t)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val pcaPowerOracle: String =
+    s"""WITH ${pcaChainSql(PcaIters)}
+       |SELECT CAST(unnest(range(1, len(vcur) + 1)) AS INT) AS idx,
+       |       unnest(vcur) AS loading
+       |FROM v_$PcaIters ORDER BY idx""".stripMargin
+
   /** q_knn_recall: self-measured ANN quality — IVF results joined against
     * the brute-force ground truth, recall@k per corpus. Both inputs are
     * deterministic, so even the quality metric is oracle-checkable.

@@ -131,6 +131,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pcaPower: unit-norm output and the Rayleigh quotient is monotone over iterations") {
+    def loadings(iters: Int): Array[Double] =
+      Similarity.pcaPower(spark, dir, iters).orderBy("idx")
+        .collect().map(_.getAs[Double]("loading"))
+    val xs = graft.Tables.embeddings(spark, dir)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    def rayleigh(v: Array[Double]): Double =
+      xs.map(x => { val u = x.zip(v).map { case (a, b) => a * b }.sum; u * u }).sum
+    val v1 = loadings(1); val v2 = loadings(2)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-9, "v1 not unit norm")
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-9, "v2 not unit norm")
+    // power iteration never decreases the Rayleigh quotient (tiny slack for
+    // the 2^-20 quantization of the contribution sums)
+    assert(rayleigh(v2) >= rayleigh(v1) * (1 - 1e-6),
+           s"iteration decreased the Rayleigh quotient: ${rayleigh(v1)} -> ${rayleigh(v2)}")
+  }
+
   test("qualityQuartiles: quartiles partition each source and ranges are ordered") {
     val out = Curation.qualityQuartiles(spark, dir).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))
