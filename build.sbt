@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures a bounded stdout TAIL of `sbt runMain` and parses the
+// bench JSON from it; with sbt's default logged output the line arrives as
+// "[info] {...}" followed by a "[success] Total time" trailer and the parser
+// records parsed:null (BENCH_r04/r05/r06). Pass forked output through
+// verbatim and drop the success trailer so Bench's JSON is the last,
+// unprefixed stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,6 +150,15 @@ object Corpus {
         transform(sequence(lit(0), col("n") - w),
           i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("h"))
       .distinct()
+    // NO persist here, deliberately — measured, not assumed: pinning hs
+    // (persist MEMORY_AND_DISK + eager count) costs 6.3-7.5 s at sf0.1 vs
+    // 2.7-3.9 s letting both self-join sides recompute the subplan. The
+    // distinct's map stage (tokenize → explode → md5) is codegen-parallel
+    // and cheap per side, while the pin serializes a cache write of the
+    // full span-hash relation plus an extra job BEFORE the join can start.
+    // The eager-pin discipline (ops package contract) pays off when a
+    // cached relation feeds consumers racing across separate actions, not
+    // for a cheap same-plan twin inside one action.
     hs.as("a").join(hs.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -205,6 +214,177 @@ object Corpus {
   /** q_bpe_pairs: top adjacent-pair counts over the documents table. */
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
     bpePairStats(Tables.documents(spark, dir))
+
+  /** Merge iterations for q_bpe_merges. Three rounds are enough to show
+    * the table CHANGING under merges (round 2's winner doesn't exist in
+    * round 1's vocabulary) while keeping the oracle's unrolled CTE chain
+    * readable; the implementation takes any count.
+    */
+  val BpeMergeSteps = 3
+
+  /** Joiner for merged tokens ("a" + "b" → "a_b"). Purely presentational —
+    * determinism never depends on it being collision-free with natural
+    * tokens, since both engines apply the identical concatenation.
+    */
+  private val BpeJoin = "_"
+
+  /** q_bpe_merges: ITERATED BPE tokenizer training — per round, count all
+    * adjacent token pairs, take the global argmax (count desc, pair asc
+    * tiebreak), and APPLY it: every greedy left-to-right non-overlapping
+    * occurrence of the winning pair fuses into one token; the next round
+    * counts pairs over the rewritten corpus. [[bpePairStats]] is one
+    * round's candidate table; this is the actual merge loop that produces
+    * a tokenizer's merge list (Sennrich et al. 2016), and each round's
+    * winner is visible to the next (round-2 pairs can contain round-1's
+    * fused token).
+    *
+    * Merge application runs entirely in the ARRAY domain, per document —
+    * no regex, no per-doc sequential UDF, no assumption about token
+    * charsets, and (the scale point) NO shuffle: the only exchange per
+    * round is the pair-count aggregation. Per doc:
+    *   - match positions `i` where (toks[i], toks[i+1]) equals the
+    *     broadcast winner (`filter` over positions);
+    *   - greedy left-to-right keeps a match only if it doesn't overlap the
+    *     previously kept one (`aggregate` carrying the last kept position
+    *     over the — short — match list);
+    *   - rebuild: drop every follower of a kept position, fuse kept
+    *     positions to `tok·[[BpeJoin]]·nxt`.
+    *
+    * Determinism: pair counts are exact integers, the argmax tiebreak is
+    * total, and greedy selection is a closed form — no engine freedom
+    * anywhere, so the whole iterated chain is oracle-unrolled (the
+    * [[graft.ops.Similarity.kmeans]] pattern). The oracle expresses the
+    * SAME greedy rule in windowed form over the exploded corpus (kept
+    * matches = even offsets within each maximal run of consecutive match
+    * positions — the two formulations are equivalent because a merge at i
+    * consumes token i+1, so overlaps are exactly adjacent match
+    * positions). Output: one row per merge round — the winning pair, its
+    * pre-merge count, and corpus token counts before/after (n_before −
+    * n_after = applied merges, < cnt when runs overlap).
+    *
+    * 100 TB shape: per round, one map-side-combined pair count +
+    * distributed TakeOrdered(1) broadcast back, then a narrow per-doc
+    * array rewrite; the per-generation corpus is persisted and the
+    * predecessor unpersisted (bounded cache at any round count — the
+    * kmeans generational discipline). Rounds are a constant multiplier on
+    * a linear pipeline.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, steps: Int = BpeMergeSteps): DataFrame =
+    // re-spread: the fixture is single-row-group parquet, and every round's
+    // CPU-heavy per-doc array work inherits the scan's task count (see
+    // util.Spread — a no-op at real split counts)
+    bpeMergeLog(graft.util.Spread.forCpu(Tables.documents(spark, dir)), steps)
+
+  /** [[bpeMerges]] core over an explicit documents relation (injectable
+    * for hand-built-fixture tests, the [[bpePairStats]]/[[dsirAudit]]
+    * idiom).
+    */
+  def bpeMergeLog(docsIn: DataFrame, steps: Int = BpeMergeSteps): DataFrame = {
+    require(steps >= 1, s"bpeMerges needs >= 1 step, got $steps")
+    val emptyInts = array().cast("array<int>")
+    // positions 1..k as a guarded sequence: Spark's sequence(1, 0) counts
+    // DOWN ([1, 0]), so short arrays must yield [] explicitly
+    def positions(k: Column): Column =
+      when(k >= 1, sequence(lit(1), k)).otherwise(emptyInts)
+    var gen = docsIn
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .persist()
+    def nTokens(g: DataFrame): Long =
+      g.agg(coalesce(sum(size(col("toks"))), lit(0L))).first().getLong(0)
+    var nBefore = nTokens(gen) // eager pin + the round's token count in one job
+    val logs = Seq.newBuilder[DataFrame]
+    for (t <- 1 to steps) {
+      val el = (i: Column) => element_at(col("toks"), i)
+      // winner stays a 1-row broadcast relation — the driver never sees it
+      val top1 = gen
+        .select(explode(transform(positions(size(col("toks")) - 1),
+          i => struct(el(i).as("p1"), el(i + 1).as("p2")))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1)
+        .persist()
+      top1.count() // two consumers (merge plan + log row): pin eagerly
+      // all match positions (ascending), then greedy non-overlap selection:
+      // keep i unless it overlaps the last kept match (i == last + 1)
+      val matches = filter(positions(size(col("toks")) - 1),
+        i => el(i) === col("p1") && el(i + 1) === col("p2"))
+      val kept = aggregate(matches,
+        named_struct(lit("sel"), emptyInts, lit("last"), lit(-2)),
+        (acc, i) => when(i > acc.getField("last") + 1,
+            named_struct(lit("sel"), concat(acc.getField("sel"), array(i)),
+                         lit("last"), i))
+          .otherwise(acc),
+        acc => acc.getField("sel"))
+      val next = gen.crossJoin(broadcast(top1))
+        .withColumn("sel", kept)
+        .select(col("doc_id"),
+          transform(
+            filter(positions(size(col("toks"))),
+              i => !array_contains(col("sel"), i - 1)),
+            i => when(array_contains(col("sel"), i),
+                concat(el(i), lit(BpeJoin), el(i + 1)))
+              .otherwise(el(i))).as("toks"))
+        .persist()
+      val nAfter = nTokens(next)
+      logs += top1.select(lit(t).as("step"),
+        concat_ws(" ", col("p1"), col("p2")).as("pair"), col("cnt"),
+        lit(nBefore).as("n_tokens_before"), lit(nAfter).as("n_tokens_after"))
+      gen.unpersist(blocking = false)
+      gen = next
+      nBefore = nAfter
+    }
+    gen.unpersist(blocking = false) // final generation feeds no log row
+    logs.result().reduce(_ union _).orderBy("step")
+  }
+
+  /** The unrolled merge-chain CTE: g_0 = the exploded corpus, then per
+    * round t the pair argmax and the windowed greedy-merge rewrite into
+    * g_t — the SQL mirror of `bpeMerges`, generated for any round count so
+    * the oracle unrolls exactly what the engine runs.
+    */
+  val bpeMergesOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH g_0 AS (
+              |  SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS tok
+              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              |        FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents)))""".stripMargin
+    for (t <- 1 to BpeMergeSteps) {
+      val p = t - 1
+      sb ++= s""",
+                |wn_$t AS (SELECT doc_id, pos, tok,
+                |                 LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                |          FROM g_$p),
+                |top_$t AS (SELECT tok AS p1, nxt AS p2, COUNT(*) AS cnt FROM wn_$t
+                |           WHERE nxt IS NOT NULL GROUP BY 1, 2
+                |           ORDER BY cnt DESC, p1, p2 LIMIT 1),
+                |m_$t AS (SELECT doc_id, pos, tok, nxt,
+                |                (nxt IS NOT NULL AND tok = (SELECT p1 FROM top_$t)
+                |                                 AND nxt = (SELECT p2 FROM top_$t)) AS mtch
+                |         FROM wn_$t),
+                |c_$t AS (SELECT *, SUM(CASE WHEN mtch THEN 0 ELSE 1 END)
+                |                     OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+                |         FROM m_$t),
+                |a_$t AS (SELECT *, mtch AND (pos - MIN(CASE WHEN mtch THEN pos END)
+                |                     OVER (PARTITION BY doc_id, cum)) % 2 = 0 AS applied
+                |         FROM c_$t),
+                |d_$t AS (SELECT *, COALESCE(LAG(applied)
+                |                     OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS dropped
+                |         FROM a_$t),
+                |g_$t AS (SELECT doc_id,
+                |                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS pos,
+                |                CASE WHEN applied THEN tok || '$BpeJoin' || nxt ELSE tok END AS tok
+                |         FROM d_$t WHERE NOT dropped),
+                |log_$t AS (SELECT $t AS step, p1 || ' ' || p2 AS pair, cnt,
+                |                  (SELECT COUNT(*) FROM g_$p) AS n_tokens_before,
+                |                  (SELECT COUNT(*) FROM g_$t) AS n_tokens_after
+                |           FROM top_$t)""".stripMargin
+    }
+    sb ++= s"""
+              |${(1 to BpeMergeSteps).map(t => s"SELECT * FROM log_$t").mkString(" UNION ALL ")}
+              |ORDER BY step""".stripMargin
+    sb.toString
+  }
 
   val bpePairsOracle: String =
     s"""WITH t AS (SELECT ${TextAnalysis.tokensSql} AS toks FROM documents),

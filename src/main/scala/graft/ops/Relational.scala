@@ -57,7 +57,8 @@ object Relational {
 
   /** Approximate 客数 via HLL sketch — the 100 TB-scale variant of
     * [[kyakusuDaily]] (single pass, no exact-distinct shuffle explosion).
-    * No SQL oracle (sketch estimates are engine-specific); rows-only check.
+    * Sketch estimates are engine-specific, so this has no standalone query
+    * entry: it is exercised and hash-gated through [[kyakusuApproxCheck]].
     */
   def kyakusuApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -42,6 +42,45 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1, "x y", 3L), (2, "y x", 1L)))
   }
 
+  test("bpeMergeLog: greedy merge application, run parity, and round-2 sees round-1's fusion") {
+    // round 1: "a b" wins (3 occurrences) → every one fuses (none overlap);
+    // round 2's corpus is "a_b a_b c", "a_b c", "c c c" → winner "a_b c"
+    // would tie "c c" at... count: "a_b a_b"=1, "a_b c"=2, "c c"=2 →
+    // tiebreak pair asc: "a_b c" < "c c" → round 2's winner CONTAINS the
+    // round-1 fused token (the iterated property q_bpe_pairs can't show).
+    val df = docsDF(
+      (0L, "a b a b c", "en", "a"),
+      (1L, "a b c", "en", "a"),
+      (2L, "c c c", "en", "b"))
+    val out = Corpus.bpeMergeLog(df, steps = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (1, "a b", 3L, 11L, 8L), s"round 1: ${out(0)}")
+    assert(out(1) == (2, "a_b c", 2L, 8L, 6L), s"round 2: ${out(1)}")
+  }
+
+  test("bpeMergeLog: overlapping runs merge at even offsets only (greedy left-to-right)") {
+    // "x x x x x" with winner (x,x): greedy fuses positions 1-2 and 3-4,
+    // leaving the odd tail → 5 tokens become 3 (x_x, x_x, x); the pair
+    // COUNT is 4 but only 2 merges apply
+    val df = docsDF((0L, "x x x x x", "en", "a"))
+    val out = Corpus.bpeMergeLog(df, steps = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (1, "x x", 4L, 5L, 3L), s"run parity violated: ${out(0)}")
+  }
+
+  test("bpeMergeLog: successive winners are distinct (a merged pair never wins twice)") {
+    val out = Corpus.bpeMerges(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == Corpus.BpeMergeSteps)
+    val pairs = out.map(_.getString(1))
+    assert(pairs.distinct.length == pairs.length, s"repeat winner: ${pairs.mkString(", ")}")
+    // token counts chain and strictly decrease round over round
+    for (i <- out.indices) {
+      val (nb, na) = (out(i).getLong(3), out(i).getLong(4))
+      assert(na < nb, s"round ${i + 1} merged nothing")
+      if (i > 0) assert(nb == out(i - 1).getLong(4), "token counts don't chain")
+    }
+  }
+
   test("dsirAudit: target-like docs weigh positive, background-only docs negative") {
     // 'en' docs use tokens {good, nice}; the 'xx' doc uses {bad} — under
     // smoothed unigram models p_target(good) >> p_raw-only tokens, so the

@@ -90,6 +90,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(n > uniq, s"no cross-doc chunk reuse after prefix edit: n=$n uniq=$uniq")
   }
 
+  test("cdcChunks: fixture contract — documents text is ASCII-only (cross-engine hash precondition)") {
+    // Spark's ascii() returns the first UTF-8 BYTE while DuckDB's returns
+    // the code point, so the rolling hash agrees across engines only on
+    // ASCII text. Assert the precondition on every fixture scale the gates
+    // run at, so a regenerated fixture with multibyte text fails HERE with
+    // a named cause instead of as an opaque oracle hash mismatch.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.Tables.documents(spark, d)
+        .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+      assert(nonAscii == 0, s"$d has $nonAscii non-ASCII document(s); " +
+        "cdcChunks' ascii()-based hash would diverge from the DuckDB oracle")
+    }
+  }
+
+  test("dedupClusterStats: planted exact duplicates produce the multi-size histogram") {
+    import spark.implicits._
+    // the shipped fixture is all-unique (every cluster_size=1), so the
+    // oracle row never exercises the multi-member path — plant clones:
+    // 3 copies of one text, 2 of another, 1 singleton => sizes {1,2,3}
+    val df = Seq(
+      (1L, "a", "clone family text"), (2L, "a", "clone family text"),
+      (3L, "b", "clone family text"), (4L, "a", "pair text"),
+      (5L, "b", "pair text"), (6L, "b", "unique text")
+    ).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("clstats").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.dedupClusterStats(spark, tmp).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(out == Map(1L -> (1L, 1L), 2L -> (1L, 2L), 3L -> (1L, 3L)),
+      s"unexpected histogram: $out")
+  }
+
   test("dedupClusterStats: histogram mass equals corpus size") {
     val docs = graft.Tables.documents(spark, dir).count()
     val out = Curation.dedupClusterStats(spark, dir)
