@@ -173,6 +173,77 @@ object Multimodal {
        |       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Bin width for the decoded-value histogram: 256 byte values → 16 bins. */
+  val HistBins = 16
+
+  /** q_media_histogram: per-format DECODED-value histogram audit — decode
+    * every media item (true PNG inflate + de-filter for `png` rows, opaque
+    * 8-bit stream otherwise), bucket pixel/sample values into
+    * [[HistBins]] equal-width bins, and count per (format, bin). The
+    * distribution-drift audit a media-ingest pipeline runs (all-zero
+    * frames, clipped ranges, dead channels show up as bin-mass anomalies),
+    * and a second oracle-checked consumer of the real decode path next to
+    * [[mediaFeatures]]'s scalar rollup.
+    *
+    * Exactness: counts are integers, and for the ASCII fixture the oracle
+    * re-derives every decoded value from the text (byte == code point),
+    * plus the zero-pad pixels the PNG raster adds (bin 0) — so a decoder
+    * that drops a filter pass or mis-inflates shifts bin mass and fails
+    * the hash gate. Bins with zero mass are omitted on both sides.
+    *
+    * Scale: decode + bucketing is embarrassingly parallel per item
+    * (mapPartitions, per-partition histogram scratch); only
+    * #formats × [[HistBins]] partial rows reach the final aggregation.
+    */
+  def mediaHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = mediaTable(spark, dir).as[MediaItem]
+    items.mapPartitions { it =>
+      val width = 256 / HistBins
+      it.flatMap { m =>
+        val hist = new Array[Long](HistBins)
+        if (MediaCodec.isPng(m.content)) {
+          val (_, _, p) = MediaCodec.decodePngGray8(m.content)
+          var i = 0
+          while (i < p.length) { hist(p(i) / width) += 1; i += 1 }
+        } else {
+          var i = 0
+          while (i < m.content.length) { hist((m.content(i) & 0xff) / width) += 1; i += 1 }
+        }
+        (0 until HistBins).iterator
+          .filter(b => hist(b) > 0)
+          .map(b => (m.meta.format, b, hist(b)))
+      }
+    }.toDF("format", "bin", "cnt")
+      .groupBy("format", "bin")
+      .agg(sum("cnt").as("n_vals"))
+      .orderBy("format", "bin")
+  }
+
+  /** Oracle: decoded values re-derived from the ASCII text (byte ==
+    * `unicode(char)`), plus the PNG raster's zero-pad pixels in bin 0;
+    * empty bins filtered on both sides.
+    */
+  val mediaHistogramOracle: String = {
+    val width = 256 / HistBins
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         ['png','jpeg','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
+       |         length(text)::BIGINT AS nb,
+       |         CASE WHEN doc_id % 4 = 0
+       |              THEN greatest($PngWidth, (length(text) + $PngWidth - 1) // $PngWidth * $PngWidth)
+       |              ELSE length(text) END::BIGINT AS px_len,
+       |         text
+       |  FROM documents),
+       |c AS (SELECT format, CAST(unicode(c) // $width AS INT) AS bin, COUNT(*)::BIGINT AS cnt
+       |      FROM (SELECT format, unnest(split(text, '')) AS c FROM m) GROUP BY 1, 2),
+       |p AS (SELECT format, 0 AS bin, SUM(px_len - nb)::BIGINT AS cnt
+       |      FROM m WHERE doc_id % 4 = 0 GROUP BY 1)
+       |SELECT format, bin, CAST(SUM(cnt) AS BIGINT) AS n_vals
+       |FROM (SELECT * FROM c UNION ALL SELECT * FROM p)
+       |GROUP BY 1, 2 HAVING SUM(cnt) > 0 ORDER BY 1, 2""".stripMargin
+  }
+
   // --- header parsing across formats -----------------------------------------
 
   /** q_media_headers: synthesize per-doc container bytes in five real

@@ -299,6 +299,28 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal histogram: bin mass equals decoded pixel count, png pad lands in bin 0") {
+    import spark.implicits._
+    val hist = Multimodal.mediaHistogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(hist.nonEmpty)
+    assert(hist.forall { case (_, b, n) => b >= 0 && b < Multimodal.HistBins && n > 0 })
+    // total mass per format == total decoded values (padded raster for png,
+    // raw byte length otherwise) — nothing dropped, nothing double-counted
+    val mass = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaItem]
+      .collect()
+      .groupBy(_.meta.format)
+      .view.mapValues(_.map { m =>
+        if (m.meta.format == "png") m.meta.width.toLong * m.meta.height else m.meta.n_bytes
+      }.sum).toMap
+    assert(mass == expected, s"mass $mass != decoded sizes $expected")
+    // the ASCII fixture has no control chars, so bin 0 exists only where
+    // the PNG raster zero-pad put it
+    assert(hist.collect { case (f, 0, _) => f }.forall(_ == "png"),
+      s"non-png bin-0 mass: ${hist.filter(_._2 == 0).mkString(", ")}")
+  }
+
   test("language-ID is deterministic and covers every doc") {
     val docs = graft.Tables.documents(spark, dir)
     val pred = TextAnalysis.langPredicted(docs)
