@@ -25,7 +25,11 @@ object Plans {
     "q_knn_ivf_pq",
     "q_allpairs_cosine", "q_dedup_blocking", "q_sample_weighted", "q_knn_sq",
     "q_embed_outliers", "q_hard_negatives", "q_ngram_lm",
-    "q_knn_mutual", "q_minhash_est_check", "q_events_gapfill", "q_winsorize")
+    "q_knn_mutual", "q_minhash_est_check", "q_events_gapfill", "q_winsorize",
+    "q_tokenize_ids", "q_batch_padding", "q_mix_temperature", "q_cdc_chunks",
+    "q_dedup_cluster_stats", "q_quality_quartiles", "q_kmeans",
+    "q_source_overlap", "q_sample_stratified",
+    "q_bpe_merges", "q_media_histogram")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -67,7 +71,30 @@ object Plans {
       ("per-dim bounds are 2·Dim map-side-combinable min/max aggregates " +
        "in one corpus pass (never a posexplode), broadcast as one row; " +
        "codes and bucket-center reconstruction fuse into one projection; " +
-       "the top-k is a partial WindowGroupLimit like q_sample_weighted."))
+       "the top-k is a partial WindowGroupLimit like q_sample_weighted."),
+    "q_cdc_chunks" ->
+      ("Content-defined chunking. The boundary computation — per-position " +
+       "rolling polynomial hash, cut detection, span assembly — stays " +
+       "INSIDE array expressions (split -> transform -> filter -> zip_with) " +
+       "in a single Project over the pruned (text, source) scan; the " +
+       "per-char codes array is built in one linear pass so each position's " +
+       "hash is 8 O(1) element_at reads (positional substr would be an O(p) " +
+       "codepoint scan — quadratic per doc). The only Generate explodes " +
+       "per-CHUNK rows (~chars/64 per doc), never per-position rows; audit " +
+       "aggregation is partial+final. Locked by PlanAuditSpec (\"cdc chunks\")."),
+    "q_bpe_merges" ->
+      ("the visible plan is only the merge LOG (a union of per-round 1-row " +
+       "pinned winners): each merge round executes eagerly under the " +
+       "generational persist/unpersist discipline (Corpus.bpeMergeLog), " +
+       "where the round's heavy lifting is a partial+final pair-count " +
+       "aggregation + TakeOrdered(1) and a SHUFFLE-FREE per-doc array " +
+       "rewrite against the broadcast winner."),
+    "q_media_histogram" ->
+      ("decode (real PNG inflate/de-filter) + binning run per-partition " +
+       "inside mapPartitions — genuinely imperative codec work outside " +
+       "Catalyst's vocabulary — emitting at most formats×16 partial rows " +
+       "per item into a partial+final aggregation; the corpus never " +
+       "shuffles, only bin counts do."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
