@@ -129,6 +129,7 @@ object SparkEntry {
     "q_cdc_chunks"        -> ((s, d) => Curation.cdcChunks(s, d)),
     "q_dedup_cluster_stats" -> ((s, d) => Curation.dedupClusterStats(s, d)),
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
+    "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "q_cdc_chunks"              -> ops.Curation.cdcChunksOracle,
     "q_dedup_cluster_stats"     -> ops.Curation.dedupClusterStatsOracle,
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
+    "q_curation_pipeline"       -> ops.Curation.curationPipelineOracle,
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
     "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,

@@ -447,4 +447,138 @@ object Curation {
        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // --- composed end-to-end curation pipeline ---------------------------------
+
+  /** Selection budget (documents per epoch) for the composed pipeline —
+    * deliberately larger than any fixture's survivor count per source, so
+    * the `least(quota, survivors)` cap is exercised at every SF.
+    */
+  val PipelineEpochDocs = 1000L
+
+  /** q_curation_pipeline: the composed end-to-end curation funnel — the
+    * "whole pipeline" shape every training-set build runs, as ONE
+    * oracle-checked query instead of isolated stages:
+    *
+    *   1. quality filter ([[TextAnalysis.qualityFilter]]'s keep predicate:
+    *      token-count band, mean-token-length band, stopword presence);
+    *   2. exact dedup over survivors (keep min doc_id per content hash —
+    *      [[dedupClusterStats]]'s clustering, resolved);
+    *   3. temperature-quota selection: α = 0.5 mixing weights over
+    *      SURVIVOR counts ([[mixTemperature]]'s exact-decimal discipline)
+    *      project a [[PipelineEpochDocs]] budget into per-source quotas
+    *      (capped at the survivor count), filled by the deterministic
+    *      md5-ranked draw ([[sampleStratified]]'s idiom — no RNG).
+    *
+    * The audit reports the funnel per source: raw → quality-kept → unique
+    * → quota → selected, plus the selected token mass (the number a
+    * trainer actually budgets against). Composition is the point: stage
+    * boundaries are plain DataFrames, so the whole funnel stays one
+    * Catalyst plan — filters fuse into the scan, the dedup and the rank
+    * windows both partition by their natural keys, and no stage
+    * materializes an intermediate corpus.
+    *
+    * 100 TB shape: one corpus scan feeds the signal projection; dedup
+    * shuffles on the content hash (uniform); the per-source rank window
+    * partitions by source over SURVIVORS only; quotas ride a broadcast
+    * join; every aggregate is map-side combined.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(Tables.documents(spark, dir))
+
+  /** [[curationPipeline]] core over an explicit documents relation
+    * (injectable for planted-fixture tests — the [[graft.ops.Corpus]]
+    * idiom; the shipped fixture exercises the quality gates but has no
+    * exact duplicates, so the dedup stage's bite is proven by the spec).
+    */
+  def curationFunnel(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val sig = docsIn.select(
+      col("doc_id"), col("source"), col("text"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => t.isin(TextAnalysis.Stopwords.map(lit): _*))).as("n_stop"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_chars"))
+    val keep = col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+      col("sum_tok_chars") >= col("n_tokens") * 2 &&
+      col("sum_tok_chars") <= col("n_tokens") * 12 &&
+      col("n_stop") > 0
+    val qual = sig.withColumn("keep", keep)
+    val uniq = qual.filter(col("keep"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "n_tokens")
+    val counts = uniq.groupBy("source").agg(count(lit(1)).as("n_unique"))
+    val denom = counts.agg(
+      sum(sqrt(col("n_unique").cast("double")).cast("decimal(28,10)")).as("wsum"))
+    val quotas = counts.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_unique"),
+        least(col("n_unique"),
+          floor(sqrt(col("n_unique").cast("double")) / col("wsum").cast("double")
+            * lit(PipelineEpochDocs.toDouble)).cast("bigint")).as("quota"))
+    val sel = uniq
+      .withColumn("srn", row_number().over(Window.partitionBy("source")
+        .orderBy(md5(concat(lit("pipe:"), col("doc_id").cast("string"))), col("doc_id"))))
+      .join(broadcast(quotas.select("source", "quota")), "source")
+      .filter(col("srn") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("n_tokens").as("sel_tokens"))
+    val funnel = qual.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+    funnel
+      .join(quotas, Seq("source"), "left")
+      .join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("quota"), lit(0L)).as("quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .orderBy("source")
+  }
+
+  val curationPipelineOracle: String = {
+    import TextAnalysis.{tokensSql, stopwordsSql}
+    s"""WITH sig AS (
+       |  SELECT doc_id, source, text, len(toks) AS n_tokens,
+       |         len(list_filter(toks, t -> list_contains($stopwordsSql, t))) AS n_stop,
+       |         list_sum(list_transform(toks, t -> len(t))) AS sum_tok_chars
+       |  FROM (SELECT doc_id, source, text, $tokensSql AS toks FROM documents)),
+       |q AS (SELECT *, (n_tokens >= 20 AND n_tokens <= 2000
+       |                 AND sum_tok_chars >= n_tokens * 2
+       |                 AND sum_tok_chars <= n_tokens * 12
+       |                 AND n_stop > 0) AS keep
+       |      FROM sig),
+       |uniq AS (SELECT doc_id, source, n_tokens FROM (
+       |           SELECT doc_id, source, n_tokens,
+       |                  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |           FROM q WHERE keep) WHERE rn = 1),
+       |c AS (SELECT source, COUNT(*) AS n_unique FROM uniq GROUP BY 1),
+       |s AS (SELECT SUM(CAST(sqrt(CAST(n_unique AS DOUBLE)) AS DECIMAL(28,10))) AS wsum FROM c),
+       |qt AS (SELECT source, n_unique,
+       |              least(n_unique, CAST(FLOOR(sqrt(CAST(n_unique AS DOUBLE))
+       |                / CAST(wsum AS DOUBLE) * ${PipelineEpochDocs}.0) AS BIGINT)) AS quota
+       |       FROM c, s),
+       |r AS (SELECT uniq.source, n_tokens,
+       |             ROW_NUMBER() OVER (PARTITION BY uniq.source
+       |               ORDER BY md5('pipe:' || doc_id::VARCHAR), doc_id) AS srn
+       |      FROM uniq),
+       |sel AS (SELECT r.source, COUNT(*) AS n_selected,
+       |               CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens
+       |        FROM r JOIN qt ON r.source = qt.source AND r.srn <= qt.quota
+       |        GROUP BY 1),
+       |funnel AS (SELECT source, COUNT(*) AS n_raw,
+       |                  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |           FROM q GROUP BY 1)
+       |SELECT funnel.source, funnel.n_raw, funnel.n_quality,
+       |       COALESCE(qt.n_unique, 0) AS n_unique,
+       |       COALESCE(qt.quota, 0) AS quota,
+       |       COALESCE(sel.n_selected, 0) AS n_selected,
+       |       COALESCE(sel.sel_tokens, 0) AS sel_tokens
+       |FROM funnel
+       |LEFT JOIN qt ON funnel.source = qt.source
+       |LEFT JOIN sel ON funnel.source = sel.source
+       |ORDER BY 1""".stripMargin
+  }
 }

@@ -131,6 +131,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(1) == docs)
   }
 
+  test("curationFunnel: every stage bites on planted docs (quality gates, dedup, quota cap)") {
+    import spark.implicits._
+    // source "a": 3 quality docs, two of which are exact duplicates →
+    // n_raw 4 (one too-short doc), n_quality 3, n_unique 2.
+    // source "b": 1 quality doc + a no-stopword doc → 2/1/1.
+    val good = ("the quick brown fox jumps over the lazy dog " * 3).trim // 27 toks, stopwords
+    val df = Seq(
+      (1L, "a", good), (2L, "a", good),                       // exact dup pair
+      (3L, "a", good + " extra"),                             // unique survivor
+      (4L, "a", "too short"),                                 // len gate fails
+      (5L, "b", good + " other"),                             // survivor
+      (6L, "b", ("zz " * 25).trim)                            // no stopwords → stop gate fails
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curationFunnel(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (aRaw, aQual, aUniq, aQuota, aSel, _) = out("a")
+    val (bRaw, bQual, bUniq, _, bSel, _) = out("b")
+    assert((aRaw, aQual, aUniq) == (4L, 3L, 2L), s"source a funnel: ${out("a")}")
+    assert((bRaw, bQual, bUniq) == (2L, 1L, 1L), s"source b funnel: ${out("b")}")
+    // budget >> survivors → quota caps at the survivor count and fills
+    assert(aQuota == 2L && aSel == 2L && bSel == 1L)
+  }
+
+  test("curationFunnel: fixture invariants — monotone funnel, selection fills the quota") {
+    for (r <- Curation.curationPipeline(spark, dir).collect()) {
+      val Seq(raw, qual, uniq, quota, sel) = (1 to 5).map(r.getLong)
+      assert(qual <= raw && uniq <= qual && quota <= uniq && sel == quota,
+        s"funnel not monotone for ${r.getString(0)}: $r")
+      assert(qual > 0, s"quality stage vacuous for ${r.getString(0)}")
+    }
+  }
+
   test("sampleStratified: allocation sums to exactly StratTotal and every seat is filled") {
     val out = Curation.sampleStratified(spark, dir).collect()
     assert(out.map(_.getAs[Long]("alloc")).sum == Curation.StratTotal)
