@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dup_spans"         -> ((s, d) => Corpus.dupSpans(s, d)),
     "q_bpe_pairs"         -> ((s, d) => Corpus.bpePairs(s, d)),
     "q_bpe_merges"        -> ((s, d) => Corpus.bpeMerges(s, d)),
+    "q_bpe_compression"   -> ((s, d) => Corpus.bpeCompression(s, d)),
     "q_dsir_weights"      -> ((s, d) => Corpus.dsirWeights(s, d)),
     "q_knn_pq"            -> ((s, d) => Similarity.knnPq(s, d)),
     "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
@@ -270,6 +271,7 @@ object SparkEntry {
     "q_dup_spans"               -> ops.Corpus.dupSpansOracle,
     "q_bpe_pairs"               -> ops.Corpus.bpePairsOracle,
     "q_bpe_merges"              -> ops.Corpus.bpeMergesOracle,
+    "q_bpe_compression"         -> ops.Corpus.bpeCompressionOracle,
     "q_dsir_weights"            -> ops.Corpus.dsirWeightsOracle,
     "q_knn_pq"                  -> ops.Similarity.knnPqOracle,
     "q_knn_pq_recall"           -> ops.Similarity.knnPqRecallOracle,

@@ -280,6 +280,24 @@ object Corpus {
     * idiom).
     */
   def bpeMergeLog(docsIn: DataFrame, steps: Int = BpeMergeSteps): DataFrame = {
+    val (logs, finalGen) = bpeChain(docsIn, steps)
+    finalGen.unpersist(blocking = false) // the log references only the winners
+    logs match {
+      case Seq() => // pair-less from the start: empty log with the right schema
+        finalGen.sparkSession.emptyDataFrame
+          .select(lit(0).as("step"), lit("").as("pair"), lit(0L).as("cnt"),
+            lit(0L).as("n_tokens_before"), lit(0L).as("n_tokens_after"))
+          .limit(0)
+      case ls => ls.reduce(_ union _).orderBy("step")
+    }
+  }
+
+  /** The merge loop shared by [[bpeMergeLog]] and [[bpeCompressionAudit]]:
+    * returns the per-round log rows (each referencing its pinned 1-row
+    * winner) and the FINAL corpus generation, still persisted — the caller
+    * either unpersists it (log) or aggregates it (compression audit).
+    */
+  private def bpeChain(docsIn: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {
     require(steps >= 1, s"bpeMerges needs >= 1 step, got $steps")
     val emptyInts = array().cast("array<int>")
     // positions 1..k as a guarded sequence: Spark's sequence(1, 0) counts
@@ -287,13 +305,14 @@ object Corpus {
     def positions(k: Column): Column =
       when(k >= 1, sequence(lit(1), k)).otherwise(emptyInts)
     var gen = docsIn
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .persist()
     def nTokens(g: DataFrame): Long =
       g.agg(coalesce(sum(size(col("toks"))), lit(0L))).first().getLong(0)
     var nBefore = nTokens(gen) // eager pin + the round's token count in one job
     val logs = Seq.newBuilder[DataFrame]
-    for (t <- 1 to steps) {
+    var exhausted = false
+    for (t <- 1 to steps if !exhausted) {
       val el = (i: Column) => element_at(col("toks"), i)
       // winner stays a 1-row broadcast relation — the driver never sees it
       val top1 = gen
@@ -304,7 +323,14 @@ object Corpus {
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
         .limit(1)
         .persist()
-      top1.count() // two consumers (merge plan + log row): pin eagerly
+      // two consumers (merge plan + log row): pin eagerly. A pair-less
+      // corpus (every doc ≤ 1 token) has no winner — stop rather than
+      // cross-join the empty relation (which would wipe the corpus);
+      // rounds that never ran emit no log row.
+      exhausted = top1.count() == 0
+      if (exhausted) {
+        top1.unpersist(blocking = false)
+      } else {
       // all match positions (ascending), then greedy non-overlap selection:
       // keep i unless it overlaps the last kept match (i == last + 1)
       val matches = filter(positions(size(col("toks")) - 1),
@@ -318,7 +344,7 @@ object Corpus {
         acc => acc.getField("sel"))
       val next = gen.crossJoin(broadcast(top1))
         .withColumn("sel", kept)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"),
           transform(
             filter(positions(size(col("toks"))),
               i => !array_contains(col("sel"), i - 1)),
@@ -333,32 +359,66 @@ object Corpus {
       gen.unpersist(blocking = false)
       gen = next
       nBefore = nAfter
+      }
     }
-    gen.unpersist(blocking = false) // final generation feeds no log row
-    logs.result().reduce(_ union _).orderBy("step")
+    (logs.result(), gen)
   }
 
-  /** The unrolled merge-chain CTE: g_0 = the exploded corpus, then per
-    * round t the pair argmax and the windowed greedy-merge rewrite into
-    * g_t — the SQL mirror of `bpeMerges`, generated for any round count so
-    * the oracle unrolls exactly what the engine runs.
+  /** q_bpe_compression: per-source compression audit after [[BpeMergeSteps]]
+    * merge rounds — the "what did the learned merges buy per source"
+    * number a tokenizer-training report publishes. Runs the SAME chain as
+    * [[bpeMerges]] and aggregates the final generation: documents, token
+    * mass before/after, and applied merges (= the difference, exactly).
+    * Sources whose boilerplate repeats compress hardest — the signal that
+    * ties tokenizer training back to source curation.
     */
-  val bpeMergesOracle: String = {
+  def bpeCompression(spark: SparkSession, dir: String, steps: Int = BpeMergeSteps): DataFrame =
+    bpeCompressionAudit(graft.util.Spread.forCpu(Tables.documents(spark, dir)), steps)
+
+  /** [[bpeCompression]] core over an explicit documents relation. */
+  def bpeCompressionAudit(docsIn: DataFrame, steps: Int = BpeMergeSteps): DataFrame = {
+    val (_, finalGen) = bpeChain(docsIn, steps)
+    // tokens_before is the round-0 definition (sum of tokenized lengths),
+    // computed from the input directly — bit-identical to the chain's g_0
+    val before = docsIn.select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n").cast("long")).as("tokens_before"))
+    val after = finalGen.groupBy("source")
+      .agg(sum(size(col("toks")).cast("long")).as("tokens_after"))
+    // finalGen stays pinned until the caller's clearCache (ops package
+    // contract): the returned plan reads it through the `after` aggregate
+    before.join(after, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("tokens_before"), lit(0L)).as("tokens_before"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
+        (coalesce(col("tokens_before"), lit(0L)) -
+         coalesce(col("tokens_after"), lit(0L))).as("n_merges"))
+      .orderBy("source")
+  }
+
+  /** The unrolled merge-chain CTE: g_0 = the exploded corpus (source
+    * carried for the compression audit), then per round t the pair argmax
+    * and the windowed greedy-merge rewrite into g_t — the SQL mirror of
+    * `bpeChain`, generated for any round count so the oracle unrolls
+    * exactly what the engine runs.
+    */
+  private def bpeChainSql(steps: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH g_0 AS (
-              |  SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS tok
-              |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-              |        FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents)))""".stripMargin
-    for (t <- 1 to BpeMergeSteps) {
+    sb ++= s"""g_0 AS (
+              |  SELECT doc_id, source, CAST(i AS INT) AS pos, toks[i] AS tok
+              |  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) + 1)) AS i
+              |        FROM (SELECT doc_id, source, ${TextAnalysis.tokensSql} AS toks FROM documents)))""".stripMargin
+    for (t <- 1 to steps) {
       val p = t - 1
       sb ++= s""",
-                |wn_$t AS (SELECT doc_id, pos, tok,
+                |wn_$t AS (SELECT doc_id, source, pos, tok,
                 |                 LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
                 |          FROM g_$p),
                 |top_$t AS (SELECT tok AS p1, nxt AS p2, COUNT(*) AS cnt FROM wn_$t
                 |           WHERE nxt IS NOT NULL GROUP BY 1, 2
                 |           ORDER BY cnt DESC, p1, p2 LIMIT 1),
-                |m_$t AS (SELECT doc_id, pos, tok, nxt,
+                |m_$t AS (SELECT doc_id, source, pos, tok, nxt,
                 |                (nxt IS NOT NULL AND tok = (SELECT p1 FROM top_$t)
                 |                                 AND nxt = (SELECT p2 FROM top_$t)) AS mtch
                 |         FROM wn_$t),
@@ -371,7 +431,7 @@ object Corpus {
                 |d_$t AS (SELECT *, COALESCE(LAG(applied)
                 |                     OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS dropped
                 |         FROM a_$t),
-                |g_$t AS (SELECT doc_id,
+                |g_$t AS (SELECT doc_id, source,
                 |                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS pos,
                 |                CASE WHEN applied THEN tok || '$BpeJoin' || nxt ELSE tok END AS tok
                 |         FROM d_$t WHERE NOT dropped),
@@ -380,11 +440,27 @@ object Corpus {
                 |                  (SELECT COUNT(*) FROM g_$t) AS n_tokens_after
                 |           FROM top_$t)""".stripMargin
     }
-    sb ++= s"""
-              |${(1 to BpeMergeSteps).map(t => s"SELECT * FROM log_$t").mkString(" UNION ALL ")}
-              |ORDER BY step""".stripMargin
     sb.toString
   }
+
+  val bpeMergesOracle: String =
+    s"""WITH ${bpeChainSql(BpeMergeSteps)}
+       |${(1 to BpeMergeSteps).map(t => s"SELECT * FROM log_$t").mkString(" UNION ALL ")}
+       |ORDER BY step""".stripMargin
+
+  val bpeCompressionOracle: String =
+    s"""WITH ${bpeChainSql(BpeMergeSteps)},
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |b0 AS (SELECT source, COUNT(*) AS tokens_before FROM g_0 GROUP BY 1),
+       |bn AS (SELECT source, COUNT(*) AS tokens_after FROM g_$BpeMergeSteps GROUP BY 1)
+       |SELECT base.source, base.n_docs,
+       |       COALESCE(b0.tokens_before, 0) AS tokens_before,
+       |       COALESCE(bn.tokens_after, 0) AS tokens_after,
+       |       COALESCE(b0.tokens_before, 0) - COALESCE(bn.tokens_after, 0) AS n_merges
+       |FROM base
+       |LEFT JOIN b0 ON base.source = b0.source
+       |LEFT JOIN bn ON base.source = bn.source
+       |ORDER BY 1""".stripMargin
 
   val bpePairsOracle: String =
     s"""WITH t AS (SELECT ${TextAnalysis.tokensSql} AS toks FROM documents),

@@ -68,6 +68,51 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out(0) == (1, "x x", 4L, 5L, 3L), s"run parity violated: ${out(0)}")
   }
 
+  test("bpeMergeLog: differential check vs a sequential reference on seeded random corpora") {
+    import spark.implicits._
+    // tiny alphabet maximizes runs and overlapping matches — the parity
+    // rule's adversarial regime; the reference is the obvious sequential
+    // greedy scan, kept independent of the windowed/array formulations
+    def refGreedy(toks: Vector[String], p1: String, p2: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == p1 && toks(i + 1) == p2) {
+          out += (p1 + "_" + p2); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    def refLog(corpus0: Seq[Vector[String]], steps: Int): Seq[(Int, String, Long, Long, Long)] = {
+      var corpus = corpus0
+      val log = Seq.newBuilder[(Int, String, Long, Long, Long)]
+      for (t <- 1 to steps) {
+        val counts = corpus.flatMap(_.sliding(2).filter(_.length == 2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        if (counts.nonEmpty) {
+          val (win, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p(0), p(1)) }
+          val before = corpus.map(_.length.toLong).sum
+          corpus = corpus.map(t0 => refGreedy(t0, win(0), win(1)))
+          log += ((t, s"${win(0)} ${win(1)}", cnt, before, corpus.map(_.length.toLong).sum))
+        }
+      }
+      log.result()
+    }
+    val rnd = new scala.util.Random(42)
+    for (c <- 1 to 6) {
+      val docs = (0 until (2 + rnd.nextInt(4))).map { id =>
+        val n = rnd.nextInt(13)
+        (id.toLong, "s", Vector.fill(n)(if (rnd.nextBoolean()) "a" else "b").mkString(" "))
+      }
+      val expect = refLog(docs.map(_._3.split("\\s+").toVector.filter(_.nonEmpty)), steps = 2)
+      val got = Corpus.bpeMergeLog(docs.toDF("doc_id", "source", "text"), steps = 2)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == expect, s"case $c: docs=${docs.map(_._3)}\n got=$got\n exp=$expect")
+    }
+  }
+
   test("bpeMergeLog: successive winners are distinct (a merged pair never wins twice)") {
     val out = Corpus.bpeMerges(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == Corpus.BpeMergeSteps)
@@ -78,6 +123,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       val (nb, na) = (out(i).getLong(3), out(i).getLong(4))
       assert(na < nb, s"round ${i + 1} merged nothing")
       if (i > 0) assert(nb == out(i - 1).getLong(4), "token counts don't chain")
+    }
+  }
+
+  test("bpeCompressionAudit: per-source totals reconcile with the merge log") {
+    val dir = "/root/testdata/sf0.001"
+    val log = Corpus.bpeMerges(spark, dir).collect()
+    spark.catalog.clearCache() // chain caches from the log run
+    val comp = Corpus.bpeCompressionAudit(
+      graft.util.Spread.forCpu(graft.Tables.documents(spark, dir))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache() // compression audit leaves finalGen pinned
+    // corpus-wide mass: Σ tokens_before == log round 1's n_tokens_before,
+    // Σ tokens_after == final round's n_tokens_after — same chain, same data
+    assert(comp.map(_._3).sum == log.head.getLong(3), "before-mass mismatch vs log")
+    assert(comp.map(_._4).sum == log.last.getLong(4), "after-mass mismatch vs log")
+    assert(comp.map(_._5).sum ==
+      log.head.getLong(3) - log.last.getLong(4), "merge totals mismatch")
+    for ((src, nDocs, before, after, merges) <- comp) {
+      assert(nDocs > 0 && before >= after && merges == before - after, s"bad row: $src")
     }
   }
 
