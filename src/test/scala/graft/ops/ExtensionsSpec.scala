@@ -275,6 +275,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("staged IVF index: results identical to in-memory IVF, probes prune partitions") {
+    val staged = Similarity.knnIvfStaged(spark, dir)
+    val mem = Similarity.knnIvf(spark, dir).collect().toSeq
+    assert(staged.collect().toSeq == mem,
+      "staged-layout IVF diverges from the in-memory pipeline")
+    // the cell-partitioned scan must carry a dynamic pruning predicate on
+    // the partition column — the read-side payoff of the staged layout
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the staged cells scan:\n${plan.take(4000)}")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal feature extraction: REAL png decode round-trips byte stats") {
     import spark.implicits._
     val items = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaItem]
