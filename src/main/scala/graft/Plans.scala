@@ -29,7 +29,8 @@ object Plans {
     "q_tokenize_ids", "q_batch_padding", "q_mix_temperature", "q_cdc_chunks",
     "q_dedup_cluster_stats", "q_quality_quartiles", "q_kmeans",
     "q_source_overlap", "q_sample_stratified",
-    "q_bpe_merges", "q_media_histogram")
+    "q_bpe_merges", "q_media_histogram", "q_curation_pipeline",
+    "q_bpe_compression", "q_knn_ivf_staged")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -94,7 +95,24 @@ object Plans {
        "inside mapPartitions — genuinely imperative codec work outside " +
        "Catalyst's vocabulary — emitting at most formats×16 partial rows " +
        "per item into a partial+final aggregation; the corpus never " +
-       "shuffles, only bin counts do."))
+       "shuffles, only bin counts do."),
+    "q_curation_pipeline" ->
+      ("the composed funnel (quality gates → exact dedup → temperature " +
+       "quotas → md5-ranked draw) stays ONE Catalyst plan: the signal " +
+       "projection fuses into the scan, both windows partition by their " +
+       "natural keys (content hash; source), quotas ride a broadcast " +
+       "join, and no stage materializes an intermediate corpus."),
+    "q_bpe_compression" ->
+      ("the visible plan aggregates the final persisted corpus generation " +
+       "per source and joins the round-0 token mass; the merge rounds " +
+       "themselves execute eagerly under the generational persist " +
+       "discipline (see q_bpe_merges)."),
+    "q_knn_ivf_staged" ->
+      ("the corpus scan reads the CELL-PARTITIONED staged table and its " +
+       "PartitionFilters carry a dynamicpruning#NNN predicate fed by the " +
+       "broadcast probe set — only probed cells' files are read. The " +
+       "centroid scan is the tiny staged table, broadcast twice " +
+       "(probe scoring + the pruning subquery reuses the exchange)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

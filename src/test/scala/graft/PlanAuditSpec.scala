@@ -413,4 +413,16 @@ class PlanAuditSpec extends SparkSpec {
            s"selection window not partitioned by source:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"alloc table not broadcast:\n$plan")
   }
+
+  test("curation pipeline: one plan — keyed windows, broadcast quotas, no cartesian") {
+    val plan = planOf(ops.Curation.curationPipeline(spark, dir))
+    // dedup window keys on the content hash, selection window on source
+    assert("windowspecdefinition\\(md5".r.findFirstIn(plan).isDefined ||
+           "windowspecdefinition\\(_w".r.findFirstIn(plan).isDefined,
+           s"dedup window not keyed on the content hash:\n$plan")
+    assert("windowspecdefinition\\(source#".r.findFirstIn(plan).isDefined,
+           s"selection window not partitioned by source:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"quotas not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the funnel:\n$plan")
+  }
 }
