@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_jaccard_capped" -> ((s, d) => Dedup.ngramJaccardCapped(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_minhash_incremental" -> ((s, d) => Dedup.minhashIncremental(s, d)),
     "q_dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash_capped" -> ((s, d) => Dedup.simhashCapped(s, d)),
     "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_len_histogram"           -> ops.TextAnalysis.lenHistogramOracle,
     "q_kyakusu_approx_check"    -> ops.Relational.kyakusuApproxCheckOracle,
     "q_dedup_minhash_lsh"       -> ops.Dedup.minhashLshOracle,
+    "q_dedup_minhash_incremental" -> ops.Dedup.minhashIncrementalOracle,
     "q_dedup_simhash"           -> ops.Dedup.simhashOracle,
     "q_dedup_simhash_capped"    -> ops.Dedup.simhashCappedOracle,
     "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,

@@ -447,6 +447,89 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q_dedup_minhash_incremental: the DAILY-BATCH near-dup shape —
+    * [[dedupIncremental]]'s exact anti-join generalized to NEAR duplicates.
+    * Today's drop (doc_id % 10 ≥ 8, the [[dedupIncremental]] split)
+    * computes MinHash band buckets for ITS docs only and probes the
+    * accumulated corpus's banded index; only history rows in buckets the
+    * batch actually hits ever join, and exact-Jaccard verification runs on
+    * the surviving candidate pairs alone. Emits the verified
+    * (hist_id, new_id) near-dup pairs.
+    *
+    * 100 TB shape: the accumulated corpus appears ONLY as its banded index
+    * — (doc_id, band, bucket), three narrow columns, in production staged
+    * on disk bucketed by (band, bucket) exactly like
+    * [[graft.ops.Similarity.stageIvfIndex]] stages cells — so per day the
+    * work is O(batch signatures + touched buckets + verified candidates),
+    * never a corpus rescan and never a corpus×corpus self-join. The
+    * history side of the verify reads shingles for candidate docs only
+    * (the [[minhashLsh]] semi-join discipline).
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val rows = NumHashes / Bands
+    def bandsOf(docs: DataFrame): DataFrame = {
+      val sh = docs.filter(size(col("shingles")) > 0)
+      sh.select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
+        .select(col("doc_id"),
+          posexplode(graft.util.Exprs.let(col("sig")) { sg =>
+            transform(sequence(lit(0), lit(Bands - 1)),
+              b => md5(concat_ws("|",
+                (1 to rows).map(r => element_at(sg, b * rows + r)) :+ b.cast("string"): _*)))
+          }).as(Seq("band", "bucket")))
+    }
+    val all = docShingles(spark, dir)
+    val histBands = bandsOf(all.filter(pmod(col("doc_id"), lit(10)) < 8))
+    val newBands = bandsOf(all.filter(pmod(col("doc_id"), lit(10)) >= 8))
+      // the batch is the small side: Bands rows per new doc — broadcast it
+      // into the index probe so the history index never shuffles
+      .persist()
+    newBands.count()
+    val cand = histBands.join(broadcast(newBands)
+        .withColumnRenamed("doc_id", "new_id"), Seq("band", "bucket"))
+      .select(col("doc_id").as("doc_a"), col("new_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .persist()
+    verifyJaccardPairs(spark, dir, cand)
+      .select(col("doc_a").as("hist_id"), col("doc_b").as("new_id"),
+              col("inter"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy("hist_id", "new_id")
+  }
+
+  val minhashIncrementalOracle: String = {
+    val rows = NumHashes / Bands
+    val bandExprs = (0 until Bands).map { b =>
+      val parts = (1 to rows).map(r => s"sig[${b * rows + r}]").mkString(" || '|' || ")
+      s"md5($parts || '|' || '$b')"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(range(0, $NumHashes),
+       |           i -> list_min(list_transform(shingles, s -> md5(i || ':' || s)))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, shingles, band - 1 AS band, buckets[band] AS bucket
+       |  FROM (SELECT doc_id, shingles, $bandExprs AS buckets FROM sig),
+       |       unnest(range(1, ${Bands + 1})) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT h.doc_id AS hist_id, n.doc_id AS new_id,
+       |         h.shingles AS sh_a, n.shingles AS sh_b
+       |  FROM banded h JOIN banded n
+       |    ON h.band = n.band AND h.bucket = n.bucket
+       |   AND h.doc_id % 10 < 8 AND n.doc_id % 10 >= 8),
+       |scored AS (
+       |  SELECT hist_id, new_id,
+       |         len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS inter,
+       |         len(sh_a) AS n_a, len(sh_b) AS n_b
+       |  FROM cand)
+       |SELECT hist_id, new_id, CAST(inter AS INT) AS inter,
+       |       CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       |       CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+       |FROM scored
+       |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** q_minhash_est_check: MinHash sketch-accuracy governance — the same
     * self-check-as-oracle pattern as the HLL ([[Relational.kyakusuApproxCheck]])
     * and quantile-sketch audits, applied to the LSH dedup pipeline's

@@ -275,6 +275,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental minhash: nonempty, sides respect the split, pairs agree with full LSH") {
+    val inc = Dedup.minhashIncremental(spark, dir).collect()
+    assert(inc.nonEmpty, "no cross-boundary near-dups found (planted dups should straddle the split)")
+    val full = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    for (r <- inc) {
+      val (h, n) = (r.getLong(0), r.getLong(1))
+      assert(h % 10 < 8 && n % 10 >= 8, s"pair ($h, $n) violates the history/batch split")
+      // same bands, same verify: a cross-boundary pair found incrementally
+      // must exist in the full self-join's output with the same jaccard
+      assert(full.get(Set(h, n)).contains(r.getDouble(5)),
+        s"pair ($h, $n) missing or differs in the full LSH output")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("staged IVF index: results identical to in-memory IVF, probes prune partitions") {
     val staged = Similarity.knnIvfStaged(spark, dir)
     val mem = Similarity.knnIvf(spark, dir).collect().toSeq
