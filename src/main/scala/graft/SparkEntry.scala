@@ -81,6 +81,7 @@ object SparkEntry {
     "q_decontamination_exact" -> ((s, d) => Dedup.decontaminationExact(s, d)),
     "q_knn_bruteforce"    -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_decontamination_embed" -> ((s, d) => Similarity.decontaminationEmbed(s, d)),
     "q_knn_mutual"        -> ((s, d) => Similarity.knnMutual(s, d)),
     "q_minhash_est_check" -> ((s, d) => Dedup.minhashEstCheck(s, d)),
     "q_events_gapfill"    -> ((s, d) => Temporal.eventsGapfill(s, d)),
@@ -240,6 +241,7 @@ object SparkEntry {
     "q_decontamination_exact"   -> ops.Dedup.decontaminationExactOracle,
     "q_knn_bruteforce"          -> ops.Similarity.knnBruteForceOracle,
     "q_hard_negatives"          -> ops.Similarity.hardNegativesOracle,
+    "q_decontamination_embed"   -> ops.Similarity.decontaminationEmbedOracle,
     "q_knn_mutual"              -> ops.Similarity.knnMutualOracle,
     "q_minhash_est_check"       -> ops.Dedup.minhashEstCheckOracle,
     "q_events_gapfill"          -> ops.Temporal.eventsGapfillOracle,

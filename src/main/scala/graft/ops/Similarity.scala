@@ -161,6 +161,85 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** Eval-set stride for embedding decontamination: every 97th vector
+    * (prime, so it never aliases [[QueryStride]]/[[CentroidStride]]) plays
+    * the held-out benchmark role.
+    */
+  val EvalStride = 97
+
+  /** Flag threshold for embedding decontamination — deliberately below
+    * [[NearDupCos]]: decontamination wants RECALL (a missed contaminated
+    * doc poisons an eval number; a false flag just costs a review), and on
+    * the synthetic embedding space ambient cross-vector cosine sits ≈0.30
+    * while related vectors reach 0.40+, so 0.40 keeps the flag path
+    * non-vacuous at every fixture scale.
+    */
+  val EmbedDecontCos = 0.40
+
+  /** q_decontamination_embed: SEMANTIC decontamination — flag corpus
+    * vectors whose cosine to ANY eval-set vector reaches
+    * [[EmbedDecontCos]].
+    * The embedding-space complement of the n-gram/exact-substring
+    * decontamination family ([[graft.ops.Dedup]]): paraphrased or
+    * re-rendered benchmark items share no 13-gram but sit right next to
+    * the eval item in embedding space, which is how modern pipelines
+    * catch them.
+    *
+    * Plan: the eval side broadcasts (held-out sets are small by
+    * definition), the corpus streams through one codegen'd scoring
+    * projection, the per-vector max collapses map-side (groupBy max —
+    * never a window over N×E scored rows), and the per-label audit is one
+    * more tiny aggregation. One corpus pass, no shuffle wider than
+    * (vec_id, max_sim). At 100 TB the IVF/PQ candidate pruning composes
+    * in front unchanged — brute force keeps the audit exactly
+    * oracle-checkable (per-vector max of a fixed double expression, then
+    * per-label max/count — all order-independent).
+    */
+  def decontaminationEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedDecontAudit(graft.util.Spread.forCpu(Tables.embeddings(spark, dir)))
+
+  /** [[decontaminationEmbed]] core over an explicit embeddings relation
+    * (injectable for planted-contamination tests).
+    */
+  def embedDecontAudit(embIn: DataFrame): DataFrame = {
+    val vecs = embIn
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val evalSet = vecs.filter(col("vec_id") % EvalStride === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nv").as("ne"))
+    val perVec = vecs.join(broadcast(evalSet), col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"), col("label"),
+              pairSim(col("ev"), col("v"), col("ne"), col("nv")).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max("sim").as("max_sim"))
+    vecs.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .join(perVec.groupBy("label").agg(
+          sum(when(col("max_sim") >= EmbedDecontCos, 1L).otherwise(0L)).as("n_flagged"),
+          max("max_sim").as("max_sim")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"), col("max_sim"))
+      .orderBy("label")
+  }
+
+  val decontaminationEmbedOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % $EvalStride = 0),
+       |per AS (
+       |  SELECT vec_id, label, MAX(${cosineSql("evv", "v")}) AS max_sim
+       |  FROM e JOIN ev ON e.vec_id <> ev.eval_id
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT label,
+       |         CAST(SUM(CASE WHEN max_sim >= $EmbedDecontCos THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |         MAX(max_sim) AS max_sim
+       |  FROM per GROUP BY 1)
+       |SELECT e.label, COUNT(*) AS n_vecs,
+       |       COALESCE(MAX(agg.n_flagged), 0) AS n_flagged,
+       |       MAX(agg.max_sim) AS max_sim
+       |FROM e LEFT JOIN agg ON e.label = agg.label
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- mutual-kNN graph ------------------------------------------------------
 
   /** q_knn_mutual: the reciprocal (mutual) kNN graph over the query-stride

@@ -275,6 +275,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embedding decontamination: planted eval copy flagged, orthogonal vec not; fixture non-vacuous") {
+    import spark.implicits._
+    // id 0 is eval (0 % EvalStride == 0); id 1 duplicates it (cos 1.0 →
+    // flagged), id 2 is orthogonal (cos 0 → clean)
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f), 7),
+      (1L, Array(1f, 0f, 0f), 7),
+      (2L, Array(0f, 1f, 0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedDecontAudit(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // id 1 flags against eval id 0; id 0 itself has no OTHER eval partner,
+    // so it stays unflagged — the eval item is not its own contamination
+    assert(out(7) == (2L, 1L), s"eval copy not flagged: $out")
+    assert(out(8) == (1L, 0L), s"orthogonal vec flagged: $out")
+    // fixture: the flag path must bite somewhere at the tuned threshold
+    val fixture = Similarity.decontaminationEmbed(spark, dir).collect()
+    assert(fixture.map(_.getLong(2)).sum > 0,
+      "flag threshold vacuous on the fixture — no label has any flagged vector")
+  }
+
   test("incremental minhash: nonempty, sides respect the split, pairs agree with full LSH") {
     val inc = Dedup.minhashIncremental(spark, dir).collect()
     assert(inc.nonEmpty, "no cross-boundary near-dups found (planted dups should straddle the split)")
