@@ -30,7 +30,8 @@ object Plans {
     "q_dedup_cluster_stats", "q_quality_quartiles", "q_kmeans",
     "q_source_overlap", "q_sample_stratified",
     "q_bpe_merges", "q_media_histogram", "q_curation_pipeline",
-    "q_bpe_compression", "q_knn_ivf_staged")
+    "q_bpe_compression", "q_knn_ivf_staged",
+    "q_dedup_minhash_incremental", "q_decontamination_embed")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -112,7 +113,19 @@ object Plans {
        "PartitionFilters carry a dynamicpruning#NNN predicate fed by the " +
        "broadcast probe set — only probed cells' files are read. The " +
        "centroid scan is the tiny staged table, broadcast twice " +
-       "(probe scoring + the pruning subquery reuses the exchange)."))
+       "(probe scoring + the pruning subquery reuses the exchange)."),
+    "q_dedup_minhash_incremental" ->
+      ("the daily-batch probe: the BATCH band relation broadcasts into the " +
+       "history index join, so the accumulated corpus's index streams " +
+       "map-side and never shuffles — per-day cost is O(batch + touched " +
+       "buckets + candidates). The verify stage is the minhashLsh " +
+       "semi-join discipline (shingles recomputed for candidate docs " +
+       "only)."),
+    "q_decontamination_embed" ->
+      ("broadcast eval side, one codegen'd corpus scoring projection; the " +
+       "per-vector max is a partial-aggregated groupBy (never a window " +
+       "over N×E scored rows), and only (vec_id, max_sim) crosses the " +
+       "shuffle."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -414,6 +414,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"alloc table not broadcast:\n$plan")
   }
 
+  test("incremental minhash: batch side broadcasts into the history-index probe") {
+    val plan = planOf(ops.Dedup.minhashIncremental(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+           s"batch bands not broadcast into the index probe:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the probe:\n$plan")
+    spark.catalog.clearCache() // minhashIncremental pins band/candidate relations
+  }
+
+  test("embed decontamination: per-vector max is partial-aggregated, eval side broadcast") {
+    val plan = planOf(ops.Similarity.decontaminationEmbed(spark, dir))
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+           s"per-vector max not map-side combined:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window over scored rows:\n$plan")
+  }
+
   test("curation pipeline: one plan — keyed windows, broadcast quotas, no cartesian") {
     val plan = planOf(ops.Curation.curationPipeline(spark, dir))
     // dedup window keys on the content hash, selection window on source
