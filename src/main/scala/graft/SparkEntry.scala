@@ -117,6 +117,7 @@ object SparkEntry {
     "q_skew_salted_join"  -> ((s, d) => Skew.skewSaltedJoin(s, d)),
     "q_bucketed_join"     -> ((s, d) => Relational.bucketedJoin(s, d)),
     "q_dup_spans"         -> ((s, d) => Corpus.dupSpans(s, d)),
+    "q_span_novelty"      -> ((s, d) => Corpus.spanNovelty(s, d)),
     "q_bpe_pairs"         -> ((s, d) => Corpus.bpePairs(s, d)),
     "q_bpe_merges"        -> ((s, d) => Corpus.bpeMerges(s, d)),
     "q_bpe_compression"   -> ((s, d) => Corpus.bpeCompression(s, d)),
@@ -277,6 +278,7 @@ object SparkEntry {
     "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,
     "q_bucketed_join"           -> ops.Relational.bucketedJoinOracle,
     "q_dup_spans"               -> ops.Corpus.dupSpansOracle,
+    "q_span_novelty"            -> ops.Corpus.spanNoveltyOracle,
     "q_bpe_pairs"               -> ops.Corpus.bpePairsOracle,
     "q_bpe_merges"              -> ops.Corpus.bpeMergesOracle,
     "q_bpe_compression"         -> ops.Corpus.bpeCompressionOracle,

@@ -180,6 +180,82 @@ object Corpus {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q_span_novelty: token-level NOVELTY of the daily batch — what fraction
+    * of today's rolling [[DupSpanTokens]]-token spans has the accumulated
+    * corpus never seen? The "how much of today's crawl is actually new
+    * text" signal that drives crawl-source budgeting, sitting between
+    * exact incremental dedup (whole-doc granularity,
+    * [[graft.ops.Dedup.incrementalDedup]]) and near-dup probing
+    * ([[graft.ops.Dedup.minhashIncremental]]): a batch can be 100%
+    * doc-novel yet 90% span-stale (syndicated rewrites), and this audit is
+    * what exposes that.
+    *
+    * Split: the [[graft.ops.Dedup.dedupIncremental]] history/batch
+    * convention (doc_id % 10 < 8 = already ingested). Per batch source:
+    * total spans, spans whose hash is absent from the history span index
+    * (anti-join — batch-internal repeats still count as novel vs the
+    * corpus), and the novelty ratio.
+    *
+    * 100 TB shape: the accumulated corpus appears ONLY as its span-hash
+    * index; production keeps that index bucketed on `h` (the
+    * [[graft.ops.Dedup.incrementalDedup]] layout note), so the daily
+    * anti-join co-locates without re-shuffling history and the per-day
+    * cost is O(batch spans + touched buckets). No distinct on the index
+    * side — LEFT ANTI is duplicate-insensitive on its right input.
+    */
+  def spanNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val w = DupSpanTokens
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    def spansOf(df: DataFrame): DataFrame = df.filter(col("n") >= w)
+      .select(col("source"), explode(
+        transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("h"))
+    val hist = spansOf(t.filter(pmod(col("doc_id"), lit(10)) < 8)).select("h")
+    val batchDocs = t.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val batch = spansOf(batchDocs)
+    val per = batch.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val novel = batch.join(hist, Seq("h"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    batchDocs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_spans"))
+          .as("novelty"))
+      .orderBy("source")
+  }
+
+  val spanNoveltyOracle: String = {
+    val w = DupSpanTokens
+    s"""WITH t AS (SELECT doc_id, source, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |ex AS (SELECT doc_id, source,
+       |              md5(array_to_string(toks[(i+1):(i+$w)], ' ')) AS h
+       |       FROM (SELECT doc_id, source, toks, unnest(range(0, len(toks) - $w + 1)) AS i
+       |             FROM t WHERE len(toks) >= $w)),
+       |hist AS (SELECT h FROM ex WHERE doc_id % 10 < 8),
+       |batch AS (SELECT source, h FROM ex WHERE doc_id % 10 >= 8),
+       |per AS (SELECT source, COUNT(*) AS n_spans FROM batch GROUP BY 1),
+       |novel AS (SELECT source, COUNT(*) AS n_novel FROM batch b
+       |          WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
+       |          GROUP BY 1),
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM t
+       |         WHERE doc_id % 10 >= 8 GROUP BY 1)
+       |SELECT base.source, base.n_docs,
+       |       COALESCE(per.n_spans, 0) AS n_spans,
+       |       COALESCE(novel.n_novel, 0) AS n_novel,
+       |       CASE WHEN COALESCE(per.n_spans, 0) > 0
+       |            THEN COALESCE(novel.n_novel, 0)::DOUBLE / per.n_spans END AS novelty
+       |FROM base
+       |LEFT JOIN per ON base.source = per.source
+       |LEFT JOIN novel ON base.source = novel.source
+       |ORDER BY 1""".stripMargin
+  }
+
   // --- BPE pair-merge counting -----------------------------------------------
 
   /** Top-k adjacent token pairs with dense rank — the argmax-candidate table

@@ -145,6 +145,19 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spanNovelty: fixture non-vacuous in both directions; ratios well-formed") {
+    val out = Corpus.spanNovelty(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val (spans, novel) = (out.map(_._3).sum, out.map(_._4).sum)
+    assert(novel > 0, "no novel spans — history would have seen everything")
+    assert(novel < spans,
+      "every batch span novel — the planted cross-boundary near-dups should repeat history spans")
+    out.foreach { case (src, docs, s, n) =>
+      assert(docs > 0 && n <= s, s"malformed row for $src")
+    }
+  }
+
   test("dsirAudit: target-like docs weigh positive, background-only docs negative") {
     // 'en' docs use tokens {good, nice}; the 'xx' doc uses {bad} — under
     // smoothed unigram models p_target(good) >> p_raw-only tokens, so the

@@ -90,6 +90,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(n > uniq, s"no cross-doc chunk reuse after prefix edit: n=$n uniq=$uniq")
   }
 
+  test("cdcChunks: differential check vs a sequential reference on seeded random corpora") {
+    import spark.implicits._
+    // plain sequential reference: byte-code polynomial hash per position,
+    // cut AFTER the window on hash % mask == 0, spans between cuts
+    def refChunks(text: String): Seq[Int] = {
+      val w = Curation.CdcWindow
+      val n = text.length
+      val cuts = (1 to n - w + 1).filter { p =>
+        val h = (0 until w).map(j => text.charAt(p - 1 + j).toLong * math.pow(31, j).toLong).sum
+        h % Curation.CdcMask == 0
+      }.map(_ + w).filter(_ <= n)
+      val starts = 1 +: cuts
+      val ends = starts.drop(1) :+ (n + 1)
+      starts.zip(ends).map { case (s, e) => e - s }
+    }
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 12).map { id =>
+      val n = 1 + rnd.nextInt(400)
+      // small alphabet → frequent boundary hits; covers n < window too
+      (id.toLong, s"s${id % 3}", Seq.fill(n)("abcd ".charAt(rnd.nextInt(5))).mkString)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("cdcdiff").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = Curation.cdcChunks(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getInt(4), r.getInt(5))).toMap
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val lens = ds.flatMap(d => refChunks(d._3))
+      src -> (lens.size.toLong, lens.map(_.toLong).sum, lens.max, lens.min)
+    }
+    assert(got == expect, s"\n got=$got\n exp=$expect")
+  }
+
   test("cdcChunks: fixture contract — documents text is ASCII-only (cross-engine hash precondition)") {
     // Spark's ascii() returns the first UTF-8 BYTE while DuckDB's returns
     // the code point, so the rolling hash agrees across engines only on
