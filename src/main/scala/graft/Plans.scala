@@ -31,7 +31,8 @@ object Plans {
     "q_source_overlap", "q_sample_stratified",
     "q_bpe_merges", "q_media_histogram", "q_curation_pipeline",
     "q_bpe_compression", "q_knn_ivf_staged",
-    "q_dedup_minhash_incremental", "q_decontamination_embed")
+    "q_dedup_minhash_incremental", "q_decontamination_embed",
+    "q_span_novelty")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -125,7 +126,11 @@ object Plans {
       ("broadcast eval side, one codegen'd corpus scoring projection; the " +
        "per-vector max is a partial-aggregated groupBy (never a window " +
        "over N×E scored rows), and only (vec_id, max_sim) crosses the " +
-       "shuffle."))
+       "shuffle."),
+    "q_span_novelty" ->
+      ("history appears ONLY as its span-hash index feeding the anti-join's " +
+       "right side (duplicate-insensitive — no distinct pass over the " +
+       "corpus index); all three audits are partial+final aggregations."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
