@@ -118,6 +118,7 @@ object SparkEntry {
     "q_bucketed_join"     -> ((s, d) => Relational.bucketedJoin(s, d)),
     "q_dup_spans"         -> ((s, d) => Corpus.dupSpans(s, d)),
     "q_span_novelty"      -> ((s, d) => Corpus.spanNovelty(s, d)),
+    "q_source_divergence" -> ((s, d) => Corpus.sourceDivergence(s, d)),
     "q_bpe_pairs"         -> ((s, d) => Corpus.bpePairs(s, d)),
     "q_bpe_merges"        -> ((s, d) => Corpus.bpeMerges(s, d)),
     "q_bpe_compression"   -> ((s, d) => Corpus.bpeCompression(s, d)),
@@ -279,6 +280,7 @@ object SparkEntry {
     "q_bucketed_join"           -> ops.Relational.bucketedJoinOracle,
     "q_dup_spans"               -> ops.Corpus.dupSpansOracle,
     "q_span_novelty"            -> ops.Corpus.spanNoveltyOracle,
+    "q_source_divergence"       -> ops.Corpus.sourceDivergenceOracle,
     "q_bpe_pairs"               -> ops.Corpus.bpePairsOracle,
     "q_bpe_merges"              -> ops.Corpus.bpeMergesOracle,
     "q_bpe_compression"         -> ops.Corpus.bpeCompressionOracle,

@@ -180,6 +180,80 @@ object Corpus {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q_source_divergence: pairwise Jensen-Shannon divergence (nats)
+    * between sources' unigram distributions — the DISTRIBUTIONAL
+    * complement to [[sourceOverlap]]'s span matrix: overlap catches
+    * copied text, divergence catches sources that merely write alike
+    * (register, vocabulary), which is what source-mixing and routing
+    * decisions actually key on. JSD is symmetric and bounded (≤ ln 2),
+    * so the matrix is directly comparable across pairs.
+    *
+    * Exactness: p's are exact-integer count ratios; each shared-token
+    * term is one fixed double expression whose per-pair sum is carried as
+    * DECIMAL(28,10) (order-independent — the [[graft.ops.TextAnalysis]]
+    * lmQuality idiom, with the same empirical cross-libm `ln` parity its
+    * long-green oracle validates); tokens private to one side contribute
+    * exactly p·ln2/2, folded in closed form from the shared-mass
+    * DECIMAL sums — no per-token pass over the disjoint vocabularies.
+    * Pairs sharing no token emit no row (both engines).
+    *
+    * Scale shape: per-source term relations join on the token key, so
+    * fan-out per token is bounded by sources-carrying-it², never corpus
+    * size ([[sourceOverlap]]'s argument); the per-pair aggregation is
+    * map-side combined. The term relation is persisted — it feeds both
+    * join sides.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(Tables.documents(spark, dir))
+
+  /** [[sourceDivergence]] core over an explicit documents relation. */
+  def sourceDivergenceOf(docsIn: DataFrame): DataFrame = {
+    val ex = docsIn.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val counts = ex.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").cast("double").as("n"))
+    val rel = counts.join(totals, "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rel.count() // both self-join sides consume rel: pin eagerly
+    val pa = col("a.c").cast("double") / col("a.n")
+    val pb = col("b.c").cast("double") / col("b.n")
+    val term = ((pa * log(lit(2.0) * pa / (pa + pb)) +
+                 pb * log(lit(2.0) * pb / (pa + pb))) * lit(0.5))
+      .cast("decimal(28,10)")
+    rel.as("a").join(rel.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"),
+           sum(term).as("tsum"),
+           sum(pa.cast("decimal(28,10)")).as("sa"),
+           sum(pb.cast("decimal(28,10)")).as("sb"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("tsum").cast("double") +
+          ((lit(1.0) - col("sa").cast("double")) +
+           (lit(1.0) - col("sb").cast("double"))) * log(lit(2.0)) / lit(2.0))
+          .as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceDivergenceOracle: String =
+    s"""WITH ex AS (SELECT source, unnest(${TextAnalysis.tokensSql}) AS tok FROM documents),
+       |c AS (SELECT source, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY 1),
+       |rel AS (SELECT c.source, tok, CAST(c.c AS DOUBLE) / t.n AS p
+       |        FROM c JOIN t USING (source)),
+       |j AS (SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb
+       |      FROM rel a JOIN rel b ON a.tok = b.tok AND a.source < b.source),
+       |g AS (SELECT source_a, source_b, COUNT(*) AS n_shared,
+       |             SUM(CAST((pa * ln(2.0 * pa / (pa + pb)) +
+       |                       pb * ln(2.0 * pb / (pa + pb))) * 0.5 AS DECIMAL(28,10))) AS tsum,
+       |             SUM(CAST(pa AS DECIMAL(28,10))) AS sa,
+       |             SUM(CAST(pb AS DECIMAL(28,10))) AS sb
+       |      FROM j GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |       CAST(tsum AS DOUBLE) +
+       |       ((1.0 - CAST(sa AS DOUBLE)) + (1.0 - CAST(sb AS DOUBLE))) * ln(2.0) / 2.0 AS jsd
+       |FROM g ORDER BY 1, 2""".stripMargin
+
   /** q_span_novelty: token-level NOVELTY of the daily batch — what fraction
     * of today's rolling [[DupSpanTokens]]-token spans has the accumulated
     * corpus never seen? The "how much of today's crawl is actually new

@@ -145,6 +145,29 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sourceDivergence: identical sources at exactly 0, disjoint pairs absent, bounds hold") {
+    import spark.implicits._
+    // sources a and b share the identical token multiset → JSD exactly 0
+    // (every shared term is p·ln(1) = 0 and both shared masses are 1);
+    // source c shares nothing with them → no (a,c)/(b,c) rows
+    val df = Seq(
+      (1L, "a", "x y z x"), (2L, "b", "x x y z"),
+      (3L, "c", "q r s")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceDivergenceOf(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq(("a", "b", 3L, 0.0)), s"got: ${out.toSeq}")
+    // fixture matrix: complete, bounded by ln 2, strictly positive
+    val fx = Corpus.sourceDivergence(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getDouble(3))
+    spark.catalog.clearCache()
+    val nSrc = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source").distinct().count()
+    assert(fx.length == nSrc * (nSrc - 1) / 2, "matrix incomplete — some pair shares no token?")
+    assert(fx.forall(v => v > 0 && v <= math.log(2) + 1e-9), s"jsd out of bounds: ${fx.max}")
+  }
+
   test("spanNovelty: fixture non-vacuous in both directions; ratios well-formed") {
     val out = Corpus.spanNovelty(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
