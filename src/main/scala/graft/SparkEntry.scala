@@ -129,6 +129,7 @@ object SparkEntry {
     "q_stream_sessions"   -> ((s, d) => graft.streaming.StreamingQueries.streamUserSessions(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingQueries.streamDedupExact(s, d)),
+    "q_stream_quality"    -> ((s, d) => graft.streaming.StreamingQueries.streamQualityFilter(s, d)),
     "q_tokenize_ids"      -> ((s, d) => Curation.tokenizeIds(s, d)),
     "q_batch_padding"     -> ((s, d) => Curation.batchPadding(s, d)),
     "q_mix_temperature"   -> ((s, d) => Curation.mixTemperature(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q_stream_sessions"         -> ops.Temporal.userSessionsOracle,
     "q_semdedup"                -> ops.Similarity.semDedupOracle,
     "q_stream_dedup"            -> ops.Dedup.dedupExactOracle,
+    "q_stream_quality"          -> ops.TextAnalysis.qualityFilterOracle,
     "q_tokenize_ids"            -> ops.Curation.tokenizeIdsOracle,
     "q_batch_padding"           -> ops.Curation.batchPaddingOracle,
     "q_mix_temperature"         -> ops.Curation.mixTemperatureOracle,

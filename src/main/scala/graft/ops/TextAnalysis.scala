@@ -96,7 +96,15 @@ object TextAnalysis {
     * band, stopword presence. Pure integer/boolean logic → exact oracle.
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
-    qualitySignals(Tables.documents(spark, dir))
+    qualityFilterAgg(Tables.documents(spark, dir)).orderBy("lang")
+
+  /** The gated per-lang audit shared by the batch query and its streaming
+    * twin ([[graft.streaming.StreamingQueries.streamQualityFilter]]): a
+    * stateless gate projection + one aggregation, so it plans identically
+    * over a static relation and a file stream. Unordered — callers sort.
+    */
+  def qualityFilterAgg(docs: DataFrame): DataFrame =
+    qualitySignals(docs)
       .withColumn("len_ok", col("n_tokens") >= 20 && col("n_tokens") <= 2000)
       .withColumn("tok_ok", col("sum_token_chars") >= col("n_tokens") * 2 &&
                             col("sum_token_chars") <= col("n_tokens") * 12)
@@ -109,7 +117,6 @@ object TextAnalysis {
         sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_fail"),
         sum(when(!col("tok_ok"), 1L).otherwise(0L)).as("n_tok_fail"),
         sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_stop_fail"))
-      .orderBy("lang")
 
   val qualityFilterOracle: String =
     s"""WITH sig AS (

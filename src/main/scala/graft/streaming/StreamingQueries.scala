@@ -191,4 +191,32 @@ object StreamingQueries {
         min("rep_id").as("min_rep_id"))
       .orderBy("source")
   }
+
+  /** q_stream_quality: the curation quality GATE as a stream — the exact
+    * [[graft.ops.TextAnalysis.qualityFilterAgg]] gate projection +
+    * per-lang audit run over a document file stream in complete output
+    * mode. With this, every stage class of the curation pipeline has a
+    * streaming face: filter (here), stateful dedup
+    * ([[streamDedupExact]]), windowed aggregation ([[streamEventsHourly]]),
+    * sessionization ([[streamUserSessions]]), and stream-stream join
+    * ([[streamClickAttribution]]). The gate is stateless and the audit is
+    * an associative aggregation, so the result is micro-batch-split
+    * invariant by construction (StreamingSpec forces the multi-batch case)
+    * and shares the batch query's DuckDB oracle verbatim.
+    */
+  def streamQualityFilter(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_quality_filter"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val src = reader.parquet(s"$dir/documents.parque*")
+    val q = graft.ops.TextAnalysis.qualityFilterAgg(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("lang")
+  }
 }

@@ -243,6 +243,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming quality gate equals the batch audit and is micro-batch-split invariant") {
+    // scatter the fixture across 3 part files, 1 per trigger: the gate is
+    // stateless and the audit aggregation associative, so the complete-mode
+    // result must equal the batch query under any split
+    val dir = tmpDir("stream_quality")
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = StreamingQueries.streamQualityFilter(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.TextAnalysis.qualityFilter(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming session_window summary equals the batch lag-form summary") {
     val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
