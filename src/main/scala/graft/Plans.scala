@@ -32,7 +32,7 @@ object Plans {
     "q_bpe_merges", "q_media_histogram", "q_curation_pipeline",
     "q_bpe_compression", "q_knn_ivf_staged",
     "q_dedup_minhash_incremental", "q_decontamination_embed",
-    "q_span_novelty")
+    "q_span_novelty", "q_source_divergence")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -130,7 +130,12 @@ object Plans {
     "q_span_novelty" ->
       ("history appears ONLY as its span-hash index feeding the anti-join's " +
        "right side (duplicate-insensitive — no distinct pass over the " +
-       "corpus index); all three audits are partial+final aggregations."))
+       "corpus index); all three audits are partial+final aggregations."),
+    "q_source_divergence" ->
+      ("the per-source term relation is ONE pinned relation feeding both " +
+       "self-join sides; the token-keyed join bounds fan-out at " +
+       "sources-per-token², and the per-pair JSD aggregation (DECIMAL " +
+       "term/mass sums) is partial+final."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
