@@ -62,6 +62,7 @@ object SparkEntry {
     "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "q_knn_sq"            -> ((s, d) => Similarity.knnSq(s, d)),
     "q_embed_outliers"    -> ((s, d) => Similarity.embedOutliers(s, d)),
+    "q_embed_rp"          -> ((s, d) => Similarity.embedRp(s, d)),
     "q_knn_sq_recall"     -> ((s, d) => Similarity.knnSqRecall(s, d)),
     "q_allpairs_cosine"   -> ((s, d) => Dedup.allPairsCosine(s, d)),
     "q_dedup_blocking"    -> ((s, d) => Dedup.blockingDedup(s, d)),
@@ -101,7 +102,9 @@ object SparkEntry {
     "q_user_sessions"     -> ((s, d) => Temporal.userSessions(s, d)),
     "q_events_funnel"     -> ((s, d) => Temporal.eventsFunnel(s, d)),
     "q_cohort_retention"  -> ((s, d) => Temporal.cohortRetention(s, d)),
+    "q_rolling_zscore"    -> ((s, d) => Temporal.rollingZscore(s, d)),
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "q_df_incremental"    -> ((s, d) => TextAnalysis.dfIncremental(s, d)),
     "q_knn_recall"        -> ((s, d) => Similarity.knnRecall(s, d)),
     "q_asof_join"         -> ((s, d) => Temporal.asofJoin(s, d)),
     "q_range_join"        -> ((s, d) => Temporal.rangeJoin(s, d)),
@@ -234,6 +237,7 @@ object SparkEntry {
     "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,
     "q_knn_sq"                  -> ops.Similarity.knnSqOracle,
     "q_embed_outliers"          -> ops.Similarity.embedOutliersOracle,
+    "q_embed_rp"                -> ops.Similarity.embedRpOracle,
     "q_knn_sq_recall"           -> ops.Similarity.knnSqRecallOracle,
     "q_allpairs_cosine"         -> ops.Dedup.allPairsCosineOracle,
     "q_dedup_blocking"          -> ops.Dedup.blockingDedupOracle,
@@ -267,6 +271,7 @@ object SparkEntry {
     "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
     "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
     "q_cohort_retention"        -> ops.Temporal.cohortRetentionOracle,
+    "q_rolling_zscore"          -> ops.Temporal.rollingZscoreOracle,
     "q_asof_join"               -> ops.Temporal.asofJoinOracle,
     "q_range_join"              -> ops.Temporal.rangeJoinOracle,
     "q_bloom_semijoin"          -> ops.Relational.bloomSemiJoinOracle,
@@ -275,6 +280,7 @@ object SparkEntry {
     "q_decontamination_aho"     -> ops.Dedup.decontaminationExactOracle,
     "q_text_normalize"          -> ops.TextAnalysis.textNormalizeOracle,
     "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
+    "q_df_incremental"          -> ops.TextAnalysis.dfIncrementalOracle,
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
     "q_skew_salted_agg"         -> ops.Skew.skewSaltedAggOracle,
     "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,

@@ -1454,4 +1454,92 @@ object Similarity {
        |SELECT n_queries, n_truth, n_hits,
        |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
        |FROM tr, h""".stripMargin
+
+  // --- Johnson–Lindenstrauss sparse random projection ------------------------
+
+  /** Projected dimensionality for [[embedRp]]. */
+  val RpDim = 16
+
+  /** Distortion-audit corpus sample: vec_id % stride == offset. */
+  val RpSampleStride = 17
+  val RpSampleOffset = 3
+
+  /** Deterministic sparse JL signs (Achlioptas 2003, density 1/3):
+    * s(j, d) ∈ {−1, 0, +1} from md5("rp,j,d") — computed once at
+    * plan-build time and inlined as literals into BOTH engines' plans,
+    * like [[hyperplaneSigns]].
+    */
+  def rpSigns(j: Int, dim: Int = Dim): Seq[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val h = md.digest(s"rp,$j,$d".getBytes(StandardCharsets.UTF_8))
+      java.lang.Byte.toUnsignedInt(h(0)) % 6 match {
+        case 0 => 1.0
+        case 1 => -1.0
+        case _ => 0.0
+      }
+    }
+  }
+
+  /** [[RpDim]] JL coordinates of `v`: y_j = v · s_j (sequential-fold dots,
+    * so projected values are bit-identical across engines).
+    */
+  def rpProject(v: Column): Column =
+    array((0 until RpDim).map(j => dot(v, array(rpSigns(j).map(lit): _*))): _*)
+
+  /** q_embed_rp: dimensionality reduction by sparse random projection
+    * (64 → [[RpDim]] dims) with a cosine-distortion audit — the standard
+    * pre-clustering / pre-index shrink for 100 TB embedding corpora (project
+    * once, then run k-means / IVF / pair generation in the small space at
+    * dim/[[RpDim]]× less dot-product work and shuffle width).
+    *
+    * The audit pairs every query vector (vec_id % [[QueryStride]] == 0,
+    * broadcast) with a deterministic corpus sample (vec_id %
+    * [[RpSampleStride]] == [[RpSampleOffset]]) and reports, per query, how
+    * far projected cosine drifts from true cosine. Max is order-independent;
+    * the error sum crosses the hash gate as an exact DECIMAL sum (house
+    * double-sum rule). One broadcast join, one map-side combined
+    * aggregation — no shuffle grows with the corpus beyond the sample scan.
+    */
+  def embedRp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = vectors(spark, dir)
+      .withColumn("pv", rpProject(col("v")))
+      .withColumn("np", norm(col("pv")))
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"),
+              col("pv").as("qp"), col("np").as("nqp"))
+    val sample = vecs.filter(col("vec_id") % RpSampleStride === RpSampleOffset)
+    val pairs = sample.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        abs(pairSim(col("qv"), col("v"), col("nq"), col("nv")) -
+            pairSim(col("qp"), col("pv"), col("nqp"), col("np"))).as("err"))
+    pairs.groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+           max("err").as("max_abs_err"),
+           round(sum(col("err").cast(DecimalType(18, 8))), 6)
+             .cast("double").as("sum_abs_err"))
+      .orderBy("query_id")
+  }
+
+  val embedRpOracle: String = {
+    val proj = (0 until RpDim)
+      .map(j => "list_dot_product(v, " +
+        rpSigns(j).map(s => if (s > 0) "1.0" else if (s < 0) "-1.0" else "0.0")
+          .mkString("[", ",", "]") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, $proj AS pv FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qp FROM p
+       |      WHERE vec_id % $QueryStride = 0),
+       |s AS (SELECT * FROM p WHERE vec_id % $RpSampleStride = $RpSampleOffset),
+       |pairs AS (
+       |  SELECT query_id,
+       |         ABS(${cosineSql("qv", "v")} - ${cosineSql("qp", "pv")}) AS err
+       |  FROM s JOIN q ON s.vec_id <> q.query_id)
+       |SELECT query_id, COUNT(*) AS n_pairs,
+       |       MAX(err) AS max_abs_err,
+       |       CAST(ROUND(SUM(CAST(err AS DECIMAL(18,8))), 6) AS DOUBLE) AS sum_abs_err
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -370,4 +370,97 @@ object Temporal {
        | AND c.event_type = 'click' AND p.event_type = 'purchase'
        | AND p.ts >= c.ts AND epoch(p.ts) < epoch(c.ts) + 3600
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- rolling-window anomaly detection -------------------------------------
+
+  /** Trailing window width (days) for [[rollingZscore]]; a day is flagged only
+    * against a FULL 7-day history, so the series head is never false-flagged.
+    */
+  val ZscoreWindowDays = 7
+
+  /** z-threshold for [[rollingZscore]] (flag when |x − μ| > Z·σ). */
+  val ZscoreZ = 2
+
+  /** q_rolling_zscore: per-type daily-total anomaly detection — the standard
+    * "flag days whose metric deviates > Zσ from the trailing-window mean"
+    * monitoring pass (here the reference's daily sales totals generalized to
+    * the event stream; the window excludes the current day so an anomalous
+    * day cannot mask itself).
+    *
+    * Cross-engine exactness: doubles never survive into the comparison. The
+    * daily total is an exact DECIMAL(18,4) sum surfaced as integer
+    * ten-thousandths (`units`), and the z-test is evaluated in cross-
+    * multiplied integer form — |x·W − S₁| > Z·W·σ becomes
+    * (x·W − S₁)² > Z²·(W·S₂ − S₁²) — entirely in bounded-width decimals, so
+    * the flag is bit-identical in Spark and DuckDB (no division, no sqrt).
+    * Width headroom: every multiplicand is kept at DECIMAL(18,0) so no
+    * product exceeds width 37 (DuckDB errors past 38); units ≤ 1e14 (a
+    * 10-figure daily metric) keeps dev² ≤ ~5e29 — ample at 100 TB.
+    *
+    * Scale shape: the corpus-sized event input collapses through ONE
+    * map-side combined daily aggregation; the window function runs on the
+    * aggregated (type, day) relation — days·types rows, microscopic relative
+    * to the input — partitioned by event_type, so at 100 TB the only
+    * full-size exchange is the rollup's. High-cardinality keys (per-SKU, per
+    * user) partition the same way; no driver loop, no self-join.
+    */
+  def rollingZscore(spark: SparkSession, dir: String): DataFrame =
+    rollingZscoreOf(Tables.events(spark, dir))
+
+  /** [[rollingZscore]] over an arbitrary (event_type, ts, value) relation —
+    * split out so specs can plant synthetic spike days.
+    */
+  def rollingZscoreOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val (w, z) = (ZscoreWindowDays, ZscoreZ)
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 4))).as("total"))
+      .withColumn("units", (col("total") * 10000).cast(DecimalType(18, 0)))
+    val trail = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-w, -1)
+    val win = daily
+      .withColumn("w_n", count(lit(1)).over(trail))
+      .withColumn("s1", d18(sum(col("units")).over(trail)))
+      .withColumn("s2", sum(col("units") * col("units")).over(trail)
+        .cast(DecimalType(30, 0)))
+    val dev = d18(col("units") * col("w_n") - col("s1"))
+    val varTerm = d18(col("w_n")) * col("s2") - col("s1") * col("s1")
+    win.select(
+      col("event_type"), col("day"), col("n_events"),
+      round(col("total"), 2).cast("double").as("sum_value"),
+      col("w_n"),
+      (col("w_n") === w && dev * dev > lit(z * z) * varTerm)
+        .cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollingZscoreOracle: String = {
+    val (w, z) = (ZscoreWindowDays, ZscoreZ)
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       |         SUM(CAST(value AS DECIMAL(18,4))) AS total
+       |  FROM events GROUP BY 1, 2),
+       |u AS (SELECT *, CAST(total * 10000 AS DECIMAL(18,0)) AS units FROM daily),
+       |win AS (
+       |  SELECT *,
+       |         COUNT(*) OVER t AS w_n,
+       |         CAST(SUM(units) OVER t AS DECIMAL(18,0)) AS s1,
+       |         CAST(SUM(units * units) OVER t AS DECIMAL(30,0)) AS s2
+       |  FROM u
+       |  WINDOW t AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN $w PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n_events,
+       |       CAST(ROUND(total, 2) AS DOUBLE) AS sum_value,
+       |       w_n,
+       |       CAST(w_n = $w AND
+       |            CAST(units * w_n - s1 AS DECIMAL(18,0))
+       |              * CAST(units * w_n - s1 AS DECIMAL(18,0))
+       |            > ${z * z} * (CAST(w_n AS DECIMAL(18,0)) * s2 - s1 * s1)
+       |            AS INT) AS is_anomaly
+       |FROM win ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -848,4 +848,95 @@ object TextAnalysis {
       |       CAST(SUM(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
       |       CAST(SUM(length(t) - length(nfc_normalize(t))) AS BIGINT) AS chars_delta
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- incremental document-frequency index maintenance ----------------------
+
+  /** Merge a daily batch's gram document frequencies into the corpus df
+    * index — the maintenance pass behind every df-driven curation stage
+    * (tf-idf, stop-shingle caps, heavy-hitter pruning): df' = df + df_batch,
+    * unseen grams inserted, untouched index grams carried forward.
+    *
+    * Indexed unit: word BIGRAMS (distinct per doc), not unigrams — bigram
+    * indexes are what the stop-shingle cap and decontamination consume, and
+    * at fixture scale the unigram vocab is fully shared between any two
+    * splits, which would leave the inserted/carried paths vacuous (the
+    * dedupClusterStats lesson from the round-6 advisor).
+    *
+    * Scale shape (the [[graft.ops.Dedup.incrementalDedup]] discipline, on the
+    * vocab index instead of the hash index): the accumulated corpus is only
+    * ever touched as its narrow (gram, df) index — in production written
+    * bucketed by gram once, so the daily merge is a co-partitioned outer
+    * join costing O(batch + touched index buckets), never a corpus re-scan
+    * or re-tokenize. The batch side collapses through one map-side combined
+    * aggregation before the join. The returned audit groups by
+    * (status, first-char bucket) so its size is alphabet-bounded regardless
+    * of vocab size.
+    */
+  def dfIndexMerge(history: DataFrame, batch: DataFrame): DataFrame = {
+    def index(side: DataFrame, dfName: String): DataFrame = side
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as(dfName))
+    val hist = index(history, "df_old")
+    val bat  = index(batch, "df_b")
+    val merged = hist.join(bat, Seq("gram"), "full_outer")
+      .select(
+        col("gram"), substring(col("gram"), 1, 1).as("bucket"),
+        when(col("df_old").isNotNull && col("df_b").isNotNull, "updated")
+          .when(col("df_b").isNotNull, "inserted")
+          .otherwise("carried").as("status"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df_after"),
+        coalesce(col("df_b"), lit(0L)).as("df_delta"))
+    merged.groupBy("status", "bucket")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum("df_after").as("sum_df_after"),
+        sum("df_delta").as("sum_df_delta"),
+        max("df_after").as("max_df_after"),
+        min("gram").as("min_gram"))
+      .orderBy("status", "bucket")
+  }
+
+  /** q_df_incremental: [[dfIndexMerge]] over the standard deterministic
+    * history/batch fixture split (doc_id % 10 < 8 = accumulated corpus,
+    * rest = today's drop — the [[graft.ops.Dedup.dedupIncremental]]
+    * convention, so the two incremental maintenance ops are comparable).
+    */
+  def dfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Spread.forCpu(
+      graft.Tables.documents(spark, dir).select("doc_id", "text"))
+    dfIndexMerge(
+      history = docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+      batch   = docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+  }
+
+  val dfIncrementalOracle: String = {
+    val toks = tokensSql
+    val bigrams =
+      s"""CASE WHEN len($toks) < 2 THEN []
+         | ELSE list_distinct(list_transform(range(1, len($toks)),
+         |        i -> ($toks)[i] || ' ' || ($toks)[i + 1]))
+         | END""".stripMargin.replace("\n", " ")
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest($bigrams) AS gram FROM documents),
+       |hist AS (
+       |  SELECT gram, COUNT(*) AS df_old FROM g WHERE doc_id % 10 < 8 GROUP BY 1),
+       |bat AS (
+       |  SELECT gram, COUNT(*) AS df_b FROM g WHERE doc_id % 10 >= 8 GROUP BY 1),
+       |merged AS (
+       |  SELECT COALESCE(hist.gram, bat.gram) AS gram,
+       |         substr(COALESCE(hist.gram, bat.gram), 1, 1) AS bucket,
+       |         CASE WHEN df_old IS NOT NULL AND df_b IS NOT NULL THEN 'updated'
+       |              WHEN df_b IS NOT NULL THEN 'inserted'
+       |              ELSE 'carried' END AS status,
+       |         COALESCE(df_old, 0) + COALESCE(df_b, 0) AS df_after,
+       |         COALESCE(df_b, 0) AS df_delta
+       |  FROM hist FULL OUTER JOIN bat ON hist.gram = bat.gram)
+       |SELECT status, bucket, COUNT(*) AS n_grams,
+       |       CAST(SUM(df_after) AS BIGINT) AS sum_df_after,
+       |       CAST(SUM(df_delta) AS BIGINT) AS sum_df_delta,
+       |       CAST(MAX(df_after) AS BIGINT) AS max_df_after,
+       |       MIN(gram) AS min_gram
+       |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -656,4 +656,73 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     val recall = Similarity.knnSqRecall(spark, dir).collect().head.getAs[Double]("recall_at_k")
     assert(recall >= 0.8, s"SQ recall degraded: $recall")
   }
+
+  test("dfIndexMerge: planted grams land in carried/updated/inserted with exact df math") {
+    import spark.implicits._
+    // history: "alpha beta" ×2 docs, "beta gamma" ×1 → grams {alpha beta: 2, beta gamma: 1}
+    // batch:   "beta gamma" ×1, "delta echo" ×1    → updated + inserted; "alpha beta" carried
+    val hist = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "beta gamma"), (11L, "delta echo")).toDF("doc_id", "text")
+    val out = TextAnalysis.dfIndexMerge(hist, batch).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    assert(out.keySet == Set("carried", "updated", "inserted"))
+    val carried = out("carried")
+    assert(carried.getAs[String]("min_gram") == "alpha beta")
+    assert(carried.getAs[Long]("sum_df_after") == 2 && carried.getAs[Long]("sum_df_delta") == 0)
+    val updated = out("updated")
+    assert(updated.getAs[String]("min_gram") == "beta gamma")
+    assert(updated.getAs[Long]("sum_df_after") == 2 && updated.getAs[Long]("sum_df_delta") == 1)
+    val inserted = out("inserted")
+    assert(inserted.getAs[String]("min_gram") == "delta echo")
+    assert(inserted.getAs[Long]("sum_df_after") == 1 && inserted.getAs[Long]("sum_df_delta") == 1)
+  }
+
+  test("dfIndexMerge counts DISTINCT docs per gram (repeated gram in one doc is df=1)") {
+    import spark.implicits._
+    val hist = Seq((1L, "x y x y")).toDF("doc_id", "text") // gram "x y" twice, "y x" once
+    val batch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.dfIndexMerge(hist, batch).collect()
+    assert(out.forall(_.getAs[String]("status") == "carried"))
+    // grams of "x y x y": "x y"(×2 positions, distinct per doc), "y x" → df 1 each
+    assert(out.map(_.getAs[Long]("sum_df_after")).sum == 2)
+    assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
+  }
+
+  test("rp projection: deterministic sparse signs, fold-order parity with a manual dot") {
+    // density ~1/3 per Achlioptas; deterministic across calls
+    val s0 = Similarity.rpSigns(0)
+    assert(s0 == Similarity.rpSigns(0))
+    assert(s0.size == Similarity.Dim && s0.forall(v => v == 1.0 || v == -1.0 || v == 0.0))
+    val nz = (0 until Similarity.RpDim).map(j => Similarity.rpSigns(j).count(_ != 0.0))
+    assert(nz.sum > Similarity.RpDim * Similarity.Dim / 5 &&
+           nz.sum < Similarity.RpDim * Similarity.Dim / 2, s"density off: ${nz.sum}")
+    // projected coordinate = sequential-fold dot — parity with a plain loop
+    import spark.implicits._
+    val v = (1 to Similarity.Dim).map(i => (i % 7 + 0.25) * (if (i % 3 == 0) -1 else 1))
+    val row = Seq(Tuple1(v.toArray)).toDF("v")
+      .select(Similarity.rpProject(org.apache.spark.sql.functions.col("v")).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(row.size == Similarity.RpDim)
+    (0 until Similarity.RpDim).foreach { j =>
+      var acc = 0.0
+      val s = Similarity.rpSigns(j)
+      (0 until Similarity.Dim).foreach(d => acc += v(d) * s(d))
+      assert(row(j) == acc, s"coord $j: ${row(j)} != $acc")
+    }
+  }
+
+  test("embedRp audit: full pair coverage per query, errors bounded, fixture non-vacuous") {
+    val nSample = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % Similarity.RpSampleStride === Similarity.RpSampleOffset)
+      .count()
+    val out = Similarity.embedRp(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // queries (vec_id % 50 == 0) never collide with the sample residue 3
+      assert(r.getAs[Long]("n_pairs") == nSample, r.toString)
+      val mx = r.getAs[Double]("max_abs_err"); val sm = r.getAs[Double]("sum_abs_err")
+      assert(mx >= 0.0 && mx <= 2.0 && sm >= mx - 1e-6 && sm <= 2.0 * nSample, r.toString)
+    }
+  }
 }

@@ -151,4 +151,41 @@ class JoinOpsSpec extends SparkSpec {
       assert(s >= n * p05 - 0.01 && s <= n * p95 + 0.01, r.toString)
     }
   }
+
+  test("rollingZscore: planted spike flagged, flat series and short-history head never flagged") {
+    import spark.implicits._
+    // type "flat": 12 identical days — zero variance, zero deviation → a
+    // tie (dev² > 0 is false) must NOT flag. type "spike": 8 quiet days
+    // then a 10× day — full 7-day window, σ=0, dev>0 → must flag; the two
+    // days after (window now contains the spike, σ large) must not.
+    val rows =
+      (1 to 12).map(d => ("flat", d, 100.0)) ++
+      (1 to 8).map(d => ("spike", d, 100.0)) ++
+      Seq(("spike", 9, 1000.0), ("spike", 10, 100.0), ("spike", 11, 100.0))
+    val events = rows.toDF("event_type", "d", "value")
+      .withColumn("ts", expr("make_timestamp(2024, 1, d, 12, 0, 0)"))
+      .select("event_type", "ts", "value")
+    val out = Temporal.rollingZscoreOf(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) -> r)
+      .toMap
+    assert(out.size == 23)
+    // every row with short history is unflagged regardless of values
+    out.values.filter(_.getAs[Long]("w_n") < Temporal.ZscoreWindowDays)
+      .foreach(r => assert(r.getAs[Int]("is_anomaly") == 0, r.toString))
+    // flat series: never flagged even with a full window
+    (8 to 12).foreach(d => assert(out(("flat", f"2024-01-$d%02d")).getAs[Int]("is_anomaly") == 0))
+    // the spike day is flagged; its quiet successors are not
+    assert(out(("spike", "2024-01-09")).getAs[Int]("is_anomaly") == 1)
+    assert(out(("spike", "2024-01-10")).getAs[Int]("is_anomaly") == 0)
+    assert(out(("spike", "2024-01-11")).getAs[Int]("is_anomaly") == 0)
+    // daily totals surfaced exactly
+    assert(out(("spike", "2024-01-09")).getAs[Double]("sum_value") == 1000.0)
+  }
+
+  test("rollingZscore: fixture run is non-vacuous and window counts saturate at W") {
+    val out = Temporal.rollingZscore(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("w_n") <= Temporal.ZscoreWindowDays))
+    assert(out.exists(_.getAs[Long]("w_n") == Temporal.ZscoreWindowDays))
+  }
 }
