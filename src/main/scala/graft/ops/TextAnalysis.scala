@@ -150,10 +150,21 @@ object TextAnalysis {
     * constant-folds to an empty partition spec and moves data to one task
     * with a planner warning; this shape cannot).
     */
-  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val top = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    rankTopK(
+      Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      k)
+
+  /** Rank a (tok, cnt) relation's top-k by (cnt desc, tok) without a
+    * global window: orderBy+limit prunes to k rows via partial top-k
+    * (TakeOrderedAndProject), then the rank is a self-join count over the
+    * k-row broadcast — no single-partition WindowExec over the vocab.
+    * Shared by the batch query and the streaming readout.
+    */
+  def rankTopK(counts: DataFrame, k: Int): DataFrame = {
+    val top = counts
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
     val before = top.select(col("tok").as("tok2"), col("cnt").as("cnt2"))

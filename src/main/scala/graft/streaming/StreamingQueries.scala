@@ -219,4 +219,37 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(name).orderBy("lang")
   }
+
+  /** q_stream_topk: the [[graft.ops.TextAnalysis.vocabTopK]] vocabulary
+    * leaderboard as a stream — token counts aggregated THROUGH the
+    * streaming engine (complete mode, so the final table is micro-batch-
+    * split invariant: counting is associative and complete mode re-emits
+    * full state), then the top-k rank as a batch readout of the drained
+    * sink (chaining a second aggregation onto a streaming aggregation is
+    * unsupported by design — the same structure as [[streamUserSessions]]'
+    * summary readout). Shares the batch query's ranking helper
+    * ([[graft.ops.TextAnalysis.rankTopK]]) and DuckDB oracle verbatim.
+    *
+    * This adds the continuous-leaderboard face to the streaming layer:
+    * production would swap complete mode for update mode + a downstream
+    * top-k consumer once vocab state outgrows the sink; the streaming
+    * aggregation itself (map-side combined counts keyed by token) is
+    * already the 100 TB shape.
+    */
+  def streamVocabTopK(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_vocab_topk"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val counts = reader.parquet(s"$dir/documents.parque*")
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.TextAnalysis.rankTopK(spark.table(name), 20)
+  }
 }

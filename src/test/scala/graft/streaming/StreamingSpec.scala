@@ -243,6 +243,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming vocab top-k equals the batch leaderboard and is micro-batch-split invariant") {
+    // counting is associative and complete mode re-emits full state, so
+    // the drained counts — and the shared rank readout — must equal the
+    // batch query under any file split
+    val dir = tmpDir("stream_topk")
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = StreamingQueries.streamVocabTopK(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.TextAnalysis.vocabTopK(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming quality gate equals the batch audit and is micro-batch-split invariant") {
     // scatter the fixture across 3 part files, 1 per trigger: the gate is
     // stateless and the audit aggregation associative, so the complete-mode
