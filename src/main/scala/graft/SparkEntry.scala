@@ -95,6 +95,7 @@ object SparkEntry {
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q_media_headers"     -> ((s, d) => Multimodal.mediaHeaders(s, d)),
     "q_media_histogram"   -> ((s, d) => Multimodal.mediaHistogram(s, d)),
+    "q_media_frames"      -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "q_business_date"     -> ((s, d) => Temporal.businessDateRollup(s, d)),
     "q_retention"         -> ((s, d) => Temporal.retention(s, d)),
     "q_events_hourly"     -> ((s, d) => Temporal.eventsHourly(s, d)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "q_media_features"          -> ops.Multimodal.mediaFeaturesOracle,
     "q_media_headers"           -> ops.Multimodal.mediaHeadersOracle,
     "q_media_histogram"         -> ops.Multimodal.mediaHistogramOracle,
+    "q_media_frames"            -> ops.Multimodal.mediaFramesOracle,
     "q_business_date"           -> ops.Temporal.businessDateRollupOracle,
     "q_retention"               -> ops.Temporal.retentionOracle,
     "q_events_hourly"           -> ops.Temporal.eventsHourlyOracle,

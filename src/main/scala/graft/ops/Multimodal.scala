@@ -281,6 +281,104 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  // --- frame sampling ---------------------------------------------------------
+
+  /** Frame geometry for [[mediaFrames]]: 64-byte frames, every 2nd sampled.
+    * Smaller than [[FrameBytes]] deliberately — fixture payloads are a few
+    * hundred bytes, and a 256-byte frame would leave exactly one sampled
+    * frame per item, making the stride and the cross-frame audit vacuous
+    * (the dedupClusterStats lesson). [[mediaFeatures]]' n_frames keeps the
+    * original [[FrameBytes]] geometry for continuity with earlier rounds.
+    */
+  val SampleFrameBytes  = 64
+  val SampleFrameStride = 2
+
+  /** q_media_frames: the frame-sample stage of a video/audio pipeline —
+    * decode each item (true PNG inflate for `png` rows), cut the decoded
+    * stream into [[SampleFrameBytes]]-value frames (short tail kept), keep
+    * every [[SampleFrameStride]]-th frame, and emit one row per SAMPLED
+    * frame with its exact value-sum and length; rolled up per
+    * (format, frame_idx) so the audit is geometry-bounded.
+    *
+    * In production the emitted row carries the frame's byte slice onward to
+    * the encoder/captioner; the plumbing here is identical (partition-local
+    * decode → per-frame iterator → aggregation) with the slice reduced to
+    * its exact audit stats so the DuckDB oracle — which re-derives every
+    * value from the ASCII text + PNG pad arithmetic — can hash-check the
+    * cut points bit-exactly: an off-by-one frame boundary moves value mass
+    * between frame indexes and fails the gate.
+    *
+    * Scale: decode + framing is embarrassingly parallel per item
+    * (mapPartitions, no shuffle before the rollup); sampled-frame fan-out
+    * is bounded by px_len/[[SampleFrameBytes]]/[[SampleFrameStride]] rows
+    * per item, each a handful of integers.
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = mediaTable(spark, dir).as[MediaItem]
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        val px: Array[Int] =
+          if (MediaCodec.isPng(m.content)) MediaCodec.decodePngGray8(m.content)._3
+          else {
+            val p = new Array[Int](m.content.length)
+            var i = 0
+            while (i < m.content.length) { p(i) = m.content(i) & 0xff; i += 1 }
+            p
+          }
+        val nFrames = (px.length + SampleFrameBytes - 1) / SampleFrameBytes
+        (0 until nFrames by SampleFrameStride).iterator.map { f =>
+          val lo = f * SampleFrameBytes
+          val hi = math.min(lo + SampleFrameBytes, px.length)
+          var s = 0L; var i = lo
+          while (i < hi) { s += px(i); i += 1 }
+          (m.meta.format, f, hi - lo, s)
+        }
+      }
+    }.toDF("format", "frame_idx", "frame_len", "frame_sum")
+      .groupBy("format", "frame_idx")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum("frame_sum").as("sum_vals"),
+        sum("frame_len").cast("long").as("sum_len"),
+        max("frame_len").cast("int").as("max_len"))
+      .orderBy("format", "frame_idx")
+  }
+
+  /** Oracle: frames re-derived from the ASCII text (byte == `unicode`),
+    * with `png` rows extended by their zero-pad (pads lengthen frames but
+    * add no value mass).
+    */
+  val mediaFramesOracle: String = {
+    val (fb, fs) = (SampleFrameBytes, SampleFrameStride)
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         ['png','jpeg','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
+       |         length(text)::BIGINT AS nb,
+       |         CASE WHEN doc_id % 4 = 0
+       |              THEN greatest($PngWidth, (length(text) + $PngWidth - 1) // $PngWidth * $PngWidth)
+       |              ELSE length(text) END::BIGINT AS px_len,
+       |         text
+       |  FROM documents),
+       |f AS (SELECT format, nb, px_len, text,
+       |             unnest(range(0, (px_len + $fb - 1) // $fb)) AS fi
+       |      FROM m),
+       |s AS (SELECT format, fi,
+       |             least((fi + 1) * $fb, px_len) - fi * $fb AS flen,
+       |             CASE WHEN nb > fi * $fb
+       |                  THEN list_sum(list_transform(
+       |                         split(substr(text, (fi * $fb + 1)::INT,
+       |                                      least($fb, nb - fi * $fb)::INT), ''),
+       |                         c -> unicode(c)))
+       |                  ELSE 0 END AS fsum
+       |      FROM f WHERE fi % $fs = 0)
+       |SELECT format, CAST(fi AS INT) AS frame_idx, COUNT(*) AS n_frames,
+       |       CAST(SUM(COALESCE(fsum, 0)) AS BIGINT) AS sum_vals,
+       |       CAST(SUM(flen) AS BIGINT) AS sum_len,
+       |       CAST(MAX(flen) AS INT) AS max_len
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val mediaHeadersOracle: String =
     s"""SELECT doc_id AS media_id,
        |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'

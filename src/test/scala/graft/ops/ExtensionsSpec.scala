@@ -657,6 +657,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"SQ recall degraded: $recall")
   }
 
+  test("mediaFrames: planted docs cut at exact 64-byte boundaries, stride-2 sample, pad lengthens png tail") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("media-frames").toFile.getAbsolutePath
+    // doc 4 → png (decoded = text padded to a 16-wide raster), doc 1 → jpeg (raw bytes)
+    val t4 = "a" * 300   // px_len 304 → frames 0..4, sampled 0,2,4 (lens 64,64,48)
+    val t1 = "b" * 150   // px_len 150 → frames 0..2, sampled 0,2 (lens 64,22)
+    Seq((4L, t4, "en", "src0", t4.length), (1L, t1, "en", "src0", t1.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.mediaFrames(spark, tmp).collect()
+      .map(r => (r.getAs[String]("format"), r.getAs[Int]("frame_idx")) -> r).toMap
+    assert(out.keySet == Set(("png", 0), ("png", 2), ("png", 4), ("jpeg", 0), ("jpeg", 2)))
+    // png: 'a' = 97; pad zeros lengthen the tail frame but add no mass
+    assert(out(("png", 0)).getAs[Long]("sum_vals") == 97L * 64)
+    assert(out(("png", 4)).getAs[Int]("max_len") == 48)      // 304 - 256
+    assert(out(("png", 4)).getAs[Long]("sum_vals") == 97L * (300 - 256)) // 44 text + 4 pad
+    // jpeg: raw byte stream, short tail kept
+    assert(out(("jpeg", 2)).getAs[Int]("max_len") == 22)
+    assert(out(("jpeg", 2)).getAs[Long]("sum_vals") == 98L * 22)
+  }
+
   test("dfIndexMerge: planted grams land in carried/updated/inserted with exact df math") {
     import spark.implicits._
     // history: "alpha beta" ×2 docs, "beta gamma" ×1 → grams {alpha beta: 2, beta gamma: 1}
