@@ -127,6 +127,7 @@ object SparkEntry {
     "q_bpe_merges"        -> ((s, d) => Corpus.bpeMerges(s, d)),
     "q_bpe_compression"   -> ((s, d) => Corpus.bpeCompression(s, d)),
     "q_dsir_weights"      -> ((s, d) => Corpus.dsirWeights(s, d)),
+    "q_pmi_pairs"         -> ((s, d) => Corpus.pmiPairs(s, d)),
     "q_knn_pq"            -> ((s, d) => Similarity.knnPq(s, d)),
     "q_knn_pq_recall"     -> ((s, d) => Similarity.knnPqRecall(s, d)),
     "q_stream_hourly"     -> ((s, d) => graft.streaming.StreamingQueries.streamEventsHourly(s, d)),
@@ -295,6 +296,7 @@ object SparkEntry {
     "q_bpe_merges"              -> ops.Corpus.bpeMergesOracle,
     "q_bpe_compression"         -> ops.Corpus.bpeCompressionOracle,
     "q_dsir_weights"            -> ops.Corpus.dsirWeightsOracle,
+    "q_pmi_pairs"               -> ops.Corpus.pmiPairsOracle,
     "q_knn_pq"                  -> ops.Similarity.knnPqOracle,
     "q_knn_pq_recall"           -> ops.Similarity.knnPqRecallOracle,
     // STREAMING executions must match the same batch oracles — Structured

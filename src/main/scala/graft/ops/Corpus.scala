@@ -829,4 +829,96 @@ object Corpus {
        |      FROM k)
        |SELECT source, CAST(rank AS INT) AS rank, doc_id, w, u
        |FROM r WHERE rank <= $SampleK ORDER BY 1, 2""".stripMargin
+
+  // --- windowed co-occurrence PMI --------------------------------------------
+
+  /** Co-occurrence window (forward distance 1..W) and leaderboard size for
+    * [[pmiPairs]].
+    */
+  val PmiWindow = 2
+  val PmiTopK   = 25
+
+  /** q_pmi_pairs: pointwise mutual information over windowed token
+    * co-occurrence — the association statistic behind word-embedding
+    * objectives (skip-gram with negative sampling implicitly factorizes the
+    * shifted PMI matrix, Levy & Goldberg 2014) and collocation extraction.
+    * Each token pairs with its W following tokens (every unordered event
+    * counted once, pair key lexicographically normalized);
+    * PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with p(a,b) = c_ab/P, p(a) = c_a/T.
+    *
+    * Plan: the pair explode is linear in corpus tokens (×W) and collapses
+    * through a map-side combined aggregation; the leaderboard prunes to
+    * [[PmiTopK]] rows BEFORE the unigram joins (TakeOrderedAndProject, so
+    * the vocab-sized c_a/c_b relations join against 25 rows, AQE broadcasts
+    * the tiny side); T and P are 1-row broadcast scalars. No vocab-sized
+    * shuffle after the two count aggregations — the 100 TB shape.
+    *
+    * Exactness: counts are integers; the single ln and its one division
+    * happen on identical doubles in both engines with an identical fold
+    * shape (the [[ngramLmAudit]] transcendental-parity precedent).
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame =
+    pmiPairsOf(graft.util.Spread.forCpu(Tables.documents(spark, dir)))
+
+  /** [[pmiPairs]] over an arbitrary relation with a `text` column — split
+    * out so specs can hand-compute PMI on planted corpora.
+    */
+  def pmiPairsOf(docsIn: DataFrame): DataFrame = {
+    val (w, k) = (PmiWindow, PmiTopK)
+    // toks feeds three consumers (pair explode, unigram counts, T) and
+    // pairs feeds two (c_ab, P): persist + eager materialize per the ops
+    // package contract so the tokenizer and the pair explode each run once
+    val toks = docsIn
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .persist()
+    toks.count()
+    val pairs = toks.filter(col("n") >= 2)
+      .select(explode(flatten(
+        transform(sequence(lit(1), col("n") - 1), i =>
+          transform(sequence(lit(1), least(lit(w), col("n") - i)), d =>
+            struct(
+              least(element_at(col("toks"), i), element_at(col("toks"), i + d)).as("w1"),
+              greatest(element_at(col("toks"), i), element_at(col("toks"), i + d)).as("w2"))))))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist()
+    pairs.count()
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val c1 = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totT = toks.agg(sum("n").cast("double").as("t"))
+    val totP = pairs.agg(count(lit(1)).cast("double").as("p"))
+    val top = cab.orderBy(col("c_ab").desc, col("w1"), col("w2")).limit(k)
+    top
+      .join(c1.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(c1.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        log((col("c_ab").cast("double") * col("t") * col("t")) /
+            (col("p") * col("c_a") * col("c_b"))).as("pmi"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+  }
+
+  val pmiPairsOracle: String = {
+    val (w, k) = (PmiWindow, PmiTopK)
+    s"""WITH t AS (SELECT ${TextAnalysis.tokensSql} AS toks, len(${TextAnalysis.tokensSql}) AS n
+       |           FROM documents),
+       |ex1 AS (SELECT toks, n, unnest(range(1, n)) AS i FROM t WHERE n >= 2),
+       |ex2 AS (SELECT toks, i, unnest(range(1, least($w, n - i) + 1)) AS d FROM ex1),
+       |pr AS (SELECT least(toks[i], toks[(i + d)::INT]) AS w1,
+       |              greatest(toks[i], toks[(i + d)::INT]) AS w2
+       |       FROM ex2),
+       |cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2),
+       |c1 AS (SELECT unnest(toks) AS tok FROM t),
+       |c1c AS (SELECT tok, COUNT(*) AS c FROM c1 GROUP BY 1),
+       |tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c1),
+       |tp AS (SELECT CAST(COUNT(*) AS DOUBLE) AS p FROM pr),
+       |top AS (SELECT * FROM cab ORDER BY c_ab DESC, w1, w2 LIMIT $k)
+       |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+       |       ln((CAST(c_ab AS DOUBLE) * t.t * t.t) / (tp.p * a.c * b.c)) AS pmi
+       |FROM top JOIN c1c a ON a.tok = top.w1
+       |         JOIN c1c b ON b.tok = top.w2, tt t, tp
+       |ORDER BY c_ab DESC, w1, w2""".stripMargin
+  }
 }

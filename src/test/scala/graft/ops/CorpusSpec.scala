@@ -205,4 +205,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Corpus.bpePairs(spark, dir).count() > 0)
     assert(Corpus.dsirWeights(spark, dir).count() > 0)
   }
+
+  test("pmiPairs: hand-computed PMI on a planted corpus; window-2 skip pairs; pair key normalized") {
+    import spark.implicits._
+    // corpus "a b" ×2, "c d" ×1 → window-2 forward pairs: (a,b)×2, (c,d)×1
+    // T=6 tokens, P=3 pairs; PMI(a,b) = ln(2·6·6 / (3·2·2)) = ln(6),
+    // PMI(c,d) = ln(1·6·6 / (3·1·1)) = ln(12)
+    val docs = Seq("a b", "a b", "c d").toDF("text")
+    val out = Corpus.pmiPairsOf(docs).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("c", "d")))
+    assert(out(("a", "b")).getAs[Long]("c_ab") == 2)
+    assert(math.abs(out(("a", "b")).getAs[Double]("pmi") - math.log(6.0)) < 1e-12)
+    assert(math.abs(out(("c", "d")).getAs[Double]("pmi") - math.log(12.0)) < 1e-12)
+    // skip-distance 2 and lexicographic normalization: "z y x" pairs
+    // (y,z) d=1, (x,z) d=2, (x,y) d=1 — all normalized to sorted order
+    val skip = Corpus.pmiPairsOf(Seq("z y x").toDF("text")).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(skip == Set(("y", "z"), ("x", "z"), ("x", "y")))
+  }
 }
