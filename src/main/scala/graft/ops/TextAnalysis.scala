@@ -950,4 +950,96 @@ object TextAnalysis {
        |       MIN(gram) AS min_gram
        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // --- index retraction (deletion propagation) -------------------------------
+
+  /** Retract a delete-list's documents from the corpus shingle-df index —
+    * deletion propagation ("right to be forgotten"): removing source
+    * documents must also remove their contribution to every derived
+    * artifact, or the forgotten text lives on in indexes. df' = df − df_del;
+    * grams whose entire mass came from deleted docs are `removed` (their
+    * index rows drop), partially-affected grams are `decremented`, the rest
+    * `untouched`.
+    *
+    * The indexed unit is the word trigram ([[graft.ops.Dedup.ShingleN]]) —
+    * the SAME shingle the capped near-dup pass and its stop-shingle df cap
+    * consume, so this is literally the maintenance op for that index.
+    *
+    * Scale shape: only the DELETED docs are re-tokenized (O(deleted), one
+    * map-side combined aggregation); the corpus is touched as its narrow
+    * (gram, df) index in a left join that in production is co-partitioned
+    * on the bucketed gram key, with only touched buckets rewritten. The
+    * audit groups by (status, first-char bucket) — alphabet-bounded output.
+    */
+  def dfIndexRetract(corpusIndex: DataFrame, deleted: DataFrame): DataFrame = {
+    val del = deleted
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df_del"))
+    corpusIndex.join(del, Seq("gram"), "left")
+      .select(
+        col("gram"), substring(col("gram"), 1, 1).as("bucket"),
+        when(col("df_del").isNull, "untouched")
+          .when(col("df") === col("df_del"), "removed")
+          .otherwise("decremented").as("status"),
+        col("df").as("df_before"),
+        (col("df") - coalesce(col("df_del"), lit(0L))).as("df_after"))
+      .groupBy("status", "bucket")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum("df_before").as("sum_df_before"),
+        sum("df_after").as("sum_df_after"),
+        max("df_after").as("max_df_after"),
+        min("gram").as("min_gram"))
+      .orderBy("status", "bucket")
+  }
+
+  /** Delete-list residue for [[indexRetract]]: doc_id % 13 == 0 — chosen so
+    * all three statuses are populated at oracle scale (sf0.01: 703 grams
+    * removed, 991 decremented, 14551 untouched).
+    */
+  val RetractMod = 13
+
+  /** q_index_retract: [[dfIndexRetract]] with the corpus trigram index
+    * derived in-query (production reads it from its bucketed store) and the
+    * fixture delete-list.
+    */
+  def indexRetract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Spread.forCpu(
+      graft.Tables.documents(spark, dir).select("doc_id", "text"))
+    val index = docs
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    dfIndexRetract(index, docs.filter(pmod(col("doc_id"), lit(RetractMod)) === 0))
+  }
+
+  val indexRetractOracle: String = {
+    val toks = tokensSql
+    val n = graft.ops.Dedup.ShingleN
+    val joiner = (0 until n).map(o => s"($toks)[i + $o]").mkString(" || ' ' || ")
+    val grams =
+      s"""CASE WHEN len($toks) < $n THEN []
+         | ELSE list_distinct(list_transform(range(1, len($toks) - ${n - 1} + 1),
+         |        i -> $joiner))
+         | END""".stripMargin.replace("\n", " ")
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest($grams) AS gram FROM documents),
+       |idx AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+       |del AS (SELECT gram, COUNT(*) AS df_del FROM g
+       |        WHERE doc_id % $RetractMod = 0 GROUP BY 1),
+       |m AS (
+       |  SELECT idx.gram, substr(idx.gram, 1, 1) AS bucket,
+       |         CASE WHEN df_del IS NULL THEN 'untouched'
+       |              WHEN df = df_del THEN 'removed'
+       |              ELSE 'decremented' END AS status,
+       |         df AS df_before, df - COALESCE(df_del, 0) AS df_after
+       |  FROM idx LEFT JOIN del ON idx.gram = del.gram)
+       |SELECT status, bucket, COUNT(*) AS n_grams,
+       |       CAST(SUM(df_before) AS BIGINT) AS sum_df_before,
+       |       CAST(SUM(df_after) AS BIGINT) AS sum_df_after,
+       |       CAST(MAX(df_after) AS BIGINT) AS max_df_after,
+       |       MIN(gram) AS min_gram
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

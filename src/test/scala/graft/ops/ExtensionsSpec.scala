@@ -710,6 +710,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("dfIndexRetract: planted deletions hit removed/decremented/untouched with exact df math") {
+    import spark.implicits._
+    // corpus: "p q r" ×2 docs + "p q r s" ×1; delete doc 3 ("p q r s")
+    // → "p q r" decremented 3→2, "q r s" removed 1→0, and doc 1/2's
+    // exclusive grams untouched... plant a disjoint doc for untouched
+    val docs = Seq((1L, "p q r"), (2L, "p q r"), (3L, "p q r s"), (4L, "u v w"))
+      .toDF("doc_id", "text")
+    val index = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val out = TextAnalysis.dfIndexRetract(index, docs.filter(col("doc_id") === 3))
+      .collect().map(r => r.getAs[String]("status") -> r).toMap
+    assert(out.keySet == Set("removed", "decremented", "untouched"))
+    val rem = out("removed")     // "q r s": df 1 → 0
+    assert(rem.getAs[Long]("n_grams") == 1 && rem.getAs[String]("min_gram") == "q r s")
+    assert(rem.getAs[Long]("sum_df_before") == 1 && rem.getAs[Long]("sum_df_after") == 0)
+    val dec = out("decremented") // "p q r": df 3 → 2
+    assert(dec.getAs[Long]("n_grams") == 1 && dec.getAs[String]("min_gram") == "p q r")
+    assert(dec.getAs[Long]("sum_df_before") == 3 && dec.getAs[Long]("sum_df_after") == 2)
+    val unt = out("untouched")   // "u v w": df 1 unchanged
+    assert(unt.getAs[Long]("n_grams") == 1 && unt.getAs[String]("min_gram") == "u v w")
+    assert(unt.getAs[Long]("sum_df_after") == 1)
+  }
+
   test("rp projection: deterministic sparse signs, fold-order parity with a manual dot") {
     // density ~1/3 per Achlioptas; deterministic across calls
     val s0 = Similarity.rpSigns(0)
