@@ -32,7 +32,9 @@ object Plans {
     "q_bpe_merges", "q_media_histogram", "q_curation_pipeline",
     "q_bpe_compression", "q_knn_ivf_staged",
     "q_dedup_minhash_incremental", "q_decontamination_embed",
-    "q_span_novelty", "q_source_divergence")
+    "q_span_novelty", "q_source_divergence",
+    "q_rolling_zscore", "q_df_incremental", "q_index_retract",
+    "q_embed_rp", "q_pmi_pairs", "q_media_frames")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -135,7 +137,36 @@ object Plans {
       ("the per-source term relation is ONE pinned relation feeding both " +
        "self-join sides; the token-keyed join bounds fan-out at " +
        "sources-per-token², and the per-pair JSD aggregation (DECIMAL " +
-       "term/mass sums) is partial+final."))
+       "term/mass sums) is partial+final."),
+    "q_rolling_zscore" ->
+      ("the corpus-sized event input collapses through the partial+final " +
+       "daily aggregation BEFORE any window; both Window operators share " +
+       "one (event_type) exchange+sort over the tiny (type, day) relation."),
+    "q_df_incremental" ->
+      ("incremental vocab maintenance: history and batch each collapse " +
+       "through a partial+final gram count, then meet in a gram-" +
+       "co-partitioned full-outer SortMergeJoin — at 100 TB the history " +
+       "side is the stored bucketed index, so the join is exchange-free " +
+       "on that side and per-day cost is O(batch + touched buckets)."),
+    "q_index_retract" ->
+      ("deletion propagation: the delete-list's gram counts broadcast into " +
+       "a LeftOuter join against the corpus index (only deleted docs are " +
+       "re-tokenized); at 100 TB the index side is the stored bucketed " +
+       "relation and only touched buckets rewrite."),
+    "q_embed_rp" ->
+      ("the 16 JL coordinates are literal-plane VecDot folds fused into " +
+       "one corpus projection; queries (with their projections and norms) " +
+       "broadcast, and the distortion audit is a partial+final aggregation " +
+       "— no shuffle grows with the corpus."),
+    "q_pmi_pairs" ->
+      ("the pair explode collapses map-side; TakeOrderedAndProject prunes " +
+       "to the 25-row leaderboard which then BROADCASTS into the unigram " +
+       "joins (BuildLeft) — the vocab-sized count relation streams, " +
+       "never shuffles post-aggregation; T and P are 1-row broadcasts."),
+    "q_media_frames" ->
+      ("decode + frame cutting run per-partition inside mapPartitions " +
+       "(imperative codec work); only sampled-frame audit tuples reach " +
+       "the partial+final aggregation — the corpus never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

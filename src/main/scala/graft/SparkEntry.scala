@@ -145,6 +145,7 @@ object SparkEntry {
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_cluster_mix"       -> ((s, d) => Similarity.clusterMix(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
     "q_curation_pipeline"       -> ops.Curation.curationPipelineOracle,
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
+    "q_cluster_mix"             -> ops.Similarity.clusterMixOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
     "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,
     "q_pca_power"               -> ops.Similarity.pcaPowerOracle,

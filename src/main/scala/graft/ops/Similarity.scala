@@ -594,12 +594,12 @@ object Similarity {
     * Lloyd's canonical distributed form. Iteration count is a constant
     * multiplier, not a scale hazard.
     */
-  def kmeans(spark: SparkSession, dir: String, iters: Int = KmeansIters): DataFrame = {
+  /** Run [[KmeansIters]]-style Lloyd refinement over an eagerly-persisted
+    * vector relation and return the final centroid generation (persisted) —
+    * the shared front half of [[kmeans]] and [[clusterMix]].
+    */
+  private def lloydCents(vecs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeans needs >= 1 iteration, got $iters")
-    // N×dim vectors feed iters+1 full passes — persist once, eagerly
-    // (persist-then-materialize discipline, see graft.ops package doc)
-    val vecs = vectors(spark, dir).persist()
-    vecs.count()
     val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
     var cents = seeds
@@ -611,6 +611,15 @@ object Similarity {
       prev = Some(next)
       cents = next
     }
+    cents
+  }
+
+  def kmeans(spark: SparkSession, dir: String, iters: Int = KmeansIters): DataFrame = {
+    // N×dim vectors feed iters+1 full passes — persist once, eagerly
+    // (persist-then-materialize discipline, see graft.ops package doc)
+    val vecs = vectors(spark, dir).persist()
+    vecs.count()
+    val cents = lloydCents(vecs, iters)
     assignCellsSim(vecs, cents)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"),
@@ -671,6 +680,60 @@ object Similarity {
        |       CAST(MIN(vec_id) AS BIGINT) AS min_member,
        |       CAST(MAX(vec_id) AS BIGINT) AS max_member
        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Epoch size (vectors) for [[clusterMix]]'s projected budgets. */
+  val ClusterMixEpoch = 10000L
+
+  /** q_cluster_mix: temperature-balanced data mixing over LEARNED clusters —
+    * the cluster-level generalization of per-source α-sampling
+    * ([[graft.ops.Curation.mixTemperature]]): run the same iterated-Lloyd
+    * chain as [[kmeans]], size each cluster, and assign it the sampling
+    * weight n_c^α / Σ n^α at α = 0.5 with a floor-projected epoch budget.
+    * Balancing over semantic clusters instead of source labels is the
+    * standard fix when sources are internally heterogeneous (one "web"
+    * source spans many topics) — giant topic clusters get down-weighted,
+    * tail topics up-weighted.
+    *
+    * Exactness rides two established idioms: the Lloyd chain is
+    * oracle-unrolled bit-exactly (quantized integer centroid sums), and the
+    * α math is IEEE-exact sqrt over integer counts with a DECIMAL-summed
+    * denominator and one final double division ([[graft.ops.Curation
+    * .mixTemperature]]). 100 TB shape: the kmeans iterations dominate
+    * (canonical broadcast-assign / C×dim-shuffle form); the mixing step is
+    * a cluster-cardinality-bounded aggregate + 1-row broadcast denominator.
+    */
+  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir).persist()
+    vecs.count()
+    val cents = lloydCents(vecs, KmeansIters)
+    val sizes = assignCellsSim(vecs, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val denom = sizes.agg(
+      sum(sqrt(col("n_members").cast("double")).cast("decimal(28,10)")).as("wsum"))
+    sizes.crossJoin(broadcast(denom))
+      .withColumn("weight",
+        sqrt(col("n_members").cast("double")) / col("wsum").cast("double"))
+      .withColumn("epoch_vecs",
+        floor(col("weight") * lit(ClusterMixEpoch.toDouble)).cast("bigint"))
+      .select("cell", "n_members", "weight", "epoch_vecs")
+      .orderBy("cell")
+  }
+
+  val clusterMixOracle: String =
+    s"""WITH ${lloydChainSql(KmeansIters)},
+       |fin AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c_$KmeansIters.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.v", s"c_$KmeansIters.cv")} DESC, c_$KmeansIters.cent_id) AS rn
+       |    FROM e CROSS JOIN c_$KmeansIters) WHERE rn = 1),
+       |sz AS (SELECT cell, COUNT(*) AS n_members FROM fin GROUP BY 1),
+       |s AS (SELECT SUM(CAST(sqrt(CAST(n_members AS DOUBLE)) AS DECIMAL(28,10))) AS wsum FROM sz)
+       |SELECT cell, n_members,
+       |       sqrt(CAST(n_members AS DOUBLE)) / CAST(wsum AS DOUBLE) AS weight,
+       |       CAST(FLOOR(sqrt(CAST(n_members AS DOUBLE)) / CAST(wsum AS DOUBLE)
+       |                  * ${ClusterMixEpoch}.0) AS BIGINT) AS epoch_vecs
+       |FROM sz, s ORDER BY 1""".stripMargin
 
   // --- PCA power iteration ---------------------------------------------------
 

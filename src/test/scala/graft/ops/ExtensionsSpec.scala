@@ -710,6 +710,27 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("clusterMix: weights normalize to 1, sizes agree with kmeans, budgets floor under weight") {
+    val mix = Similarity.clusterMix(spark, dir).collect()
+    val km = Similarity.kmeans(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_members")).toMap
+    assert(mix.nonEmpty && mix.map(_.getAs[Long]("cell")).toSet == km.keySet)
+    mix.foreach(r => assert(km(r.getAs[Long]("cell")) == r.getAs[Long]("n_members")))
+    val ws = mix.map(_.getAs[Double]("weight"))
+    assert(math.abs(ws.sum - 1.0) < 1e-9, s"weights sum ${ws.sum}")
+    // α < 1 flattens: weight is monotone in size but sub-linear
+    mix.sortBy(_.getAs[Long]("n_members")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("weight") <= b.getAs[Double]("weight") + 1e-12)
+      case _ =>
+    }
+    mix.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val e = r.getAs[Long]("epoch_vecs")
+      assert(e <= w * Similarity.ClusterMixEpoch && e > w * Similarity.ClusterMixEpoch - 1.0)
+    }
+  }
+
   test("dfIndexRetract: planted deletions hit removed/decremented/untouched with exact df math") {
     import spark.implicits._
     // corpus: "p q r" ×2 docs + "p q r s" ×1; delete doc 3 ("p q r s")
