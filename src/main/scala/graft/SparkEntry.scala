@@ -147,6 +147,7 @@ object SparkEntry {
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_cluster_mix"       -> ((s, d) => Similarity.clusterMix(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
+    "q_source_overlap_sketch" -> ((s, d) => Corpus.sourceOverlapSketch(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
   )
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_cluster_mix"             -> ops.Similarity.clusterMixOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
+    "q_source_overlap_sketch"   -> ops.Corpus.sourceOverlapSketchOracle,
     "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,
     "q_pca_power"               -> ops.Similarity.pcaPowerOracle,
   )

@@ -180,6 +180,127 @@ object Corpus {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Bottom-k sketch size for [[sourceOverlapSketch]] — well below fixture
+    * per-source span-set sizes (~10³), so the sketch path is genuinely
+    * estimating, not enumerating.
+    */
+  val OverlapSketchK = 128
+
+  /** q_source_overlap_sketch: the 100 TB path for [[sourceOverlap]]'s
+    * matrix — per-source BOTTOM-K sketches of the span-hash sets (the k
+    * lexicographically-smallest md5 hashes: md5 order is effectively a
+    * random permutation, so this is the classic KMV/bottom-k MinHash
+    * sketch, deterministic and oracle-checkable), with the estimate
+    * audited against the exact overlap in the same row — the
+    * sketch-accuracy governance pattern of `q_minhash_est_check` /
+    * `q_kyakusu_approx_check`.
+    *
+    * Estimator (Bar-Yossef et al. / Beyer et al.): for a pair, merge both
+    * sketches, rank the union's hashes, and inside the k smallest count
+    * those present in BOTH sketches → Ĵ = c/k; |A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|).
+    * Unlike the exact matrix, every pair emits a row (zeros included) —
+    * the complete S×S picture.
+    *
+    * Scale: the only corpus-sized work is the distinct span projection and
+    * its per-source bottom-k (a partial WindowGroupLimit — each task keeps
+    * k rows per source before the shuffle); everything after operates on
+    * S·k sketch rows against a broadcast S²/2 pair list, cost independent
+    * of corpus size. The exact column is the governance audit — at
+    * production scale it would be computed on a sampled pair subset.
+    */
+  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (w, k) = (DupSpanTokens, OverlapSketchK)
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+    val hs = t
+      .select(col("source"), explode(
+        transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))).as("h"))
+      .distinct()
+      // hs feeds four consumers (sketch, sizes, both exact join sides):
+      // eager pin per the ops package contract
+      .persist()
+    hs.count()
+    val sk = hs
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("source", "h")
+    val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
+    val srcs = sizes.select("source")
+    val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val merged = sk.join(broadcast(pairs),
+        col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy("sa", "sb", "h")
+      .agg(max((col("source") === col("sa")).cast("int")).as("ia"),
+           max((col("source") === col("sb")).cast("int")).as("ib"))
+    val est = merged
+      .withColumn("rn", row_number().over(Window.partitionBy("sa", "sb").orderBy("h")))
+      .groupBy("sa", "sb")
+      .agg(
+        sum(when(col("rn") <= k && col("ia") === 1 && col("ib") === 1, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("k_used"))
+    val exact = hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("n_shared_exact"))
+    est
+      .join(sizes.select(col("source").as("sa"), col("n").as("n_a")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("n_b")), "sb")
+      .join(exact, Seq("sa", "sb"), "left")
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"), col("k_used"), col("n_both"),
+        (col("n_both").cast("double") / col("k_used")).as("j_est"),
+        coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSketchOracle: String = {
+    val (w, k) = (DupSpanTokens, OverlapSketchK)
+    s"""WITH t AS (SELECT source, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |ex AS (SELECT source, toks, unnest(range(0, len(toks) - $w + 1)) AS i
+       |       FROM t WHERE len(toks) >= $w),
+       |hs AS (SELECT DISTINCT source,
+       |              md5(array_to_string(toks[(i+1):(i+$w)], ' ')) AS h
+       |       FROM ex),
+       |sk AS (SELECT source, h FROM (
+       |         SELECT source, h,
+       |                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |         FROM hs) WHERE rn <= $k),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM sizes a JOIN sizes b ON a.source < b.source),
+       |merged AS (
+       |  SELECT p.sa, p.sb, s.h,
+       |         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+       |         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |      FROM merged),
+       |est AS (SELECT sa, sb,
+       |               CAST(SUM(CASE WHEN rn <= $k AND ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |               CAST(SUM(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS BIGINT) AS k_used
+       |        FROM r GROUP BY 1, 2),
+       |exact AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared_exact
+       |          FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT est.sa AS source_a, est.sb AS source_b,
+       |       na.n AS n_a, nb.n AS n_b, k_used, n_both,
+       |       CAST(n_both AS DOUBLE) / k_used AS j_est,
+       |       COALESCE(exact.n_shared_exact, 0) AS n_shared_exact
+       |FROM est
+       |JOIN sizes na ON na.source = est.sa
+       |JOIN sizes nb ON nb.source = est.sb
+       |LEFT JOIN exact ON exact.sa = est.sa AND exact.sb = est.sb
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** q_source_divergence: pairwise Jensen-Shannon divergence (nats)
     * between sources' unigram distributions — the DISTRIBUTIONAL
     * complement to [[sourceOverlap]]'s span matrix: overlap catches

@@ -206,6 +206,29 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(Corpus.dsirWeights(spark, dir).count() > 0)
   }
 
+  test("sourceOverlapSketch: complete pair matrix, sketch consistent with exact, bounded estimate error") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Corpus.sourceOverlapSketch(spark, dir).collect()
+    val nSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count().toInt
+    assert(out.length == nSrc * (nSrc - 1) / 2, s"matrix incomplete: ${out.length}")
+    assert(out.exists(_.getAs[Long]("n_shared_exact") > 0),
+      "planted cross-source near-dups should overlap")
+    out.foreach { r =>
+      val (nb, ex) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_shared_exact"))
+      val (na, b) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val ku = r.getAs[Long]("k_used")
+      // a shared sketch hash IS a shared span: no false positives
+      if (ex == 0) assert(nb == 0, r.toString)
+      assert(ku > 0 && ku <= 2L * Corpus.OverlapSketchK && nb <= ku, r.toString)
+      // bottom-k estimate vs true Jaccard: deterministic fixture, generous
+      // 3σ-ish band for k=128
+      val jTrue = ex.toDouble / (na + b - ex)
+      assert(math.abs(r.getAs[Double]("j_est") - jTrue) < 0.2,
+        s"estimate off: ${r.getAs[Double]("j_est")} vs $jTrue ($r)")
+    }
+  }
+
   test("pmiPairs: hand-computed PMI on a planted corpus; window-2 skip pairs; pair key normalized") {
     import spark.implicits._
     // corpus "a b" ×2, "c d" ×1 → window-2 forward pairs: (a,b)×2, (c,d)×1
