@@ -120,6 +120,7 @@ object SparkEntry {
     "q_text_normalize"    -> ((s, d) => TextAnalysis.textNormalize(s, d)),
     "q_skew_salted_agg"   -> ((s, d) => Skew.skewSaltedAgg(s, d)),
     "q_skew_salted_join"  -> ((s, d) => Skew.skewSaltedJoin(s, d)),
+    "q_key_skew"          -> ((s, d) => Skew.keySkew(s, d)),
     "q_bucketed_join"     -> ((s, d) => Relational.bucketedJoin(s, d)),
     "q_dup_spans"         -> ((s, d) => Corpus.dupSpans(s, d)),
     "q_span_novelty"      -> ((s, d) => Corpus.spanNovelty(s, d)),
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
     "q_skew_salted_agg"         -> ops.Skew.skewSaltedAggOracle,
     "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,
+    "q_key_skew"                -> ops.Skew.keySkewOracle,
     "q_bucketed_join"           -> ops.Relational.bucketedJoinOracle,
     "q_dup_spans"               -> ops.Corpus.dupSpansOracle,
     "q_span_novelty"            -> ops.Corpus.spanNoveltyOracle,

@@ -127,4 +127,57 @@ object Skew {
        |       COUNT(DISTINCT user_id) AS n_users
        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- join-key skew profiling ------------------------------------------------
+
+  /** Candidate shuffle keys profiled by [[keySkew]]. */
+  val SkewProfileKeys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** q_key_skew: per-key frequency profile of the fact table's candidate
+    * shuffle keys — the diagnosis that DECIDES between plain shuffle,
+    * broadcast, salting, and AQE skew-join thresholds before any of the
+    * defenses in this module are deployed. One fact scan feeds all keys
+    * (an `explode(array(struct...))` fan-out, never one scan per key);
+    * per-key counts collapse into power-of-2 frequency bands (the
+    * `length(bin(n))` integer-log2 idiom from `q_len_histogram`), so the
+    * output is keys×bands-bounded regardless of key cardinality, with
+    * per-band row mass, extremes, and a witness key.
+    *
+    * A uniform key (l_orderkey: every order ~4 lines) concentrates in one
+    * band; a key with a heavy tail spreads bands upward — the max band's
+    * mass versus the per-partition average is exactly the AQE
+    * skewedPartitionFactor input.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+    val keys = fact.select(explode(array(
+      SkewProfileKeys.map(k =>
+        struct(lit(k).as("key_name"), col(k).cast("long").as("k"))): _*)).as("e"))
+      .select(col("e.key_name").as("key_name"), col("e.k").as("k"))
+    keys.groupBy("key_name", "k").agg(count(lit(1)).as("cnt"))
+      .withColumn("freq_band", length(bin(col("cnt"))).cast("int"))
+      .groupBy("key_name", "freq_band")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("sum_rows"),
+        max("cnt").as("max_rows"),
+        min("k").as("min_key"))
+      .orderBy("key_name", "freq_band")
+  }
+
+  val keySkewOracle: String = {
+    val selects = SkewProfileKeys
+      .map(k => s"SELECT '$k' AS key_name, CAST($k AS BIGINT) AS k FROM lineitem")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH keys AS (
+       |  $selects),
+       |f AS (SELECT key_name, k, COUNT(*) AS cnt FROM keys GROUP BY 1, 2),
+       |b AS (SELECT key_name, k, cnt,
+       |             CAST(length(bin(cnt)) AS INT) AS freq_band FROM f)
+       |SELECT key_name, freq_band, COUNT(*) AS n_keys,
+       |       CAST(SUM(cnt) AS BIGINT) AS sum_rows,
+       |       CAST(MAX(cnt) AS BIGINT) AS max_rows,
+       |       CAST(MIN(k) AS BIGINT) AS min_key
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -241,4 +241,26 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("keySkew: bands partition every key's row mass; uniform vs fan-out keys separate") {
+    val nLines = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    val out = Skew.keySkew(spark, sf0001).collect()
+    val byKey = out.groupBy(_.getAs[String]("key_name"))
+    assert(byKey.keySet == Skew.SkewProfileKeys.toSet)
+    byKey.foreach { case (k, rows) =>
+      // the bands partition the fact table exactly
+      assert(rows.map(_.getAs[Long]("sum_rows")).sum == nLines, k)
+      rows.foreach { r =>
+        val band = r.getAs[Int]("freq_band")
+        val mx = r.getAs[Long]("max_rows")
+        // band b holds counts in [2^(b-1), 2^b)
+        assert(mx < (1L << band) && mx >= (1L << (band - 1)), r.toString)
+      }
+    }
+    // l_orderkey is near-uniform (a handful of lines per order); l_suppkey
+    // fans out far wider — the profile must separate them
+    val maxBand = (k: String) => byKey(k).map(_.getAs[Int]("freq_band")).max
+    assert(maxBand("l_suppkey") > maxBand("l_orderkey"),
+      s"suppkey ${maxBand("l_suppkey")} vs orderkey ${maxBand("l_orderkey")}")
+  }
 }
