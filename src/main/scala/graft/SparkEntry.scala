@@ -138,6 +138,7 @@ object SparkEntry {
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingQueries.streamDedupExact(s, d)),
     "q_stream_quality"    -> ((s, d) => graft.streaming.StreamingQueries.streamQualityFilter(s, d)),
     "q_stream_topk"       -> ((s, d) => graft.streaming.StreamingQueries.streamVocabTopK(s, d)),
+    "q_stream_zscore"     -> ((s, d) => graft.streaming.StreamingQueries.streamRollingZscore(s, d)),
     "q_tokenize_ids"      -> ((s, d) => Curation.tokenizeIds(s, d)),
     "q_batch_padding"     -> ((s, d) => Curation.batchPadding(s, d)),
     "q_mix_temperature"   -> ((s, d) => Curation.mixTemperature(s, d)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_stream_dedup"            -> ops.Dedup.dedupExactOracle,
     "q_stream_quality"          -> ops.TextAnalysis.qualityFilterOracle,
     "q_stream_topk"             -> ops.TextAnalysis.vocabTopKOracle,
+    "q_stream_zscore"           -> ops.Temporal.rollingZscoreOracle,
     "q_tokenize_ids"            -> ops.Curation.tokenizeIdsOracle,
     "q_batch_padding"           -> ops.Curation.batchPaddingOracle,
     "q_mix_temperature"         -> ops.Curation.mixTemperatureOracle,

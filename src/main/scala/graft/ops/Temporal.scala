@@ -411,14 +411,23 @@ object Temporal {
     * split out so specs can plant synthetic spike days.
     */
   def rollingZscoreOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    rollingZscoreOfDaily(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 4))).as("total")))
+  }
+
+  /** The z-test half of [[rollingZscoreOf]], over an already-rolled-up
+    * (event_type, day, n_events, total) relation — shared with the
+    * streaming face, whose daily rollup arrives from the drained sink.
+    */
+  def rollingZscoreOfDaily(dailyIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val (w, z) = (ZscoreWindowDays, ZscoreZ)
     val d18 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 0))
-    val daily = events
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast(DecimalType(18, 4))).as("total"))
+    val daily = dailyIn
       .withColumn("units", (col("total") * 10000).cast(DecimalType(18, 0)))
     val trail = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-w, -1)

@@ -236,6 +236,47 @@ object StreamingQueries {
     * aggregation itself (map-side combined counts keyed by token) is
     * already the 100 TB shape.
     */
+  /** q_stream_zscore: the rolling z-score anomaly monitor fed by the
+    * streaming engine — per-(type, day) totals aggregate THROUGH a
+    * complete-mode streaming query (associative counts + DECIMAL sums, so
+    * the drained table is micro-batch-split invariant), then the
+    * trailing-window z-test runs as a batch readout over the drained
+    * daily relation via the shared [[graft.ops.Temporal.rollingZscoreOf]]
+    * plan — same DuckDB oracle as the batch query. This is the
+    * monitoring-pipeline shape: continuous ingestion keeps the daily
+    * rollup current; the anomaly sweep is a cheap scheduled pass over the
+    * days×types table.
+    */
+  def streamRollingZscore(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_rolling_zscore"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    // split-forcing (tests) rebuilds the reader with the trigger option;
+    // the driver path uses the shared eventsStream
+    val stream = maxFilesPerTrigger match {
+      case None => eventsStream(spark, dir)
+      case Some(n) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+        val r = spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", n.toString).parquet(s"$dir/events.parque*")
+        rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => r.withColumn("ts", col("ts").cast("timestamp"))
+        }
+    }
+    val daily = stream
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+             .as("total"))
+    val q = daily.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Temporal.rollingZscoreOfDaily(spark.table(name))
+  }
+
   def streamVocabTopK(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = "stream_vocab_topk"

@@ -243,6 +243,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming rolling z-score equals the batch monitor and is micro-batch-split invariant") {
+    // daily DECIMAL sums are associative and complete mode re-emits full
+    // state; the z-test readout is shared with the batch query — results
+    // must be identical under a forced 3-file split
+    val dir = tmpDir("stream_zscore")
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamed = StreamingQueries.streamRollingZscore(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Temporal.rollingZscore(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+    assert(streamed.schema.fieldNames.contains("is_anomaly"))
+  }
+
   test("streaming vocab top-k equals the batch leaderboard and is micro-batch-split invariant") {
     // counting is associative and complete mode re-emits full state, so
     // the drained counts — and the shared rank readout — must equal the
