@@ -33,6 +33,7 @@ object SparkEntry {
     "q_sku_daily"         -> ((s, d) => Relational.skuDaily(s, d)),
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
+    "q_scd2"              -> ((s, d) => Relational.scd2(s, d)),
     "q_top_skus"          -> ((s, d) => Relational.topSkus(s, d)),
     "q_store_rev_window"  -> ((s, d) => Relational.storeRevenueWindow(s, d)),
     "q_inactive_customers" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
         |FROM promoted""".stripMargin,
+    "q_scd2"                    -> ops.Relational.scd2Oracle,
     "q_top_skus"                -> ops.Relational.topSkusOracle,
     "q_store_rev_window"        -> ops.Relational.storeRevenueWindowOracle,
     "q_inactive_customers"      -> ops.Relational.customersWithoutOrdersOracle,

@@ -651,4 +651,85 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
            countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"))
   }
+
+  // --- slowly-changing dimension (type 2) -------------------------------------
+
+  /** Core SCD2 delta: classify every key of a full-outer prev/today
+    * snapshot join and emit the VERSION-TABLE ACTIONS a type-2 merge
+    * writes — `carried` (attr unchanged), `changed_closed` + `changed_opened`
+    * (attr moved: old version closes, new opens), `inserted` (new key
+    * opens), `deleted` (key gone: current version closes). One
+    * co-partitioned key join; at warehouse scale the prev side is the
+    * stored dimension read as its narrow (key, attr, is_current) slice.
+    */
+  def scd2Delta(prev: DataFrame, today: DataFrame): DataFrame = {
+    val j = prev.select(col("key"), col("attr").as("attr_old"))
+      .join(today.select(col("key"), col("attr").as("attr_new")), Seq("key"), "full_outer")
+    val actions = j.select(col("key"),
+      when(col("attr_old").isNull, array(lit("inserted")))
+        .when(col("attr_new").isNull, array(lit("deleted")))
+        .when(col("attr_old") === col("attr_new"), array(lit("carried")))
+        .otherwise(array(lit("changed_closed"), lit("changed_opened")))
+        .as("acts"))
+      .select(col("key"), explode(col("acts")).as("action"))
+    actions.groupBy("action")
+      .agg(count(lit(1)).as("n_rows"),
+           sum("key").as("sum_key"),
+           min("key").as("min_key"),
+           max("key").as("max_key"))
+      .orderBy("action")
+  }
+
+  /** Deterministic snapshot deltas for [[scd2]]'s fixture derivation:
+    * keys % [[Scd2ChangeMod]] == 0 change segment, % [[Scd2InsertMod]] == 0
+    * are new today, % [[Scd2DeleteMod]] == 3 disappeared today.
+    */
+  val Scd2ChangeMod = 11
+  val Scd2InsertMod = 17
+  val Scd2DeleteMod = 19
+
+  /** q_scd2: slowly-changing-dimension type-2 maintenance over the customer
+    * dimension — the warehouse versioning pass one step up from the
+    * reference's overwrite-style temp→final promotion (`q_promote_upsert`):
+    * instead of replacing rows, every attribute change closes the current
+    * version and opens a new one, so history is queryable as-of any date.
+    * Yesterday/today snapshots are derived deterministically from the
+    * fixture (planted changes, inserts, and deletes), and the emitted
+    * action audit carries exact key sums so a misclassified key fails the
+    * hash gate.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"))
+    val prev = dim
+      .filter(pmod(col("key"), lit(Scd2InsertMod)) =!= 0)
+      .withColumn("attr",
+        when(pmod(col("key"), lit(Scd2ChangeMod)) === 0, lit("PREVSEG"))
+          .otherwise(col("attr")))
+    val today = dim.filter(pmod(col("key"), lit(Scd2DeleteMod)) =!= 3)
+    scd2Delta(prev, today)
+  }
+
+  val scd2Oracle: String =
+    s"""WITH dim AS (SELECT c_custkey AS key, c_mktsegment AS attr FROM customer),
+       |prev AS (
+       |  SELECT key, CASE WHEN key % $Scd2ChangeMod = 0 THEN 'PREVSEG' ELSE attr END AS attr
+       |  FROM dim WHERE key % $Scd2InsertMod <> 0),
+       |today AS (SELECT key, attr FROM dim WHERE key % $Scd2DeleteMod <> 3),
+       |j AS (
+       |  SELECT COALESCE(prev.key, today.key) AS key, prev.attr AS attr_old,
+       |         today.attr AS attr_new
+       |  FROM prev FULL OUTER JOIN today ON prev.key = today.key),
+       |acts AS (
+       |  SELECT key, unnest(
+       |    CASE WHEN attr_old IS NULL THEN ['inserted']
+       |         WHEN attr_new IS NULL THEN ['deleted']
+       |         WHEN attr_old = attr_new THEN ['carried']
+       |         ELSE ['changed_closed', 'changed_opened'] END) AS action
+       |  FROM j)
+       |SELECT action, COUNT(*) AS n_rows,
+       |       CAST(SUM(key) AS BIGINT) AS sum_key,
+       |       CAST(MIN(key) AS BIGINT) AS min_key,
+       |       CAST(MAX(key) AS BIGINT) AS max_key
+       |FROM acts GROUP BY 1 ORDER BY 1""".stripMargin
 }

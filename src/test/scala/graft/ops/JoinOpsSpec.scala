@@ -152,6 +152,23 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Delta: planted snapshots classify carry/change/insert/delete with paired open+close") {
+    import spark.implicits._
+    val prev = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("key", "attr")
+    val today = Seq((1L, "A"), (2L, "X"), (4L, "D")).toDF("key", "attr")
+    val out = Relational.scd2Delta(prev, today).collect()
+      .map(r => r.getAs[String]("action") -> r).toMap
+    assert(out.keySet ==
+      Set("carried", "changed_closed", "changed_opened", "inserted", "deleted"))
+    assert(out("carried").getAs[Long]("sum_key") == 1)
+    // a change emits BOTH a close and an open for the same key
+    assert(out("changed_closed").getAs[Long]("sum_key") == 2)
+    assert(out("changed_opened").getAs[Long]("sum_key") == 2)
+    assert(out("deleted").getAs[Long]("sum_key") == 3)
+    assert(out("inserted").getAs[Long]("sum_key") == 4)
+    out.values.foreach(r => assert(r.getAs[Long]("n_rows") == 1))
+  }
+
   test("rollingZscore: planted spike flagged, flat series and short-history head never flagged") {
     import spark.implicits._
     // type "flat": 12 identical days — zero variance, zero deviation → a
