@@ -108,6 +108,7 @@ object SparkEntry {
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q_df_incremental"    -> ((s, d) => TextAnalysis.dfIncremental(s, d)),
     "q_index_retract"     -> ((s, d) => TextAnalysis.indexRetract(s, d)),
+    "q_text_embed"        -> ((s, d) => TextAnalysis.textEmbed(s, d)),
     "q_knn_recall"        -> ((s, d) => Similarity.knnRecall(s, d)),
     "q_asof_join"         -> ((s, d) => Temporal.asofJoin(s, d)),
     "q_range_join"        -> ((s, d) => Temporal.rangeJoin(s, d)),
@@ -293,6 +294,7 @@ object SparkEntry {
     "q_tfidf"                   -> ops.TextAnalysis.tfidfOracle,
     "q_df_incremental"          -> ops.TextAnalysis.dfIncrementalOracle,
     "q_index_retract"           -> ops.TextAnalysis.indexRetractOracle,
+    "q_text_embed"              -> ops.TextAnalysis.textEmbedOracle,
     "q_knn_recall"              -> ops.Similarity.knnRecallOracle,
     "q_skew_salted_agg"         -> ops.Skew.skewSaltedAggOracle,
     "q_skew_salted_join"        -> ops.Skew.skewSaltedJoinOracle,

@@ -951,6 +951,79 @@ object TextAnalysis {
        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- feature-hashing vectorization -----------------------------------------
+
+  /** Hashed-embedding dimensionality for [[textEmbed]]. */
+  val HashEmbedDim = 16L
+
+  /** q_text_embed: feature-hashing text vectorization (the "hashing trick",
+    * Weinberger et al. 2009) — the documents→vector bridge that needs no
+    * trained model and no vocabulary table: v_j(doc) = Σ_tokens sign(t)
+    * over tokens hashing to bucket j, with bucket and sign both md5-derived
+    * so the vectors are deterministic and the audit oracle-checkable. This
+    * is the classic scalable vectorizer for dedup/classification features
+    * at corpus scale: stateless per token, no vocab join, fixed output
+    * width.
+    *
+    * Audit: per-source exact-integer vector stats — squared-norm mass,
+    * max squared norm, nonzero-coordinate count — so a wrong bucket, sign,
+    * or a lost cancellation (+1 and −1 colliding in one bucket must cancel)
+    * shifts integer mass and fails the hash gate. All-token docs collapse
+    * through two map-side combined aggregations; nothing vocab- or
+    * model-sized exists anywhere.
+    */
+  def textEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val k = HashEmbedDim
+    def hex6(c: Column): Column = conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+    val docs = graft.util.Spread.forCpu(
+      graft.Tables.documents(spark, dir).select("doc_id", "source", "text"))
+    val coefs = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("bucket", hex6(concat(lit("b:"), col("tok"))) % k)
+      .withColumn("sgn",
+        when(hex6(concat(lit("s:"), col("tok"))) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy("doc_id", "source", "bucket")
+      .agg(sum("sgn").as("coef"))
+    val per = coefs.groupBy("doc_id", "source")
+      .agg(sum(col("coef") * col("coef")).as("normsq"),
+           sum((col("coef") =!= 0).cast("long")).as("nnz"))
+    val base = graft.Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val agg = per.groupBy("source")
+      .agg(sum("normsq").as("sum_normsq"),
+           max("normsq").as("max_normsq"),
+           sum("nnz").as("sum_nnz"))
+    base.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("sum_normsq"), lit(0L)).as("sum_normsq"),
+        coalesce(col("max_normsq"), lit(0L)).as("max_normsq"),
+        coalesce(col("sum_nnz"), lit(0L)).as("sum_nnz"))
+      .orderBy("source")
+  }
+
+  val textEmbedOracle: String = {
+    val k = HashEmbedDim
+    s"""WITH ex AS (
+       |  SELECT doc_id, source, unnest($tokensSql) AS tok FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |         ('0x' || substr(md5('b:' || tok), 1, 6))::BIGINT % $k AS bucket,
+       |         SUM(CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 6))::BIGINT % 2 = 0
+       |                  THEN 1 ELSE -1 END) AS coef
+       |  FROM ex GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT doc_id, source, SUM(coef * coef) AS normsq,
+       |         SUM(CASE WHEN coef <> 0 THEN 1 ELSE 0 END) AS nnz
+       |  FROM c GROUP BY 1, 2),
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT base.source, base.n_docs,
+       |       CAST(COALESCE(SUM(normsq), 0) AS BIGINT) AS sum_normsq,
+       |       CAST(COALESCE(MAX(normsq), 0) AS BIGINT) AS max_normsq,
+       |       CAST(COALESCE(SUM(nnz), 0) AS BIGINT) AS sum_nnz
+       |FROM base LEFT JOIN per USING (source)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   // --- index retraction (deletion propagation) -------------------------------
 
   /** Retract a delete-list's documents from the corpus shingle-df index —

@@ -710,6 +710,36 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("textEmbed: hashed vectors match an independent reference (duplication, cancellation, signs)") {
+    import spark.implicits._
+    def hex6(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    def bucket(t: String) = hex6("b:" + t) % TextAnalysis.HashEmbedDim
+    def sgn(t: String) = if (hex6("s:" + t) % 2 == 0) 1L else -1L
+    val texts = Seq("alpha alpha", "alpha beta gamma delta", "zz yy xx ww vv uu")
+    // independent reference: accumulate signed buckets per doc
+    val expected = texts.map { t =>
+      val coefs = t.split(" ").groupBy(bucket).map { case (_, ts) => ts.map(sgn).sum }
+      (coefs.map(c => c * c).sum, coefs.count(_ != 0).toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("text-embed").toFile.getAbsolutePath
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", s"s$i", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textEmbed(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    texts.indices.foreach { i =>
+      val r = out(s"s$i")
+      assert(r.getAs[Long]("sum_normsq") == expected(i)._1, s"doc $i normsq")
+      assert(r.getAs[Long]("sum_nnz") == expected(i)._2, s"doc $i nnz")
+    }
+    // duplicated token doubles the coefficient, quadrupling its mass
+    assert(out("s0").getAs[Long]("sum_normsq") == 4 && out("s0").getAs[Long]("sum_nnz") == 1)
+  }
+
   test("clusterMix: weights normalize to 1, sizes agree with kmeans, budgets floor under weight") {
     val mix = Similarity.clusterMix(spark, dir).collect()
     val km = Similarity.kmeans(spark, dir).collect()
