@@ -441,4 +441,70 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"quotas not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in the funnel:\n$plan")
   }
+
+  test("rolling z-score: corpus collapses through a partial daily agg BEFORE any window") {
+    val plan = planOf(ops.Temporal.rollingZscore(spark, dir))
+    assert(plan.contains("partial_"), s"daily rollup not map-side combined:\n$plan")
+    // the window must partition by event_type — never a global single-partition window
+    assert("windowspecdefinition\\(event_type#".r.findFirstIn(plan).isDefined,
+           s"window not partitioned by event_type:\n$plan")
+  }
+
+  test("pmi pairs: leaderboard prunes via TakeOrdered before the unigram joins; tiny side broadcasts") {
+    val plan = planOf(ops.Corpus.pmiPairs(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+           s"top-k not pruned before joins:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"leaderboard/scalars not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the PMI plan:\n$plan")
+  }
+
+  test("index retract: delete-side counts broadcast into the index join, both sides partial-agg") {
+    val plan = planOf(ops.TextAnalysis.indexRetract(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"delete side not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"gram counts not map-side combined:\n$plan")
+  }
+
+  test("embed rp: queries broadcast with their projections; distortion audit partial-aggregates") {
+    val plan = planOf(ops.Similarity.embedRp(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"query side must broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"audit not map-side combined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the pairing join:\n$plan")
+  }
+
+  test("media frames: one object-pipeline pass, only audit tuples reach the partial agg") {
+    val plan = planOf(ops.Multimodal.mediaFrames(spark, dir))
+    assert(plan.contains("MapPartitions"), s"decode not partition-local:\n$plan")
+    assert(plan.contains("partial_"), s"frame audit not map-side combined:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("key skew: one fact scan feeds all profiled keys (explode, not one scan per key)") {
+    val plan = planOf(ops.Skew.keySkew(spark, dir))
+    assert(plan.contains("Generate explode"), s"key fan-out not an explode:\n$plan")
+    // exactly one lineitem scan
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 fact scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_"), s"per-key counts not map-side combined:\n$plan")
+  }
+
+  test("scd2: snapshots meet in one co-partitioned full-outer key join") {
+    val plan = planOf(ops.Relational.scd2(spark, dir))
+    assert(plan.contains("FullOuter"), s"no full-outer merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("source overlap sketch: per-source bottom-k is a partial WindowGroupLimit; pairs broadcast") {
+    val plan = planOf(ops.Corpus.sourceOverlapSketch(spark, dir))
+    assert(plan.contains("WindowGroupLimit"), s"bottom-k not a group limit:\n$plan")
+    assert(plan.contains("Partial"), s"bottom-k not map-side limited:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"pair list not broadcast:\n$plan")
+  }
+
+  test("text embed: stateless hashing — no joins at all until the per-source audit") {
+    val plan = planOf(ops.TextAnalysis.textEmbed(spark, dir))
+    assert(plan.contains("partial_"), s"coef sums not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+           s"unexpected join in a stateless vectorizer:\n$plan")
+  }
 }
