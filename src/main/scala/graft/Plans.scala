@@ -34,7 +34,9 @@ object Plans {
     "q_dedup_minhash_incremental", "q_decontamination_embed",
     "q_span_novelty", "q_source_divergence",
     "q_rolling_zscore", "q_df_incremental", "q_index_retract",
-    "q_embed_rp", "q_pmi_pairs", "q_media_frames")
+    "q_embed_rp", "q_pmi_pairs", "q_media_frames",
+    "q_cluster_mix", "q_source_overlap_sketch", "q_key_skew",
+    "q_scd2", "q_text_embed")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -166,7 +168,28 @@ object Plans {
     "q_media_frames" ->
       ("decode + frame cutting run per-partition inside mapPartitions " +
        "(imperative codec work); only sampled-frame audit tuples reach " +
-       "the partial+final aggregation — the corpus never shuffles."))
+       "the partial+final aggregation — the corpus never shuffles."),
+    "q_cluster_mix" ->
+      ("the visible plan is the mixing tail (cluster sizes → broadcast " +
+       "1-row denominator); the Lloyd iterations execute eagerly under " +
+       "the generational persist discipline shared with q_kmeans."),
+    "q_source_overlap_sketch" ->
+      ("the only corpus-sized work is the distinct span projection and " +
+       "its per-source bottom-k (partial WindowGroupLimit); estimation " +
+       "runs on S·k sketch rows against the broadcast pair list, and the " +
+       "exact column is the in-row governance audit."),
+    "q_key_skew" ->
+      ("ONE lineitem scan fans out to all profiled keys via " +
+       "explode(array(struct...)); per-key counts and the band rollup " +
+       "are both partial+final."),
+    "q_scd2" ->
+      ("yesterday/today snapshots meet in one co-partitioned full-outer " +
+       "key join; the action fan-out (a change emits close+open) is an " +
+       "array explode, never a second pass."),
+    "q_text_embed" ->
+      ("stateless feature hashing: no vocabulary relation, no joins until " +
+       "the per-source audit — two partial+final aggregations over the " +
+       "token stream."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
