@@ -148,6 +148,7 @@ object SparkEntry {
     "q_dedup_cluster_stats" -> ((s, d) => Curation.dedupClusterStats(s, d)),
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
+    "q_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_cluster_mix"       -> ((s, d) => Similarity.clusterMix(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
@@ -327,6 +328,7 @@ object SparkEntry {
     "q_dedup_cluster_stats"     -> ops.Curation.dedupClusterStatsOracle,
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
     "q_curation_pipeline"       -> ops.Curation.curationPipelineOracle,
+    "q_token_budget"            -> ops.Curation.tokenBudgetOracle,
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_cluster_mix"             -> ops.Similarity.clusterMixOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,

@@ -184,6 +184,77 @@ object Curation {
        |       CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / CAST(wsum AS DOUBLE) * ${MixEpochDocs}.0) AS BIGINT) AS epoch_docs
        |FROM c, s ORDER BY 1""".stripMargin
 
+  // --- budget-constrained selection ------------------------------------------
+
+  /** Per-source token budget for [[tokenBudget]] — sized to cut mid-source
+    * at every fixture SF, so the boundary logic is always exercised.
+    */
+  val BudgetTokens = 500L
+
+  /** q_token_budget: budget-constrained quality-first selection — fill each
+    * source's token budget with its best documents first (the "we can only
+    * afford B tokens from this source, take the best" pass that follows
+    * scoring and precedes packing). Quality key = stopword density in
+    * integer basis points (the [[qualityQuartiles]] signal, integer-exact),
+    * best-first with doc_id tiebreak; a doc is selected while the running
+    * token total stays within budget — the classic cumulative-window cut.
+    *
+    * Plan: one signal projection (fused into the scan), ONE per-source
+    * window for the running sum (source partitions are the parallelism; at
+    * production key cardinality this is the standard pattern, and a
+    * two-phase prefix-sum — `plans/PrefixSum` — swaps in if a single
+    * source outgrows a partition), then a map-side combined audit. All
+    * columns integer → hash-exact.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = BudgetTokens
+    val sig = TextAnalysis.qualitySignals(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("CAST(n_stopwords AS BIGINT) * 10000 div n_tokens"))
+          .otherwise(0L).as("q"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sig.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("selected", (col("cum_tokens") <= b).cast("int"))
+    ranked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("selected").as("n_selected"),
+        sum("n_tokens").as("tokens_total"),
+        sum(col("selected") * col("n_tokens")).as("tokens_selected"),
+        coalesce(min(when(col("selected") === 1, col("q"))), lit(-1L)).as("cut_q"))
+      .withColumn("fill_bp", expr(s"tokens_selected * 10000 div $b"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetOracle: String = {
+    import TextAnalysis.{tokensSql, stopwordsSql}
+    val b = BudgetTokens
+    s"""WITH sig AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t))) AS BIGINT)
+       |                   * 10000 // len(toks)
+       |              ELSE 0 END AS q
+       |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)),
+       |r AS (
+       |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+       |              ORDER BY q DESC, doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM sig),
+       |sel AS (SELECT *, CASE WHEN cum_tokens <= $b THEN 1 ELSE 0 END AS selected FROM r)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(selected) AS BIGINT) AS n_selected,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(SUM(selected * n_tokens) AS BIGINT) AS tokens_selected,
+       |       CAST(COALESCE(MIN(CASE WHEN selected = 1 THEN q END), -1) AS BIGINT) AS cut_q,
+       |       CAST(SUM(selected * n_tokens) * 10000 // $b AS BIGINT) AS fill_bp
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --- content-defined chunking ----------------------------------------------
 
   /** Rolling-hash window width (chars) for CDC boundary detection. */

@@ -261,4 +261,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("tokenBudget: best-first fill, exact cut at the budget boundary, straddler excluded") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tokbudget").toString
+    // q(d1)=10000 (200 tok), q(d2)=5000 (250 tok), q(d3)=0 (200 tok);
+    // best-first cum: 200, 450, 650 → budget 500 keeps d1+d2 only
+    val docs = Seq(
+      (1L, Seq.fill(200)("the").mkString(" ")),
+      (2L, Seq.fill(125)("the zz").mkString(" ")),
+      (3L, Seq.fill(200)("zz").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s0", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Curation.tokenBudget(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 3 && row.getAs[Long]("n_selected") == 2)
+    assert(row.getAs[Long]("tokens_total") == 650)
+    assert(row.getAs[Long]("tokens_selected") == 450)
+    assert(row.getAs[Long]("cut_q") == 5000)
+    assert(row.getAs[Long]("fill_bp") == 9000)
+  }
 }
