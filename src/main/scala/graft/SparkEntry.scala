@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dedup_blocking"    -> ((s, d) => Dedup.blockingDedup(s, d)),
     "q_sample_weighted"   -> ((s, d) => Corpus.weightedSample(s, d)),
     "q_dedup_resolution"  -> ((s, d) => Dedup.dedupResolution(s, d)),
+    "q_dedup_degree"      -> ((s, d) => Dedup.dedupDegree(s, d)),
     "q_data_split"        -> ((s, d) => Dedup.dataSplit(s, d)),
     "q_source_mix"        -> ((s, d) => Dedup.sourceMix(s, d)),
     "q_repetition_filter" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
@@ -255,6 +256,7 @@ object SparkEntry {
     "q_dedup_blocking"          -> ops.Dedup.blockingDedupOracle,
     "q_sample_weighted"         -> ops.Corpus.weightedSampleOracle,
     "q_dedup_resolution"        -> ops.Dedup.dedupResolutionOracle,
+    "q_dedup_degree"            -> ops.Dedup.dedupDegreeOracle,
     "q_data_split"              -> ops.Dedup.dataSplitOracle,
     "q_decontamination"         -> ops.Dedup.decontaminationOracle,
     "q_decontamination_exact"   -> ops.Dedup.decontaminationExactOracle,

@@ -306,6 +306,52 @@ object Dedup {
   /** q_dedup_jaccard_capped: [[ngramJaccard]] with the [[MaxShingleDF]]
     * stop-shingle cap applied — the scale-defended variant.
     */
+  /** q_dedup_degree: degree distribution of the verified near-dup graph —
+    * the health report dedup resolution reads before it runs: a fat-tailed
+    * degree histogram means template/boilerplate families (one doc near-dup
+    * to hundreds — resolution's components will be huge and the text is
+    * suspect); a thin graph means isolated accidental pairs. Every doc
+    * appears — degree-0 docs (the vast majority) are the `deg_band = 0`
+    * row, so the audit also exposes what FRACTION of the corpus is
+    * entangled at all.
+    *
+    * Plan: the pair relation is [[ngramJaccard]]'s (inverted index, never
+    * all-pairs); degrees are one symmetric explode + map-side combined
+    * count, and the histogram is the power-of-2 band rollup (`q_key_skew`'s
+    * idiom) — output bounded by band count regardless of corpus size.
+    */
+  def dedupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .withColumn("deg_band",
+        when(col("degree") === 0, 0).otherwise(length(bin(col("degree")))).cast("int"))
+      .groupBy("deg_band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("degree").as("sum_degree"),
+        max("degree").as("max_degree"),
+        min("doc_id").as("min_doc"))
+      .orderBy("deg_band")
+  }
+
+  val dedupDegreeOracle: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($ngramJaccardOracle) t),
+       |e AS (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p),
+       |deg AS (SELECT doc_id, COUNT(*) AS degree FROM e GROUP BY 1),
+       |d AS (SELECT documents.doc_id, COALESCE(degree, 0) AS degree
+       |      FROM documents LEFT JOIN deg ON documents.doc_id = deg.doc_id)
+       |SELECT CAST(CASE WHEN degree = 0 THEN 0 ELSE length(bin(degree)) END AS INT) AS deg_band,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(degree) AS BIGINT) AS sum_degree,
+       |       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       |       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
       .orderBy("doc_a", "doc_b")

@@ -710,6 +710,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("dedupDegree: bands cover every doc, handshake identity holds, fixture graph non-vacuous") {
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val nPairs = Dedup.ngramJaccard(spark, dir).count()
+    val out = Dedup.dedupDegree(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // Σ degrees = 2·|edges| (handshake lemma)
+    assert(out.map(_.getAs[Long]("sum_degree")).sum == 2 * nPairs)
+    // planted near-dups → a nonzero band exists; most docs are isolated
+    assert(out.exists(r => r.getAs[Int]("deg_band") > 0 && r.getAs[Long]("n_docs") > 0))
+    val band0 = out.find(_.getAs[Int]("deg_band") == 0).get
+    assert(band0.getAs[Long]("n_docs") > nDocs / 2 && band0.getAs[Long]("sum_degree") == 0)
+  }
+
   test("textEmbed: hashed vectors match an independent reference (duplication, cancellation, signs)") {
     import spark.implicits._
     def hex6(s: String): Long = {
