@@ -64,6 +64,8 @@ object SparkEntry {
     "q_knn_sq"            -> ((s, d) => Similarity.knnSq(s, d)),
     "q_embed_outliers"    -> ((s, d) => Similarity.embedOutliers(s, d)),
     "q_embed_rp"          -> ((s, d) => Similarity.embedRp(s, d)),
+    "q_knn_rp"            -> ((s, d) => Similarity.knnRp(s, d)),
+    "q_knn_rp_recall"     -> ((s, d) => Similarity.knnRpRecall(s, d)),
     "q_knn_sq_recall"     -> ((s, d) => Similarity.knnSqRecall(s, d)),
     "q_allpairs_cosine"   -> ((s, d) => Dedup.allPairsCosine(s, d)),
     "q_dedup_blocking"    -> ((s, d) => Dedup.blockingDedup(s, d)),
@@ -251,6 +253,8 @@ object SparkEntry {
     "q_knn_sq"                  -> ops.Similarity.knnSqOracle,
     "q_embed_outliers"          -> ops.Similarity.embedOutliersOracle,
     "q_embed_rp"                -> ops.Similarity.embedRpOracle,
+    "q_knn_rp"                  -> ops.Similarity.knnRpOracle,
+    "q_knn_rp_recall"           -> ops.Similarity.knnRpRecallOracle,
     "q_knn_sq_recall"           -> ops.Similarity.knnSqRecallOracle,
     "q_allpairs_cosine"         -> ops.Dedup.allPairsCosineOracle,
     "q_dedup_blocking"          -> ops.Dedup.blockingDedupOracle,

@@ -1544,11 +1544,13 @@ object Similarity {
     }
   }
 
-  /** [[RpDim]] JL coordinates of `v`: y_j = v · s_j (sequential-fold dots,
-    * so projected values are bit-identical across engines).
+  /** `k` JL coordinates of `v`: y_j = v · s_j (sequential-fold dots, so
+    * projected values are bit-identical across engines). The audit uses
+    * [[RpDim]] planes; the ANN path widens to [[KnnRpDim]] of the same
+    * family.
     */
-  def rpProject(v: Column): Column =
-    array((0 until RpDim).map(j => dot(v, array(rpSigns(j).map(lit): _*))): _*)
+  def rpProject(v: Column, k: Int = RpDim): Column =
+    array((0 until k).map(j => dot(v, array(rpSigns(j).map(lit): _*))): _*)
 
   /** q_embed_rp: dimensionality reduction by sparse random projection
     * (64 → [[RpDim]] dims) with a cosine-distortion audit — the standard
@@ -1585,14 +1587,16 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The [[rpProject]] literal-matrix expression in DuckDB form. */
+  private def rpProjSql(k: Int = RpDim): String = (0 until k)
+    .map(j => "list_dot_product(v, " +
+      rpSigns(j).map(s => if (s > 0) "1.0" else if (s < 0) "-1.0" else "0.0")
+        .mkString("[", ",", "]") + ")")
+    .mkString("[", ", ", "]")
+
   val embedRpOracle: String = {
-    val proj = (0 until RpDim)
-      .map(j => "list_dot_product(v, " +
-        rpSigns(j).map(s => if (s > 0) "1.0" else if (s < 0) "-1.0" else "0.0")
-          .mkString("[", ",", "]") + ")")
-      .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
-       |p AS (SELECT vec_id, v, $proj AS pv FROM e),
+       |p AS (SELECT vec_id, v, ${rpProjSql()} AS pv FROM e),
        |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qp FROM p
        |      WHERE vec_id % $QueryStride = 0),
        |s AS (SELECT * FROM p WHERE vec_id % $RpSampleStride = $RpSampleOffset),
@@ -1605,4 +1609,106 @@ object Similarity {
        |       CAST(ROUND(SUM(CAST(err AS DECIMAL(18,8))), 6) AS DOUBLE) AS sum_abs_err
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** ANN-path projection width and coarse shortlist for [[knnRp]]. Chosen
+    * on the fixture's recall surface (measured at sf0.01, truth = exact
+    * top-5): 16 planes / shortlist 25 → 0.30, 32/50 → 0.66, 32/100 →
+    * 0.80 — the synthetic embeddings have weak cosine structure, so the
+    * training-free path needs width; PQ/SQ (trained on the data) sit at
+    * 0.96+. The honest trade is documented in [[knnRp]].
+    */
+  val KnnRpDim = 32
+  val RpShortlist = 100
+
+  /** q_knn_rp: coarse-to-fine ANN through the random projection — score
+    * every corpus vector against each query in the [[KnnRpDim]]-d PROJECTED
+    * space (half-width dots, narrower rows than full-width),
+    * keep a [[RpShortlist]]-deep shortlist per query, then exact-cosine
+    * re-rank only the shortlist in the original space. The third
+    * compressed-domain ANN family next to PQ (codebooks) and SQ (per-dim
+    * buckets): RP needs NO training pass at all — the projection is a
+    * fixed literal matrix — which is the right trade when the corpus
+    * distribution drifts daily. Recall audited by [[knnRpRecall]].
+    *
+    * Plan: queries broadcast with both representations; the coarse scan
+    * is one codegen'd projection over the corpus with a partial top-k
+    * (WindowGroupLimit) per query; the exact stage touches only Q×shortlist
+    * rows joined back to full vectors.
+    */
+  def knnRp(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+      .withColumn("pv", rpProject(col("v"), KnnRpDim))
+      .withColumn("np", norm(col("pv")))
+      .persist()
+    vecs.count() // feeds the coarse scan AND the re-rank join
+    val queries = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"),
+              col("pv").as("qp"), col("np").as("nqp"))
+    val coarse = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pairSim(col("qp"), col("pv"), col("nqp"), col("np")).as("psim"))
+    val ws = Window.partitionBy("query_id").orderBy(col("psim").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= RpShortlist)
+      .select("query_id", "neighbor_id")
+    val exact = shortlist
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+                        col("v").as("cv"), col("nv").as("nc")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("nq"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+              pairSim(col("qv"), col("cv"), col("nq"), col("nc")).as("sim"))
+    val wf = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnRpOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, ${rpProjSql(KnnRpDim)} AS pv FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qp FROM p
+       |      WHERE vec_id % $QueryStride = 0),
+       |coarse AS (
+       |  SELECT query_id, p.vec_id AS neighbor_id, p.v,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY ${cosineSql("qp", "pv")} DESC, p.vec_id) AS srank
+       |  FROM p JOIN q ON p.vec_id <> q.query_id),
+       |sl AS (SELECT query_id, neighbor_id, v FROM coarse WHERE srank <= $RpShortlist),
+       |ex AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${cosineSql("q.qv", "sl.v")} AS sim
+       |  FROM sl JOIN q ON q.query_id = sl.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q_knn_rp_recall: [[knnRp]] vs brute-force ground truth — recall@k for
+    * the training-free compressed-domain path ([[knnSqRecall]] discipline).
+    */
+  def knnRpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    val rp = knnRp(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    bf.count(); rp.count()
+    val hits = bf.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_hits"))
+    val truth = bf.groupBy().agg(
+      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
+    truth.crossJoin(hits)
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
+  }
+
+  val knnRpRecallOracle: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
+       |rp AS (SELECT query_id, neighbor_id FROM ($knnRpOracle) t),
+       |h AS (SELECT COUNT(*) AS n_hits FROM bf
+       |      WHERE EXISTS (SELECT 1 FROM rp
+       |                    WHERE rp.query_id = bf.query_id
+       |                      AND rp.neighbor_id = bf.neighbor_id)),
+       |tr AS (SELECT COUNT(*) AS n_truth, COUNT(DISTINCT query_id) AS n_queries FROM bf)
+       |SELECT n_queries, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
+       |FROM tr, h""".stripMargin
 }

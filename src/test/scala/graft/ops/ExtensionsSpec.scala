@@ -710,6 +710,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("knnRp: k per query, self excluded, rank-monotone sims, useful recall from the coarse shortlist") {
+    val out = Similarity.knnRp(spark, dir).collect()
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Similarity.TopK))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b - 1e-12)
+        case _ =>
+      }
+    }
+    // training-free path: weaker than PQ/SQ by design, but the widened
+    // 32-plane / 100-shortlist point must stay clearly useful
+    val recall = Similarity.knnRpRecall(spark, dir).collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.5, s"RP recall collapsed: $recall")
+  }
+
   test("dedupDegree: bands cover every doc, handshake identity holds, fixture graph non-vacuous") {
     val nDocs = graft.Tables.documents(spark, dir).count()
     val nPairs = Dedup.ngramJaccard(spark, dir).count()
