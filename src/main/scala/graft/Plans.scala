@@ -36,7 +36,8 @@ object Plans {
     "q_rolling_zscore", "q_df_incremental", "q_index_retract",
     "q_embed_rp", "q_pmi_pairs", "q_media_frames",
     "q_cluster_mix", "q_source_overlap_sketch", "q_key_skew",
-    "q_scd2", "q_text_embed")
+    "q_scd2", "q_text_embed",
+    "q_token_budget", "q_dedup_degree", "q_knn_rp")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -189,7 +190,20 @@ object Plans {
     "q_text_embed" ->
       ("stateless feature hashing: no vocabulary relation, no joins until " +
        "the per-source audit — two partial+final aggregations over the " +
-       "token stream."))
+       "token stream."),
+    "q_token_budget" ->
+      ("the signal projection fuses into the scan; ONE source-partitioned " +
+       "window carries the best-first running token sum; the audit is " +
+       "partial+final."),
+    "q_dedup_degree" ->
+      ("rides q_dedup_ngram_jaccard's inverted-index pair pipeline; the " +
+       "degree count and band rollup are both map-side combined, and " +
+       "degree-0 docs enter via a left join against the pruned doc_id scan."),
+    "q_knn_rp" ->
+      ("coarse-to-fine: queries broadcast with BOTH representations; the " +
+       "coarse scan is one codegen'd 32-plane projection with a partial " +
+       "top-k per query; the exact stage joins only Q×100 shortlist rows " +
+       "back to full vectors."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
