@@ -147,6 +147,7 @@ object SparkEntry {
     "q_tokenize_ids"      -> ((s, d) => Curation.tokenizeIds(s, d)),
     "q_batch_padding"     -> ((s, d) => Curation.batchPadding(s, d)),
     "q_mix_temperature"   -> ((s, d) => Curation.mixTemperature(s, d)),
+    "q_mix_schedule"      -> ((s, d) => Curation.mixSchedule(s, d)),
     "q_cdc_chunks"        -> ((s, d) => Curation.cdcChunks(s, d)),
     "q_dedup_cluster_stats" -> ((s, d) => Curation.dedupClusterStats(s, d)),
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "q_tokenize_ids"            -> ops.Curation.tokenizeIdsOracle,
     "q_batch_padding"           -> ops.Curation.batchPaddingOracle,
     "q_mix_temperature"         -> ops.Curation.mixTemperatureOracle,
+    "q_mix_schedule"            -> ops.Curation.mixScheduleOracle,
     "q_cdc_chunks"              -> ops.Curation.cdcChunksOracle,
     "q_dedup_cluster_stats"     -> ops.Curation.dedupClusterStatsOracle,
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,

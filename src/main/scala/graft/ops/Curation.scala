@@ -184,6 +184,78 @@ object Curation {
        |       CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / CAST(wsum AS DOUBLE) * ${MixEpochDocs}.0) AS BIGINT) AS epoch_docs
        |FROM c, s ORDER BY 1""".stripMargin
 
+  // --- deterministic interleave schedule -------------------------------------
+
+  /** Schedule length (slots) for [[mixSchedule]]. */
+  val ScheduleSlots = 200L
+
+  /** q_mix_schedule: turn mixing quotas into the deterministic interleave a
+    * data loader actually consumes — stride scheduling: source s with quota
+    * q_s emits copies j = 0..q_s−1 at fractional positions (j+0.5)/q_s, and
+    * the merged position order IS the slot order, so every source is spread
+    * evenly through the epoch instead of clumped (the property plain
+    * concatenation or per-source shuffling loses). Quotas are the Hamilton
+    * largest-remainder allocation of [[ScheduleSlots]] over per-source doc
+    * counts (Σ quota = slots exactly — [[sampleStratified]]'s idiom).
+    *
+    * Determinism: quotas are exact integer div/mod; stride keys are one
+    * IEEE division each and only ORDER the merge (ties broken by source,
+    * j — the `q_sample_weighted` transcendental-ordering precedent), and
+    * the emitted schedule carries only exact columns. Scale: everything
+    * after the per-source count rollup operates on slots+sources rows;
+    * the merge window is a single tiny sort — at real epoch sizes the
+    * schedule generator runs per shard over its quota slice, same math.
+    */
+  def mixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = ScheduleSlots
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_docs * $n) div n_total"))
+      .withColumn("rem", expr(s"(n_docs * $n) % n_total"))
+    val leftover = quota.agg((lit(n) - sum("base")).as("n_extra"))
+    val rw = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = quota.crossJoin(broadcast(leftover))
+      .withColumn("rrk", row_number().over(rw))
+      .withColumn("alloc",
+        col("base") + when(col("rrk") <= col("n_extra"), 1L).otherwise(0L))
+      .filter(col("alloc") > 0)
+      .select("source", "alloc")
+    val copies = alloc
+      .select(col("source"), col("alloc"),
+        explode(sequence(lit(0L), col("alloc") - 1)).as("j"))
+      .withColumn("pos", (col("j").cast("double") + 0.5) / col("alloc"))
+    val sw = Window.orderBy(col("pos"), col("source"), col("j"))
+    copies.withColumn("slot", (row_number().over(sw) - 1).cast("int"))
+      .select("slot", "source", "j", "alloc")
+      .orderBy("slot")
+  }
+
+  val mixScheduleOracle: String = {
+    val n = ScheduleSlots
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT SUM(n_docs) AS n_total FROM c),
+       |q AS (SELECT source, n_docs,
+       |             (n_docs * $n) // n_total AS base,
+       |             (n_docs * $n) % n_total AS rem
+       |      FROM c, t),
+       |lo AS (SELECT $n - SUM(base) AS n_extra FROM q),
+       |a AS (SELECT source,
+       |             CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+       |                              <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |      FROM q, lo),
+       |cp AS (SELECT source, alloc, unnest(range(0, alloc)) AS j
+       |       FROM a WHERE alloc > 0),
+       |p AS (SELECT source, alloc, j,
+       |             (CAST(j AS DOUBLE) + 0.5) / alloc AS pos
+       |      FROM cp)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos, source, j) - 1 AS INT) AS slot,
+       |       source, CAST(j AS BIGINT) AS j, CAST(alloc AS BIGINT) AS alloc
+       |FROM p ORDER BY slot""".stripMargin
+  }
+
   // --- budget-constrained selection ------------------------------------------
 
   /** Per-source token budget for [[tokenBudget]] — sized to cut mid-source

@@ -262,6 +262,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mixSchedule: exact slot partition, per-source quota honored, copies spread not clumped") {
+    val out = Curation.mixSchedule(spark, "/root/testdata/sf0.001").collect()
+    val n = Curation.ScheduleSlots.toInt
+    assert(out.length == n)
+    assert(out.map(_.getAs[Int]("slot")).sorted.toSeq == (0 until n))
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      val alloc = rows.head.getAs[Long]("alloc")
+      assert(rows.length == alloc)
+      // j covers 0..alloc-1 exactly
+      assert(rows.map(_.getAs[Long]("j")).sorted.toSeq == (0L until alloc))
+      // stride property: consecutive copies of one source are ~n/alloc apart,
+      // never clumped (clumping would show gaps ~n-alloc)
+      val slots = rows.map(_.getAs[Int]("slot")).sorted
+      slots.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a <= 2 * n / alloc + 2, s"clumped: gap ${b - a} at alloc $alloc")
+        case _ =>
+      }
+    }
+    // quotas sum to the full schedule (Hamilton exactness)
+    assert(bySource.values.map(_.length).sum == n)
+  }
+
   test("tokenBudget: best-first fill, exact cut at the budget boundary, straddler excluded") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("tokbudget").toString
