@@ -108,6 +108,7 @@ object SparkEntry {
     "q_events_funnel"     -> ((s, d) => Temporal.eventsFunnel(s, d)),
     "q_cohort_retention"  -> ((s, d) => Temporal.cohortRetention(s, d)),
     "q_rolling_zscore"    -> ((s, d) => Temporal.rollingZscore(s, d)),
+    "q_trend_slope"       -> ((s, d) => Temporal.trendSlope(s, d)),
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q_df_incremental"    -> ((s, d) => TextAnalysis.dfIncremental(s, d)),
     "q_index_retract"     -> ((s, d) => TextAnalysis.indexRetract(s, d)),
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
     "q_cohort_retention"        -> ops.Temporal.cohortRetentionOracle,
     "q_rolling_zscore"          -> ops.Temporal.rollingZscoreOracle,
+    "q_trend_slope"             -> ops.Temporal.trendSlopeOracle,
     "q_asof_join"               -> ops.Temporal.asofJoinOracle,
     "q_range_join"              -> ops.Temporal.rangeJoinOracle,
     "q_bloom_semijoin"          -> ops.Relational.bloomSemiJoinOracle,

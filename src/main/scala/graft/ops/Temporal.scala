@@ -447,6 +447,79 @@ object Temporal {
       .orderBy("event_type", "day")
   }
 
+  /** q_trend_slope: per-type least-squares trend of the daily totals — the
+    * "is this metric drifting" monitor next to [[rollingZscore]]'s spike
+    * detector. The OLS slope over (day index x, daily units y) is the
+    * rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); both sides are exact
+    * integer aggregates of the decimal daily totals, so the slope is
+    * emitted AS the exact numerator/denominator pair (plus their double
+    * quotient for readability) and the up/down/flat verdict is an integer
+    * sign — bit-exact cross-engine, no regression library.
+    *
+    * Scale shape: the corpus-sized input collapses through the same daily
+    * rollup as the z-score monitor; the regression is one map-side
+    * combined aggregation over days×types rows. Width: x ≤ 10⁴ days,
+    * units ≤ 1e14 → n·Σxy ≤ ~1e22, inside DECIMAL(28,0) with headroom.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // width plan (bounds in scaladoc): sy ≤ DECIMAL(19), sxy ≤ DECIMAL(23),
+    // n ≤ DECIMAL(5), sx ≤ DECIMAL(9), sxx ≤ DECIMAL(13) — every product
+    // stays under DuckDB's width-38 ceiling with room to spare
+    val dec = (w: Int) => (c: org.apache.spark.sql.Column) => c.cast(DecimalType(w, 0))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("total"))
+      .withColumn("y", (col("total") * 10000).cast(DecimalType(18, 0)))
+    // day index within each type: rank of the day (1-based) — deterministic
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val xy = daily.withColumn("x", row_number().over(w).cast("long"))
+    val agg = xy.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n0"),
+        dec(9)(sum(col("x"))).as("sx"),
+        dec(19)(sum(dec(19)(col("y")))).as("sy"),
+        dec(23)(sum(dec(23)(col("x") * col("y")))).as("sxy"),
+        dec(13)(sum(col("x") * col("x"))).as("sxx"))
+      .withColumn("n", dec(5)(col("n0")))
+    val num = dec(30)(col("n") * col("sxy") - col("sx") * col("sy"))
+    val den = dec(20)(col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(
+        col("event_type"), col("n0").as("n_days"),
+        num.as("slope_num"), den.as("slope_den"),
+        (num.cast("double") / den.cast("double")).as("slope_units_per_day"),
+        signum(num.cast("double")).cast("int").as("trend"))
+      .orderBy("event_type")
+  }
+
+  val trendSlopeOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         SUM(CAST(value AS DECIMAL(18,4))) AS total
+       |  FROM events GROUP BY 1, 2),
+       |u AS (SELECT event_type, day, CAST(total * 10000 AS DECIMAL(18,0)) AS y
+       |      FROM daily),
+       |xy AS (SELECT event_type, y,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS x
+       |       FROM u),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |         CAST(COUNT(*) AS DECIMAL(5,0)) AS n,
+       |         CAST(SUM(x) AS DECIMAL(9,0)) AS sx,
+       |         CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sy,
+       |         CAST(SUM(CAST(x * y AS DECIMAL(23,0))) AS DECIMAL(23,0)) AS sxy,
+       |         CAST(SUM(x * x) AS DECIMAL(13,0)) AS sxx
+       |  FROM xy GROUP BY 1)
+       |SELECT event_type, n_days,
+       |       CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS slope_num,
+       |       CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS slope_den,
+       |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DOUBLE)
+       |         / CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS DOUBLE)
+       |         AS slope_units_per_day,
+       |       CAST(SIGN(CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DOUBLE)) AS INT) AS trend
+       |FROM agg ORDER BY 1""".stripMargin
+
   val rollingZscoreOracle: String = {
     val (w, z) = (ZscoreWindowDays, ZscoreZ)
     s"""WITH daily AS (

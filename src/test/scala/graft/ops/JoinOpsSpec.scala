@@ -152,6 +152,36 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("trendSlope: planted linear series recover the exact rational slope; flat gives trend 0") {
+    import spark.implicits._
+    // up: 10,20,..,50 value/day → slope 10 value/day = 1e5 units/day (num 50e5, den 50)
+    val rows =
+      (1 to 5).map(d => ("up", d, d * 10.0)) ++
+      (1 to 5).map(d => ("down", d, 60.0 - d * 10.0)) ++
+      (1 to 5).map(d => ("flat", d, 7.0))
+    val events = rows.toDF("event_type", "d", "value")
+      .withColumn("ts", expr("make_timestamp(2024, 1, d, 12, 0, 0)"))
+      .withColumn("event_id", col("d").cast("long"))
+      .select("event_id", "ts", "event_type", "value")
+    val out = Temporal.trendSlope(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("trend").toFile.getAbsolutePath
+    events
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val planted = Temporal.trendSlope(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(planted(("up")).getAs[java.math.BigDecimal]("slope_num").longValueExact == 5000000L)
+    assert(planted(("up")).getAs[java.math.BigDecimal]("slope_den").longValueExact == 50L)
+    assert(planted(("up")).getAs[Double]("slope_units_per_day") == 100000.0)
+    assert(planted(("up")).getAs[Int]("trend") == 1)
+    assert(planted(("down")).getAs[Int]("trend") == -1)
+    assert(planted(("flat")).getAs[Int]("trend") == 0)
+    assert(planted(("flat")).getAs[java.math.BigDecimal]("slope_num").longValueExact == 0L)
+    // fixture run well-formed
+    assert(out.collect().forall(r => Set(-1, 0, 1)(r.getAs[Int]("trend"))))
+  }
+
   test("scd2Delta: planted snapshots classify carry/change/insert/delete with paired open+close") {
     import spark.implicits._
     val prev = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("key", "attr")
