@@ -156,6 +156,7 @@ object SparkEntry {
     "q_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_cluster_mix"       -> ((s, d) => Similarity.clusterMix(s, d)),
+    "q_cluster_sample"    -> ((s, d) => Similarity.clusterSample(s, d)),
     "q_source_overlap"    -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_source_overlap_sketch" -> ((s, d) => Corpus.sourceOverlapSketch(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -341,6 +342,7 @@ object SparkEntry {
     "q_token_budget"            -> ops.Curation.tokenBudgetOracle,
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_cluster_mix"             -> ops.Similarity.clusterMixOracle,
+    "q_cluster_sample"          -> ops.Similarity.clusterSampleOracle,
     "q_source_overlap"          -> ops.Corpus.sourceOverlapOracle,
     "q_source_overlap_sketch"   -> ops.Corpus.sourceOverlapSketchOracle,
     "q_sample_stratified"       -> ops.Curation.sampleStratifiedOracle,

@@ -1610,6 +1610,92 @@ object Similarity {
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Sample budget (vectors) for [[clusterSample]]. */
+  val ClusterSampleN = 100L
+
+  /** q_cluster_sample: cluster-balanced sampling — the embedding-side
+    * composed pipeline (the semantic twin of the text funnel
+    * `q_curation_pipeline`): learn cells with the same oracle-unrolled
+    * Lloyd chain as [[kmeans]], Hamilton-allocate a [[ClusterSampleN]]
+    * budget across cells by membership (largest remainder — Σ alloc = N
+    * exactly, [[graft.ops.Curation.sampleStratified]]'s idiom), then draw
+    * each cell's quota by deterministic md5 rank. Balancing the draw
+    * across SEMANTIC clusters instead of source labels is the
+    * diversity-preserving sampling step SemDeDup-style pipelines end with.
+    *
+    * Audit per cell: membership, allocation, selected count (= alloc
+    * unless the cell is smaller), and the exact selected-id checksum so a
+    * single wrong draw fails the hash gate.
+    */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val n = ClusterSampleN
+    val vecs = vectors(spark, dir).persist()
+    vecs.count()
+    val cents = lloydCents(vecs, KmeansIters)
+    val assigned = assignCellsSim(vecs, cents).select("vec_id", "cell").persist()
+    assigned.count()
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val tot = sizes.agg(sum("n_members").as("n_total"))
+    val quota = sizes.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_members * $n) div n_total"))
+      .withColumn("rem", expr(s"(n_members * $n) % n_total"))
+    val leftover = quota.agg((lit(n) - sum("base")).as("n_extra"))
+    val rw = Window.orderBy(col("rem").desc, col("cell"))
+    val alloc = quota.crossJoin(broadcast(leftover))
+      .withColumn("rrk", row_number().over(rw))
+      .withColumn("alloc",
+        col("base") + when(col("rrk") <= col("n_extra"), 1L).otherwise(0L))
+      .select("cell", "n_members", "alloc")
+    val dw = Window.partitionBy("cell")
+      .orderBy(md5(concat(lit("csample:"), col("vec_id").cast("string"))), col("vec_id"))
+    val picked = assigned.withColumn("drn", row_number().over(dw))
+      .join(broadcast(alloc.select("cell", "alloc")), Seq("cell"))
+      .filter(col("drn") <= col("alloc"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_selected"), sum("vec_id").as("sel_checksum"))
+    alloc.join(picked, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"), col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+      .orderBy("cell")
+  }
+
+  val clusterSampleOracle: String = {
+    val n = ClusterSampleN
+    s"""WITH ${lloydChainSql(KmeansIters)},
+       |fin AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c_$KmeansIters.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosineSql("e.v", s"c_$KmeansIters.cv")} DESC, c_$KmeansIters.cent_id) AS rn
+       |    FROM e CROSS JOIN c_$KmeansIters) WHERE rn = 1),
+       |sz AS (SELECT cell, COUNT(*) AS n_members FROM fin GROUP BY 1),
+       |t AS (SELECT SUM(n_members) AS n_total FROM sz),
+       |q AS (SELECT cell, n_members,
+       |             (n_members * $n) // n_total AS base,
+       |             (n_members * $n) % n_total AS rem
+       |      FROM sz, t),
+       |lo AS (SELECT $n - SUM(base) AS n_extra FROM q),
+       |a AS (SELECT cell, n_members,
+       |             CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, cell)
+       |                              <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |      FROM q, lo),
+       |drawn AS (
+       |  SELECT fin.cell, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY fin.cell
+       |           ORDER BY md5('csample:' || CAST(vec_id AS VARCHAR)), vec_id) AS drn
+       |  FROM fin),
+       |picked AS (
+       |  SELECT drawn.cell, COUNT(*) AS n_selected, SUM(vec_id) AS sel_checksum
+       |  FROM drawn JOIN a ON a.cell = drawn.cell
+       |  WHERE drn <= alloc GROUP BY 1)
+       |SELECT a.cell, a.n_members, a.alloc,
+       |       COALESCE(n_selected, 0) AS n_selected,
+       |       CAST(COALESCE(sel_checksum, 0) AS BIGINT) AS sel_checksum
+       |FROM a LEFT JOIN picked ON picked.cell = a.cell
+       |ORDER BY 1""".stripMargin
+  }
+
   /** ANN-path projection width and coarse shortlist for [[knnRp]]. Chosen
     * on the fixture's recall surface (measured at sf0.01, truth = exact
     * top-5): 16 planes / shortlist 25 → 0.30, 32/50 → 0.66, 32/100 →

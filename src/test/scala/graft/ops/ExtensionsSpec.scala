@@ -710,6 +710,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("clusterSample: Hamilton quotas fill the budget exactly, draws bounded by cell size") {
+    val out = Similarity.clusterSample(spark, dir).collect()
+    assert(out.nonEmpty)
+    // Σ alloc = N exactly (largest remainder)
+    assert(out.map(_.getAs[Long]("alloc")).sum == Similarity.ClusterSampleN)
+    val km = Similarity.kmeans(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_members")).toMap
+    out.foreach { r =>
+      val (cell, members) = (r.getAs[Long]("cell"), r.getAs[Long]("n_members"))
+      assert(km(cell) == members) // same Lloyd chain as kmeans
+      val (alloc, sel) = (r.getAs[Long]("alloc"), r.getAs[Long]("n_selected"))
+      assert(sel == math.min(alloc, members), r.toString)
+      if (sel == 0) assert(r.getAs[Long]("sel_checksum") == 0)
+    }
+  }
+
   test("knnRp: k per query, self excluded, rank-monotone sims, useful recall from the coarse shortlist") {
     val out = Similarity.knnRp(spark, dir).collect()
     val perQuery = out.groupBy(_.getAs[Long]("query_id"))
