@@ -37,7 +37,8 @@ object Plans {
     "q_embed_rp", "q_pmi_pairs", "q_media_frames",
     "q_cluster_mix", "q_source_overlap_sketch", "q_key_skew",
     "q_scd2", "q_text_embed",
-    "q_token_budget", "q_dedup_degree", "q_knn_rp")
+    "q_token_budget", "q_dedup_degree", "q_knn_rp",
+    "q_mix_schedule", "q_trend_slope", "q_cluster_sample")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -203,7 +204,21 @@ object Plans {
       ("coarse-to-fine: queries broadcast with BOTH representations; the " +
        "coarse scan is one codegen'd 32-plane projection with a partial " +
        "top-k per query; the exact stage joins only Q×100 shortlist rows " +
-       "back to full vectors."))
+       "back to full vectors."),
+    "q_mix_schedule" ->
+      ("everything after the per-source count rollup operates on " +
+       "slots+sources rows: Hamilton quotas via integer div/mod, copies " +
+       "via sequence-explode, and one tiny merge sort — no corpus-sized " +
+       "work beyond the rollup."),
+    "q_trend_slope" ->
+      ("the corpus collapses through the same partial daily rollup as the " +
+       "z-score monitor; the regression sums are one map-side combined " +
+       "aggregation over days×types rows in planned decimal widths."),
+    "q_cluster_sample" ->
+      ("the visible plan is the quota + draw tail (broadcast allocations, " +
+       "cell-partitioned draw window); the Lloyd iterations execute " +
+       "eagerly under the generational persist discipline shared with " +
+       "q_kmeans/q_cluster_mix."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
