@@ -63,6 +63,7 @@ object SparkEntry {
     "q_knn_ivf_pq"        -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "q_knn_sq"            -> ((s, d) => Similarity.knnSq(s, d)),
     "q_embed_outliers"    -> ((s, d) => Similarity.embedOutliers(s, d)),
+    "q_embed_drift"       -> ((s, d) => Similarity.embedDrift(s, d)),
     "q_embed_rp"          -> ((s, d) => Similarity.embedRp(s, d)),
     "q_knn_rp"            -> ((s, d) => Similarity.knnRp(s, d)),
     "q_knn_rp_recall"     -> ((s, d) => Similarity.knnRpRecall(s, d)),
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_quality_quartiles" -> ((s, d) => Curation.qualityQuartiles(s, d)),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     "q_token_budget"      -> ((s, d) => Curation.tokenBudget(s, d)),
+    "q_quality_drift"     -> ((s, d) => Curation.qualityDrift(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_cluster_mix"       -> ((s, d) => Similarity.clusterMix(s, d)),
     "q_cluster_sample"    -> ((s, d) => Similarity.clusterSample(s, d)),
@@ -255,6 +257,7 @@ object SparkEntry {
     "q_knn_ivf_pq"              -> ops.Similarity.knnIvfPqOracle,
     "q_knn_sq"                  -> ops.Similarity.knnSqOracle,
     "q_embed_outliers"          -> ops.Similarity.embedOutliersOracle,
+    "q_embed_drift"             -> ops.Similarity.embedDriftOracle,
     "q_embed_rp"                -> ops.Similarity.embedRpOracle,
     "q_knn_rp"                  -> ops.Similarity.knnRpOracle,
     "q_knn_rp_recall"           -> ops.Similarity.knnRpRecallOracle,
@@ -340,6 +343,7 @@ object SparkEntry {
     "q_quality_quartiles"       -> ops.Curation.qualityQuartilesOracle,
     "q_curation_pipeline"       -> ops.Curation.curationPipelineOracle,
     "q_token_budget"            -> ops.Curation.tokenBudgetOracle,
+    "q_quality_drift"           -> ops.Curation.qualityDriftOracle,
     "q_kmeans"                  -> ops.Similarity.kmeansOracle,
     "q_cluster_mix"             -> ops.Similarity.clusterMixOracle,
     "q_cluster_sample"          -> ops.Similarity.clusterSampleOracle,

@@ -184,6 +184,92 @@ object Curation {
        |       CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / CAST(wsum AS DOUBLE) * ${MixEpochDocs}.0) AS BIGINT) AS epoch_docs
        |FROM c, s ORDER BY 1""".stripMargin
 
+  // --- quality drift monitoring ----------------------------------------------
+
+  /** How many sources the drift report flags (largest absolute mean
+    * shifts). Rank-based rather than a fixed bp threshold: absolute shifts
+    * shrink as 1/√n with source size, so any constant is vacuous at one SF
+    * or another (measured: max |shift| 489 bp at sf0.01), while the
+    * top-K-shifted report is the alerting shape reviewers consume anyway.
+    */
+  val QualityDriftTopK = 3
+
+  /** q_quality_drift: per-source quality-signal drift between the
+    * accumulated corpus and today's batch (md5 80/20 split — the fixture's
+    * source IS doc_id % 20, so the modulo convention would alias entire
+    * sources to one side; the hash split is layout-independent) — the
+    * text-side data-drift monitor next to `q_embed_drift`: a shifted
+    * stopword-density mean for a source means the feed changed register,
+    * language mix, or boilerplate profile, and the source's quality gates
+    * need re-tuning. The signal is the integer basis-point stopword
+    * density ([[tokenBudget]]'s key); mean shifts are exact-integer
+    * cross-multiplied rationals surfaced as one double division, and the
+    * flag is rank-based — the [[QualityDriftTopK]] largest absolute
+    * shifts (the double only ORDERS, the house transcendental-ordering
+    * rule).
+    *
+    * Scale: two map-side combined per-source aggregations and one
+    * source-keyed join of source-cardinality rows; in production the
+    * corpus side is a stored running (n, Σbp) pair updated O(batch)/day.
+    */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = QualityDriftTopK
+    val sig = TextAnalysis.qualitySignals(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        when(col("n_tokens") > 0,
+          expr("CAST(n_stopwords AS BIGINT) * 10000 div n_tokens"))
+          .otherwise(0L).as("bp"))
+    val bucket = pmod(conv(substring(md5(concat(lit("drift:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long"), lit(10))
+    def side(f: org.apache.spark.sql.Column, pre: String): DataFrame =
+      sig.filter(f).groupBy("source")
+        .agg(count(lit(1)).as(s"n_$pre"), sum("bp").as(s"s_$pre"))
+    val corpus = side(bucket < 8, "corpus")
+    val batch  = side(bucket >= 8, "batch")
+    val joined = corpus.join(batch, Seq("source"))
+      .withColumn("mean_shift_bp",
+        (col("s_batch") * col("n_corpus") - col("s_corpus") * col("n_batch"))
+          .cast("double") / (col("n_corpus") * col("n_batch")).cast("double"))
+    val rw = Window.orderBy(abs(col("mean_shift_bp")).desc, col("source"))
+    joined
+      .withColumn("shift_rank", row_number().over(rw))
+      .select(
+        col("source"), col("n_corpus"), col("n_batch"),
+        col("s_corpus").as("sum_bp_corpus"), col("s_batch").as("sum_bp_batch"),
+        col("mean_shift_bp"), col("shift_rank"),
+        (col("shift_rank") <= t).cast("int").as("drifted"))
+      .orderBy("source")
+  }
+
+  val qualityDriftOracle: String = {
+    import TextAnalysis.{tokensSql, stopwordsSql}
+    val t = QualityDriftTopK
+    s"""WITH sig AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopwordsSql, x))) AS BIGINT)
+       |                   * 10000 // len(toks)
+       |              ELSE 0 END AS bp
+       |  FROM (SELECT doc_id, source, $tokensSql AS toks FROM documents)),
+       |h AS (SELECT *, ('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 10 AS bkt
+       |     FROM sig),
+       |c AS (SELECT source, COUNT(*) AS n_corpus, CAST(SUM(bp) AS BIGINT) AS s_corpus
+       |      FROM h WHERE bkt < 8 GROUP BY 1),
+       |b AS (SELECT source, COUNT(*) AS n_batch, CAST(SUM(bp) AS BIGINT) AS s_batch
+       |      FROM h WHERE bkt >= 8 GROUP BY 1),
+       |j AS (
+       |  SELECT source, n_corpus, n_batch, s_corpus, s_batch,
+       |         CAST(s_batch * n_corpus - s_corpus * n_batch AS DOUBLE)
+       |           / CAST(n_corpus * n_batch AS DOUBLE) AS mean_shift_bp
+       |  FROM c JOIN b USING (source))
+       |SELECT source, n_corpus, n_batch,
+       |       s_corpus AS sum_bp_corpus, s_batch AS sum_bp_batch,
+       |       mean_shift_bp,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY ABS(mean_shift_bp) DESC, source) AS INT) AS shift_rank,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY ABS(mean_shift_bp) DESC, source) <= $t AS INT) AS drifted
+       |FROM j ORDER BY 1""".stripMargin
+  }
+
   // --- deterministic interleave schedule -------------------------------------
 
   /** Schedule length (slots) for [[mixSchedule]]. */

@@ -1610,6 +1610,84 @@ object Similarity {
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_embed_drift: per-label embedding-distribution drift between the
+    * accumulated corpus and today's batch (vec_id % 10 split — the house
+    * incremental convention) — the data-drift monitor the embedding side
+    * runs next to the metric-side `q_rolling_zscore`/`q_trend_slope`: a
+    * shifted centroid direction for a label means the upstream encoder or
+    * the data mix moved, and downstream ANN/cluster artifacts need
+    * rebuilding.
+    *
+    * Exactness: each side's per-label centroid is the QUANTIZED integer
+    * component sum ([[QuantScale]] floor-to-long — the Lloyd policy), so
+    * both centroids are exact integers and the drift cosine is one fixed
+    * double expression over identical integers in both engines. Exact
+    * integer checksums of both sums ride the row so the hash gate pins the
+    * sums themselves, not just the cosine.
+    *
+    * Scale: two map-side combined O(N×dim→labels×dim) aggregations, one
+    * label-keyed join of label-cardinality rows. At production the corpus
+    * side is a STORED per-label sum — the daily update is O(batch) and the
+    * monitor itself is label-sized.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sumAgg = udaf(VecLongSum)
+    def side(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             pre: String): DataFrame =
+      graft.util.Spread.forCpu(Tables.embeddings(spark, dir))
+        .filter(f(col("vec_id")))
+        .select(col("label"),
+          transform(asDouble(col("embedding")), x => floor(x * lit(QuantScale))).as("q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as(s"n_$pre"), sumAgg(col("q")).as(s"s_$pre"))
+    val corpus = side(_ % 10 < 8, "corpus")
+    val batch  = side(_ % 10 >= 8, "batch")
+    corpus.join(batch, Seq("label"))
+      .select(
+        col("label"), col("n_corpus"), col("n_batch"),
+        aggregate(col("s_corpus"), lit(0L), _ + _).as("corpus_checksum"),
+        aggregate(col("s_batch"), lit(0L), _ + _).as("batch_checksum"),
+        (dot(transform(col("s_corpus"), _.cast("double")),
+             transform(col("s_batch"), _.cast("double"))) /
+         (norm(transform(col("s_corpus"), _.cast("double"))) *
+          norm(transform(col("s_batch"), _.cast("double"))))).as("centroid_cos"))
+      .orderBy("label")
+  }
+
+  val embedDriftOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+       |flat AS (
+       |  SELECT label, CASE WHEN vec_id % 10 < 8 THEN 'c' ELSE 'b' END AS side,
+       |         unnest(range(1, len(v) + 1)) AS idx,
+       |         CAST(floor(unnest(v) * $QuantScale) AS BIGINT) AS qc
+       |  FROM e),
+       |sums AS (
+       |  SELECT label, side, idx, CAST(SUM(qc) AS BIGINT) AS sq
+       |  FROM flat GROUP BY 1, 2, 3),
+       |cnts AS (
+       |  SELECT label,
+       |         SUM(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END) AS n_corpus,
+       |         SUM(CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END) AS n_batch
+       |  FROM e GROUP BY 1),
+       |vecs AS (
+       |  SELECT label, side, list(CAST(sq AS DOUBLE) ORDER BY idx) AS sv,
+       |         SUM(sq) AS checksum
+       |  FROM sums GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.label, c.sv AS cv, b.sv AS bv,
+       |         c.checksum AS corpus_checksum, b.checksum AS batch_checksum
+       |  FROM vecs c JOIN vecs b ON c.label = b.label
+       |  WHERE c.side = 'c' AND b.side = 'b')
+       |SELECT j.label, CAST(n_corpus AS BIGINT) AS n_corpus,
+       |       CAST(n_batch AS BIGINT) AS n_batch,
+       |       CAST(corpus_checksum AS BIGINT) AS corpus_checksum,
+       |       CAST(batch_checksum AS BIGINT) AS batch_checksum,
+       |       (list_dot_product(cv, bv)
+       |        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))))
+       |         AS centroid_cos
+       |FROM j JOIN cnts ON cnts.label = j.label
+       |ORDER BY 1""".stripMargin
+
   /** Sample budget (vectors) for [[clusterSample]]. */
   val ClusterSampleN = 100L
 

@@ -262,6 +262,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("qualityDrift: planted register shift ranks first; ranks are a permutation; top-K flagged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qdrift").toString
+    // 40 docs per source so the md5 80/20 split populates both sides.
+    // "shifty": corpus-side docs all-stopword, batch-side no-stopword text —
+    // a maximal register shift; "steady": identical text throughout.
+    val mk = (src: String, id: Long, t: String) => (id, t, "en", src, t.length)
+    val docs =
+      (0L until 40L).map(i => mk("steady", i, "the table scan is fast")) ++
+      (100L until 140L).map { i =>
+        // side known only post-hash: give EVERY doc both variants' ids and
+        // derive text from the same md5 bucket the operator uses
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"drift:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bkt = java.lang.Long.parseLong(hex.substring(0, 6), 16) % 10
+        if (bkt < 8) mk("shifty", i, "the of and to is in it a")
+        else mk("shifty", i, "zz yy xx ww vv uu tt ss")
+      }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.qualityDrift(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("steady", "shifty"))
+    assert(out("shifty").getAs[Int]("shift_rank") == 1)
+    assert(out("shifty").getAs[Int]("drifted") == 1)
+    // corpus all-stopword (10000 bp) vs batch none (0 bp) → shift = −10000
+    assert(out("shifty").getAs[Double]("mean_shift_bp") == -10000.0)
+    assert(out("steady").getAs[Double]("mean_shift_bp") == 0.0)
+    val ranks = out.values.map(_.getAs[Int]("shift_rank")).toSeq.sorted
+    assert(ranks == Seq(1, 2))
+  }
+
   test("mixSchedule: exact slot partition, per-source quota honored, copies spread not clumped") {
     val out = Curation.mixSchedule(spark, "/root/testdata/sf0.001").collect()
     val n = Curation.ScheduleSlots.toInt

@@ -710,6 +710,21 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("max_df_after")).max == 1)
   }
 
+  test("embedDrift: every label on both sides, cosine bounded, counts partition the table") {
+    val out = Similarity.embedDrift(spark, dir).collect()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    val nLabels = graft.Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(out.length == nLabels)
+    assert(out.map(r => r.getAs[Long]("n_corpus") + r.getAs[Long]("n_batch")).sum == nVecs)
+    out.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, r.toString)
+      assert(r.getAs[Long]("n_corpus") > 0 && r.getAs[Long]("n_batch") > 0)
+      // same-distribution split: directions should be STRONGLY aligned
+      assert(c > 0.5, s"label centroids unexpectedly divergent: $r")
+    }
+  }
+
   test("clusterSample: Hamilton quotas fill the budget exactly, draws bounded by cell size") {
     val out = Similarity.clusterSample(spark, dir).collect()
     assert(out.nonEmpty)
