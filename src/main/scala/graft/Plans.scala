@@ -38,7 +38,8 @@ object Plans {
     "q_cluster_mix", "q_source_overlap_sketch", "q_key_skew",
     "q_scd2", "q_text_embed",
     "q_token_budget", "q_dedup_degree", "q_knn_rp",
-    "q_mix_schedule", "q_trend_slope", "q_cluster_sample")
+    "q_mix_schedule", "q_trend_slope", "q_cluster_sample",
+    "q_embed_drift", "q_quality_drift")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -218,7 +219,16 @@ object Plans {
       ("the visible plan is the quota + draw tail (broadcast allocations, " +
        "cell-partitioned draw window); the Lloyd iterations execute " +
        "eagerly under the generational persist discipline shared with " +
-       "q_kmeans/q_cluster_mix."))
+       "q_kmeans/q_cluster_mix."),
+    "q_embed_drift" ->
+      ("two map-side combined quantized-sum aggregations (N×dim → " +
+       "labels×dim longs via the VecLongSum aggregator) meet in one " +
+       "label-keyed join of label-cardinality rows; the drift cosine is " +
+       "one projection over the joined sums."),
+    "q_quality_drift" ->
+      ("the signal projection fuses into the scan; both sides collapse " +
+       "through per-source partial aggregations before the source-keyed " +
+       "join; the rank window runs over source-cardinality rows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
