@@ -105,6 +105,7 @@ object SparkEntry {
     "q_retention"         -> ((s, d) => Temporal.retention(s, d)),
     "q_events_hourly"     -> ((s, d) => Temporal.eventsHourly(s, d)),
     "q_events_props"      -> ((s, d) => Temporal.eventsProps(s, d)),
+    "q_ab_lift"           -> ((s, d) => Temporal.abLift(s, d)),
     "q_user_sessions"     -> ((s, d) => Temporal.userSessions(s, d)),
     "q_events_funnel"     -> ((s, d) => Temporal.eventsFunnel(s, d)),
     "q_cohort_retention"  -> ((s, d) => Temporal.cohortRetention(s, d)),
@@ -293,6 +294,7 @@ object SparkEntry {
     "q_retention"               -> ops.Temporal.retentionOracle,
     "q_events_hourly"           -> ops.Temporal.eventsHourlyOracle,
     "q_events_props"            -> ops.Temporal.eventsPropsOracle,
+    "q_ab_lift"                 -> ops.Temporal.abLiftOracle,
     "q_user_sessions"           -> ops.Temporal.userSessionsOracle,
     "q_events_funnel"           -> ops.Temporal.eventsFunnelOracle,
     "q_cohort_retention"        -> ops.Temporal.cohortRetentionOracle,

@@ -149,6 +149,72 @@ object Temporal {
       |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q_ab_lift: A/B conversion-lift analysis — assign every event to an
+    * experiment arm from its property payload (variant = k mod 2, the
+    * assignment-by-attribute shape; real pipelines read an explicit
+    * variant key the same way), then compare click→purchase conversion
+    * between arms with EXACT integer arithmetic: conversion in basis
+    * points is integer division, and the winner verdict is the
+    * cross-multiplied comparison purchases_a·clicks_b vs
+    * purchases_b·clicks_a — no float ratio ever decides.
+    *
+    * Scale: one scan, one map-side combined (arm) aggregation, and a
+    * 2-row self-join to lay arms side by side — output is one row per
+    * arm pair. The lift double is derived from identical integers.
+    */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(spark, dir)
+      .withColumn("variant",
+        (regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("long") % 2)
+          .cast("int"))
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n_events").as("events_a"), col("n_users").as("users_a"),
+              col("n_clicks").as("clicks_a"), col("n_purchases").as("purchases_a"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n_events").as("events_b"), col("n_users").as("users_b"),
+              col("n_clicks").as("clicks_b"), col("n_purchases").as("purchases_b"))
+    a.crossJoin(b)
+      .select(
+        col("events_a"), col("events_b"), col("users_a"), col("users_b"),
+        col("clicks_a"), col("clicks_b"), col("purchases_a"), col("purchases_b"),
+        expr("purchases_a * 10000 div clicks_a").as("conv_bp_a"),
+        expr("purchases_b * 10000 div clicks_b").as("conv_bp_b"),
+        ((col("purchases_b") * col("clicks_a")).cast("double") /
+         (col("purchases_a") * col("clicks_b")).cast("double")).as("lift_b_over_a"),
+        (signum((col("purchases_b") * col("clicks_a")
+                 - col("purchases_a") * col("clicks_b")).cast("double")))
+          .cast("int").as("winner"))
+  }
+
+  val abLiftOracle: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) % 2 AS INT) AS variant,
+      |         user_id, event_type
+      |  FROM events),
+      |arms AS (
+      |  SELECT variant, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |  FROM e GROUP BY 1)
+      |SELECT a.n_events AS events_a, b.n_events AS events_b,
+      |       a.n_users AS users_a, b.n_users AS users_b,
+      |       a.n_clicks AS clicks_a, b.n_clicks AS clicks_b,
+      |       a.n_purchases AS purchases_a, b.n_purchases AS purchases_b,
+      |       CAST(a.n_purchases * 10000 // a.n_clicks AS BIGINT) AS conv_bp_a,
+      |       CAST(b.n_purchases * 10000 // b.n_clicks AS BIGINT) AS conv_bp_b,
+      |       CAST(b.n_purchases * a.n_clicks AS DOUBLE)
+      |         / CAST(a.n_purchases * b.n_clicks AS DOUBLE) AS lift_b_over_a,
+      |       CAST(SIGN(CAST(b.n_purchases * a.n_clicks
+      |                      - a.n_purchases * b.n_clicks AS DOUBLE)) AS INT) AS winner
+      |FROM arms a CROSS JOIN arms b
+      |WHERE a.variant = 0 AND b.variant = 1""".stripMargin
+
   /** q_events_props: JSON property extraction from the dynamic `props`
     * column (the reference's checkpoint/notification JSON handling,
     * SURVEY.md §1.1) — regexp-based so both engines share one code path.

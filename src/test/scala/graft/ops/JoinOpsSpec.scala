@@ -152,6 +152,29 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("abLift: planted conversion asymmetry picks the right winner via exact cross-multiplication") {
+    import spark.implicits._
+    // arm 0 (k even): 4 clicks, 1 purchase (2500 bp); arm 1: 4 clicks,
+    // 3 purchases (7500 bp) → winner = 1, lift = 3
+    val rows = Seq(
+      (1L, "click", 0L), (2L, "click", 2L), (3L, "click", 4L), (4L, "click", 6L),
+      (5L, "purchase", 8L),
+      (6L, "click", 1L), (7L, "click", 3L), (8L, "click", 5L), (9L, "click", 7L),
+      (10L, "purchase", 9L), (11L, "purchase", 11L), (12L, "purchase", 13L))
+    val tmp = java.nio.file.Files.createTempDirectory("ablift").toFile.getAbsolutePath
+    rows.map { case (id, ty, k) => (id, id, ty, 1.0, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("make_timestamp(2024, 1, 1, 12, 0, 0)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Temporal.abLift(spark, tmp).collect().head
+    assert(r.getAs[Long]("clicks_a") == 4 && r.getAs[Long]("purchases_a") == 1)
+    assert(r.getAs[Long]("clicks_b") == 4 && r.getAs[Long]("purchases_b") == 3)
+    assert(r.getAs[Long]("conv_bp_a") == 2500 && r.getAs[Long]("conv_bp_b") == 7500)
+    assert(r.getAs[Double]("lift_b_over_a") == 3.0)
+    assert(r.getAs[Int]("winner") == 1)
+  }
+
   test("trendSlope: planted linear series recover the exact rational slope; flat gives trend 0") {
     import spark.implicits._
     // up: 10,20,..,50 value/day → slope 10 value/day = 1e5 units/day (num 50e5, den 50)
