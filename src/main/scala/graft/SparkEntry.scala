@@ -34,6 +34,7 @@ object SparkEntry {
     "q_front_sales_daily" -> ((s, d) => Relational.frontSalesDaily(s, d)),
     "q_promote_upsert"    -> ((s, d) => Relational.tempFinalPromotion(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2(s, d)),
+    "q_rfm"               -> ((s, d) => Relational.rfmSegments(s, d)),
     "q_top_skus"          -> ((s, d) => Relational.topSkus(s, d)),
     "q_store_rev_window"  -> ((s, d) => Relational.storeRevenueWindow(s, d)),
     "q_inactive_customers" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
         |       COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
         |FROM promoted""".stripMargin,
     "q_scd2"                    -> ops.Relational.scd2Oracle,
+    "q_rfm"                     -> ops.Relational.rfmOracle,
     "q_top_skus"                -> ops.Relational.topSkusOracle,
     "q_store_rev_window"        -> ops.Relational.storeRevenueWindowOracle,
     "q_inactive_customers"      -> ops.Relational.customersWithoutOrdersOracle,

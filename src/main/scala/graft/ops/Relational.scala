@@ -652,6 +652,106 @@ object Relational {
            countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"))
   }
 
+  // --- RFM segmentation -------------------------------------------------------
+
+  /** Quintile count for [[rfmSegments]]. */
+  val RfmBuckets = 5
+
+  /** q_rfm: RFM (recency / frequency / monetary) customer segmentation —
+    * the classic warehouse marketing rollup: per-customer last-order
+    * recency in days, order count, and exact decimal spend, each scored
+    * into quintiles against rank-based boundary ORDER STATISTICS (an
+    * actual data value at rank ceil(q·n) — [[winsorizedStats]]'s
+    * discipline, so boundaries hash-compare bit-exactly and tie
+    * classification is a deterministic integer comparison), then rolled up
+    * per (r, f, m) segment.
+    *
+    * Recency is measured against max(o_orderdate) IN THE DATA (never the
+    * wall clock — the §4.4-g determinism rule). Scale: per-customer
+    * metrics are one map-side combined aggregation; the boundary windows
+    * run over the customer-cardinality relation — at 100 TB the boundary
+    * derivation swaps to `percentile_approx` (rank error audited by
+    * `q_quantile_profile_check`'s self-check) or a per-metric two-phase
+    * top-k, with classification and the segment rollup unchanged.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val b = RfmBuckets
+    val orders = Tables.orders(spark, dir)
+    val asOf = orders.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    val per = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        datediff(lit(asOf), max(to_date(col("o_orderdate")))).cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
+          .cast(DecimalType(18, 0)).as("monetary"))
+      .persist()
+    per.count() // feeds three rank windows + the classify join
+    def bucketOf(metric: String): DataFrame = {
+      val w = Window.orderBy(col(metric), col("custkey"))
+      val n = per.count()
+      val ranked = per.select(col("custkey"), col(metric))
+        .withColumn("rn", row_number().over(w))
+      val cuts = (1 until b).map(q =>
+        max(when(col("rn") === math.ceil(n.toDouble * q / b).toLong, col(metric)))
+          .as(s"b$q"))
+      ranked.agg(cuts.head, cuts.tail: _*)
+    }
+    val (rb, fb, mb) = (bucketOf("recency"), bucketOf("frequency"), bucketOf("monetary"))
+    def score(metric: String, bounds: Seq[org.apache.spark.sql.Column]) =
+      bounds.map(bd => (col(metric) > bd).cast("int")).reduce(_ + _) + 1
+    per
+      .crossJoin(broadcast(rb.select((1 until b).map(q => col(s"b$q").as(s"r$q")): _*)))
+      .crossJoin(broadcast(fb.select((1 until b).map(q => col(s"b$q").as(s"f$q")): _*)))
+      .crossJoin(broadcast(mb.select((1 until b).map(q => col(s"b$q").as(s"m$q")): _*)))
+      .select(col("custkey"), col("monetary"),
+        score("recency", (1 until b).map(q => col(s"r$q"))).as("r_bucket"),
+        score("frequency", (1 until b).map(q => col(s"f$q"))).as("f_bucket"),
+        score("monetary", (1 until b).map(q => col(s"m$q"))).as("m_bucket"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("monetary").cast(DecimalType(28, 0)).as("sum_monetary"),
+        min("custkey").as("min_custkey"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  val rfmOracle: String = {
+    val b = RfmBuckets
+    val cutsFor = (m: String) => (1 until b)
+      .map(q => s"MAX(CASE WHEN rn = CAST(CEIL(n * $q / $b.0) AS BIGINT) THEN $m END) AS b$q")
+      .mkString(", ")
+    val scoreFor = (m: String, p: String) =>
+      "1 + " + (1 until b).map(q => s"CASE WHEN $m > $p$q THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ao AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+       |per AS (
+       |  SELECT o_custkey AS custkey,
+       |         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), as_of) AS BIGINT) AS recency,
+       |         COUNT(*) AS frequency,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS DECIMAL(18,0)) AS monetary
+       |  FROM orders, ao GROUP BY 1, as_of),
+       |nn AS (SELECT COUNT(*) AS n FROM per),
+       |rr AS (SELECT custkey, recency, ROW_NUMBER() OVER (ORDER BY recency, custkey) AS rn FROM per),
+       |fr AS (SELECT custkey, frequency, ROW_NUMBER() OVER (ORDER BY frequency, custkey) AS rn FROM per),
+       |mr AS (SELECT custkey, monetary, ROW_NUMBER() OVER (ORDER BY monetary, custkey) AS rn FROM per),
+       |rc AS (SELECT ${cutsFor("recency")} FROM rr, nn GROUP BY n),
+       |fc AS (SELECT ${cutsFor("frequency")} FROM fr, nn GROUP BY n),
+       |mc AS (SELECT ${cutsFor("monetary")} FROM mr, nn GROUP BY n),
+       |scored AS (
+       |  SELECT custkey, monetary,
+       |         ${scoreFor("recency", "rc.b")} AS r_bucket,
+       |         ${scoreFor("frequency", "fc.b")} AS f_bucket,
+       |         ${scoreFor("monetary", "mc.b")} AS m_bucket
+       |  FROM per, rc, fc, mc)
+       |SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
+       |       CAST(m_bucket AS INT) AS m_bucket,
+       |       COUNT(*) AS n_customers,
+       |       CAST(SUM(monetary) AS DECIMAL(28,0)) AS sum_monetary,
+       |       CAST(MIN(custkey) AS BIGINT) AS min_custkey
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // --- slowly-changing dimension (type 2) -------------------------------------
 
   /** Core SCD2 delta: classify every key of a full-outer prev/today

@@ -152,6 +152,27 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: buckets partition customers near-evenly, segment counts conserve, monetary exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.rfmSegments(spark, dir).collect()
+    val nCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust)
+    out.foreach { r =>
+      Seq("r_bucket", "f_bucket", "m_bucket").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= Relational.RfmBuckets, r.toString)
+      }
+    }
+    // each metric's marginal distribution is a near-even quintile split
+    // (ties can skew a boundary, never past one bucket's worth)
+    Seq("r_bucket", "f_bucket", "m_bucket").foreach { c =>
+      val marg = out.groupBy(_.getAs[Int](c)).map { case (_, rs) =>
+        rs.map(_.getAs[Long]("n_customers")).sum }
+      assert(marg.max <= 2L * nCust / Relational.RfmBuckets + nCust / 10 + 2,
+        s"$c skewed: $marg")
+    }
+  }
+
   test("abLift: planted conversion asymmetry picks the right winner via exact cross-multiplication") {
     import spark.implicits._
     // arm 0 (k even): 4 clicks, 1 purchase (2500 bp); arm 1: 4 clicks,
