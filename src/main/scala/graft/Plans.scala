@@ -39,7 +39,7 @@ object Plans {
     "q_scd2", "q_text_embed",
     "q_token_budget", "q_dedup_degree", "q_knn_rp",
     "q_mix_schedule", "q_trend_slope", "q_cluster_sample",
-    "q_embed_drift", "q_quality_drift")
+    "q_embed_drift", "q_quality_drift", "q_ab_lift", "q_rfm")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -228,7 +228,15 @@ object Plans {
     "q_quality_drift" ->
       ("the signal projection fuses into the scan; both sides collapse " +
        "through per-source partial aggregations before the source-keyed " +
-       "join; the rank window runs over source-cardinality rows."))
+       "join; the rank window runs over source-cardinality rows."),
+    "q_ab_lift" ->
+      ("one scan, one map-side combined arm aggregation, a 2-row join — " +
+       "the verdict is exact cross-multiplied integers."),
+    "q_rfm" ->
+      ("per-customer metrics are one partial aggregation; quintile " +
+       "boundaries derive from rank windows over the customer-cardinality " +
+       "relation and BROADCAST into the classify projection; the segment " +
+       "rollup is partial+final."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
