@@ -652,6 +652,65 @@ object Relational {
            countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"))
   }
 
+  // --- market-basket co-purchase analysis --------------------------------------
+
+  /** Leaderboard size for [[basketPairs]]. */
+  val BasketTopK = 25
+
+  /** q_basket_pairs: market-basket co-purchase lift — for the top
+    * [[BasketTopK]] part pairs by co-occurrence across orders, the support
+    * counts and the lift c_ab·N / (c_a·c_b) (classic association-rule
+    * strength; the PMI shape of [[graft.ops.Corpus.pmiPairs]] on baskets
+    * instead of token windows).
+    *
+    * Scale shape: the pair generator is a self-join of the DISTINCT
+    * (orderkey, partkey) relation keyed on orderkey — fan-out bounded at
+    * lines-per-order² per order, never catalog²; pair counts collapse
+    * map-side; the leaderboard prunes to K rows (TakeOrderedAndProject)
+    * BEFORE the per-part support joins, so nothing catalog-sized shuffles
+    * after the two count aggregations; N rides a 1-row broadcast.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val k = BasketTopK
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .persist()
+    items.count() // feeds both self-join sides + the support counts
+    val cab = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = items.groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val n = items.select("okey").distinct().agg(count(lit(1)).cast("double").as("n"))
+    val top = cab.orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(k)
+    top
+      .join(ca.select(col("part").as("part_a"), col("c").as("c_a")), "part_a")
+      .join(ca.select(col("part").as("part_b"), col("c").as("c_b")), "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") * col("n")) /
+         (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("c_ab").desc, col("part_a"), col("part_b"))
+  }
+
+  val basketPairsOracle: String = {
+    val k = BasketTopK
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |cab AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS c_ab
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2),
+       |ca AS (SELECT part, COUNT(*) AS c FROM items GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n FROM items),
+       |top AS (SELECT * FROM cab ORDER BY c_ab DESC, part_a, part_b LIMIT $k)
+       |SELECT part_a, part_b, c_ab, a.c AS c_a, b.c AS c_b,
+       |       (CAST(c_ab AS DOUBLE) * n) / CAST(a.c * b.c AS DOUBLE) AS lift
+       |FROM top JOIN ca a ON a.part = top.part_a
+       |         JOIN ca b ON b.part = top.part_b, nn
+       |ORDER BY c_ab DESC, part_a, part_b""".stripMargin
+  }
+
   // --- RFM segmentation -------------------------------------------------------
 
   /** Quintile count for [[rfmSegments]]. */

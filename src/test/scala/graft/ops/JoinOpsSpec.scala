@@ -152,6 +152,27 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("basketPairs: hand-computed support and lift on planted baskets; pair key ordered") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("basket").toFile.getAbsolutePath
+    // orders: {1,2}, {1,2}, {1,3}, {2} (+ a duplicate line proving DISTINCT)
+    // N=4, c_1=3, c_2=3, c_3=1; c_12=2 lift=2·4/9; c_13=1 lift=4/3
+    val rows = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 2L),
+                   (12L, 1L), (12L, 3L), (13L, 2L))
+    rows.zipWithIndex.map { case ((o, p), i) =>
+      (o, p, i.toLong, 1L, 1.0, 1.0, 0.0, java.sql.Date.valueOf("1995-01-01")) }
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.basketPairs(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+    assert(out((1L, 2L)).getAs[Long]("c_ab") == 2) // duplicate line counted once
+    assert(out((1L, 2L)).getAs[Double]("lift") == 2.0 * 4 / 9)
+    assert(out((1L, 3L)).getAs[Long]("c_ab") == 1)
+    assert(out((1L, 3L)).getAs[Double]("lift") == 4.0 / 3)
+  }
+
   test("rfm: buckets partition customers near-evenly, segment counts conserve, monetary exact") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.rfmSegments(spark, dir).collect()
