@@ -951,6 +951,82 @@ object Corpus {
        |SELECT source, CAST(rank AS INT) AS rank, doc_id, w, u
        |FROM r WHERE rank <= $SampleK ORDER BY 1, 2""".stripMargin
 
+  // --- Zipf-law fit -----------------------------------------------------------
+
+  /** How many head ranks the Zipf fit uses. */
+  val ZipfTopK = 100
+
+  /** q_zipf_fit: Zipf-law diagnostics of the token frequency distribution —
+    * the corpus-health statistic reviewers eyeball on every new data
+    * source: natural text follows freq ∝ rank^(−s) with s ≈ 1; a far-off
+    * exponent (or a bad fit) flags boilerplate floods, truncated
+    * vocabularies, or synthetic text. Fits ln(freq) = a − s·ln(rank) by
+    * OLS over the top-[[ZipfTopK]] ranks.
+    *
+    * Exactness: ranks and counts are exact integers under a total order
+    * (count desc, token); each ln is one libm call on an identical
+    * integer in both engines, and all four OLS sums are carried as
+    * DECIMAL(28,15) so they are summation-order independent (the
+    * [[ngramLmAudit]] transcendental idiom). Slope/intercept are single
+    * double expressions over those sums.
+    *
+    * Scale: the vocab aggregation is the only corpus-sized stage;
+    * TakeOrdered prunes to K rows before any window, and the fit is a
+    * 1-row aggregate over K rows.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = ZipfTopK
+    val top = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .select(log(col("rank").cast("double")).as("x"),
+              log(col("cnt").cast("double")).as("y"))
+    // widths: |ln| ≤ ~12 over K=100 ranks → sums fit DECIMAL(18,14) with
+    // 4 integer digits; every product then stays ≤ width 37 (DuckDB's 38
+    // ceiling), and n rides as DECIMAL(4,0)
+    val d = (c: Column) => c.cast("decimal(18,14)")
+    val agg = ranked.agg(
+        count(lit(1)).as("n0"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x") * col("x"))).as("sxx"), sum(d(col("x") * col("y"))).as("sxy"))
+    // the tail is scalar double math over the four exact decimal sums —
+    // identical op shapes in both engines, so the doubles agree bit-for-bit
+    val dd = (n: String) => col(n).cast("double")
+    val nD = col("n0").cast("double")
+    val slope = (nD * dd("sxy") - dd("sx") * dd("sy")) /
+                (nD * dd("sxx") - dd("sx") * dd("sx"))
+    agg.select(
+        col("n0").as("n_ranks"),
+        slope.as("slope"),
+        ((dd("sy") - slope * dd("sx")) / nD).as("intercept"))
+  }
+
+  val zipfFitOracle: String = {
+    val k = ZipfTopK
+    s"""WITH c AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(${TextAnalysis.tokensSql}) AS tok FROM documents)
+       |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT $k),
+       |r AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+       |             ln(CAST(cnt AS DOUBLE)) AS y
+       |      FROM c),
+       |s AS (SELECT COUNT(*) AS n_ranks, CAST(COUNT(*) AS DOUBLE) AS n,
+       |             CAST(SUM(CAST(x AS DECIMAL(18,14))) AS DOUBLE) AS sx,
+       |             CAST(SUM(CAST(y AS DECIMAL(18,14))) AS DOUBLE) AS sy,
+       |             CAST(SUM(CAST(x * x AS DECIMAL(18,14))) AS DOUBLE) AS sxx,
+       |             CAST(SUM(CAST(x * y AS DECIMAL(18,14))) AS DOUBLE) AS sxy
+       |      FROM r)
+       |SELECT n_ranks,
+       |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+       |FROM s""".stripMargin
+  }
+
   // --- windowed co-occurrence PMI --------------------------------------------
 
   /** Co-occurrence window (forward distance 1..W) and leaderboard size for

@@ -229,6 +229,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("zipfFit: a perfect 1/r law recovers slope -1 and intercept ln C; fixture run well-formed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    // counts 6, 3, 2 = 6/r for ranks 1..3 → exact Zipf with s = 1, C = 6
+    Seq((0L, "a a a a a a b b b c c", "en", "s0", 21))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Corpus.zipfFit(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_ranks") == 3)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(6.0)) < 1e-9, r.toString)
+    // fixture: a shared-vocab synthetic corpus is much flatter than s=1 —
+    // exactly what the diagnostic should expose
+    val f = Corpus.zipfFit(spark, "/root/testdata/sf0.001").collect().head
+    assert(f.getAs[Double]("slope") < 0.0 && f.getAs[Double]("slope") > -1.0)
+  }
+
   test("pmiPairs: hand-computed PMI on a planted corpus; window-2 skip pairs; pair key normalized") {
     import spark.implicits._
     // corpus "a b" ×2, "c d" ×1 → window-2 forward pairs: (a,b)×2, (c,d)×1
