@@ -39,7 +39,8 @@ object Plans {
     "q_scd2", "q_text_embed",
     "q_token_budget", "q_dedup_degree", "q_knn_rp",
     "q_mix_schedule", "q_trend_slope", "q_cluster_sample",
-    "q_embed_drift", "q_quality_drift", "q_ab_lift", "q_rfm")
+    "q_embed_drift", "q_quality_drift", "q_ab_lift", "q_rfm",
+    "q_basket_pairs", "q_zipf_fit")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -236,7 +237,16 @@ object Plans {
       ("per-customer metrics are one partial aggregation; quintile " +
        "boundaries derive from rank windows over the customer-cardinality " +
        "relation and BROADCAST into the classify projection; the segment " +
-       "rollup is partial+final."))
+       "rollup is partial+final."),
+    "q_basket_pairs" ->
+      ("the pair generator self-joins the persisted DISTINCT (order, part) " +
+       "relation keyed on orderkey — fan-out bounded per order, never " +
+       "catalog²; the leaderboard prunes to K rows before the support " +
+       "joins (the q_pmi_pairs discipline)."),
+    "q_zipf_fit" ->
+      ("the vocab aggregation is the only corpus-sized stage; TakeOrdered " +
+       "prunes to the top ranks before the window, and the fit is a 1-row " +
+       "aggregate of DECIMAL-carried sums."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
