@@ -738,6 +738,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(planted.head.getAs[Double]("centroid_cos") - 1.0) < 1e-12)
   }
 
+  test("staged kmeans cells: consumers read the staged table; memberships identical to the live chain") {
+    val t = Similarity.stageKmeansCells(spark, dir)
+    assert(spark.catalog.tableExists(t))
+    // the live chain (q_kmeans always computes it) must agree cell-by-cell
+    // with the staged assignments both mixing and sampling now read
+    val staged = spark.table(t).groupBy("cell").count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    val live = Similarity.kmeans(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_members")).toMap
+    assert(staged == live)
+    // and the staged-path consumers still agree with the live sizes
+    val mix = Similarity.clusterMix(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_members")).toMap
+    assert(mix == live)
+  }
+
   test("clusterSample: Hamilton quotas fill the budget exactly, draws bounded by cell size") {
     val out = Similarity.clusterSample(spark, dir).collect()
     assert(out.nonEmpty)
