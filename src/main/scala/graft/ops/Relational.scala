@@ -771,7 +771,10 @@ object Relational {
       .groupBy("r_bucket", "f_bucket", "m_bucket")
       .agg(
         count(lit(1)).as("n_customers"),
-        sum("monetary").cast(DecimalType(28, 0)).as("sum_monetary"),
+        // Emitted as DECIMAL(18,0): oracle bridges collapse >18-digit decimals
+        // to float64, breaking exact compares. Whole-relation bound at sf0.1 is
+        // ~3.8e12, so the per-segment sum has ≥10⁵× headroom inside 18 digits.
+        sum("monetary").cast(DecimalType(18, 0)).as("sum_monetary"),
         min("custkey").as("min_custkey"))
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
@@ -806,7 +809,7 @@ object Relational {
        |SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
        |       CAST(m_bucket AS INT) AS m_bucket,
        |       COUNT(*) AS n_customers,
-       |       CAST(SUM(monetary) AS DECIMAL(28,0)) AS sum_monetary,
+       |       CAST(SUM(monetary) AS DECIMAL(18,0)) AS sum_monetary,
        |       CAST(MIN(custkey) AS BIGINT) AS min_custkey
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }

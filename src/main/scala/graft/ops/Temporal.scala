@@ -551,9 +551,15 @@ object Temporal {
       .withColumn("n", dec(5)(col("n0")))
     val num = dec(30)(col("n") * col("sxy") - col("sx") * col("sy"))
     val den = dec(20)(col("n") * col("sxx") - col("sx") * col("sx"))
+    // Output width contract: internal arithmetic stays wide (the dec(30)/
+    // dec(20) intermediates above), but the EMITTED columns are DECIMAL(18,0)
+    // — oracle bridges collapse decimals wider than 18 digits to float64 and
+    // lose exactness. Bounds measured at sf0.1: |num| ≤ ~4e10, |den| ≤ ~7e4,
+    // so 18 digits holds with ≥10⁶× headroom; at corpus scale the slope pair
+    // would be re-based (per-window day indices) before it approaches 1e18.
     agg.select(
         col("event_type"), col("n0").as("n_days"),
-        num.as("slope_num"), den.as("slope_den"),
+        dec(18)(num).as("slope_num"), dec(18)(den).as("slope_den"),
         (num.cast("double") / den.cast("double")).as("slope_units_per_day"),
         signum(num.cast("double")).cast("int").as("trend"))
       .orderBy("event_type")
@@ -578,8 +584,8 @@ object Temporal {
        |         CAST(SUM(x * x) AS DECIMAL(13,0)) AS sxx
        |  FROM xy GROUP BY 1)
        |SELECT event_type, n_days,
-       |       CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS slope_num,
-       |       CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS slope_den,
+       |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DECIMAL(18,0)) AS slope_num,
+       |       CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS DECIMAL(18,0)) AS slope_den,
        |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DOUBLE)
        |         / CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS DOUBLE)
        |         AS slope_units_per_day,
