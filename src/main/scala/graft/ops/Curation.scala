@@ -461,9 +461,12 @@ object Curation {
     * ASCII precondition (cross-engine contract): Spark's `ascii` returns
     * the first UTF-8 BYTE of the char (negative beyond 0x7F) while
     * DuckDB's returns the code point, so engine and oracle agree only on
-    * ASCII text. The documents fixture is ASCII-only (asserted by
-    * CurationSpec's fixture-contract test); non-ASCII corpora would need a
-    * byte-level hash on both engines.
+    * ASCII text. The precondition is ENFORCED per row below — a non-ASCII
+    * document raises with its doc_id (`octet_length == length` is the
+    * one-comparison ASCII test; both are precomputed scan-side) instead of
+    * silently producing engine-specific hashes. The documents fixture is
+    * ASCII-only (also asserted by CurationSpec's fixture-contract test);
+    * non-ASCII corpora would need a byte-level hash on both engines.
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val w = CdcWindow
@@ -474,6 +477,13 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= 1)
+      // loud ASCII guard: replaces n with itself on ASCII rows, raises on
+      // the first multibyte row — one integer compare per row, codegen'd
+      .withColumn("n",
+        when(octet_length(col("text")) === col("n"), col("n"))
+          .otherwise(raise_error(concat(
+            lit("cdcChunks requires ASCII text (cross-engine ascii() hash contract); non-ASCII doc_id="),
+            col("doc_id").cast("string")))))
     val spans = docs
       .withColumn("codes",
         transform(split(col("text"), ""), c => ascii(c).cast("bigint")))

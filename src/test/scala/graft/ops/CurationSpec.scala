@@ -137,6 +137,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cdcChunks: a planted multibyte document is rejected loudly, not silently mis-hashed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "plain ascii body " * 5),
+      (2L, "a", "café au lait — déjà vu")) // multibyte: é, —, à
+    val tmp = java.nio.file.Files.createTempDirectory("cdcascii").toString
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val e = intercept[Exception] {
+      Curation.cdcChunks(spark, tmp).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("requires ASCII") && m.contains("doc_id=2")),
+      s"expected the named ASCII-guard error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("dedupClusterStats: planted exact duplicates produce the multi-size histogram") {
     import spark.implicits._
     // the shipped fixture is all-unique (every cluster_size=1), so the
