@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bench-integrity policy for staged artifacts (VERDICT r7 item 5).
+  *
+  * Bench's UNTIMED warmup stages write-once artifacts (bucketed table
+  * layouts, the IVF cell index, the learned k-means cell assignment) so
+  * the timed queries measure the read path the layout buys, not the
+  * one-time write. That framing is only honest while two invariants hold,
+  * locked here as code:
+  *
+  *  1. staged and live paths are BIT-IDENTICAL — the artifact is a pure
+  *     materialization, never a semantic shortcut; and
+  *  2. every warmup-staged artifact keeps a TIMED live sibling in the
+  *     suite that pays the full computation (q_knn_ivf next to
+  *     q_knn_ivf_staged, q_kmeans next to the cluster consumers, the
+  *     plain-join family next to q_bucketed_join),
+  *
+  * plus a reflection guard so a future `stageX` function cannot ship
+  * without declaring its consumers and live twin in the policy table.
+  */
+class StagedArtifactsSpec extends SparkSpec {
+
+  private val dir = sf0001
+
+  /** stage-function -> (timed consumers, timed live siblings). An empty
+    * sibling list is allowed only for the input-fixture class: functions
+    * that synthesize the INPUT a query ingests (stageZip builds the daily
+    * zip archive q_zip_ingest reads), run inside the consumer itself and
+    * are never warmup-staged performance artifacts.
+    */
+  private val policy: Map[String, (Seq[String], Seq[String])] = Map(
+    "stageBucketedTables" -> ((Seq("q_bucketed_join"), Seq("q_sales_daily"))),
+    "stageIvfIndex"       -> ((Seq("q_knn_ivf_staged"), Seq("q_knn_ivf"))),
+    "stageKmeansCells"    -> ((Seq("q_cluster_mix", "q_cluster_sample"), Seq("q_kmeans"))),
+    "stageZip"            -> ((Seq("q_zip_ingest"), Seq.empty)))
+
+  test("every stage* function in ops is declared in the staged-artifact policy") {
+    val objs = Seq(ops.Relational, ops.Similarity, ops.Ingestion, ops.Dedup,
+      ops.Curation, ops.Corpus, ops.TextAnalysis, ops.Temporal, ops.Multimodal,
+      ops.SeqPack, ops.Skew)
+    val found = objs.flatMap(_.getClass.getDeclaredMethods.toSeq.map(_.getName))
+      .filter(n => n.startsWith("stage") && !n.contains("$")).toSet
+    assert(found == policy.keySet,
+      s"stage* functions and policy table diverge: found=$found policy=${policy.keySet}; " +
+        "declare consumers + a timed live sibling for any new staged artifact")
+  }
+
+  test("every warmup-staged artifact in Bench has a timed live sibling and registered consumers") {
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
+    val warmupStaged =
+      """\bops\.[A-Za-z]+\.(stage[A-Za-z]+)\(""".r.findAllMatchIn(bench).map(_.group(1)).toSet
+    assert(warmupStaged.nonEmpty, "expected Bench to warmup-stage at least one artifact")
+    warmupStaged.foreach { s =>
+      assert(policy.contains(s), s"Bench stages $s but the policy table does not cover it")
+      val (consumers, twins) = policy(s)
+      assert(twins.nonEmpty,
+        s"$s is warmup-staged but declares no timed live sibling — " +
+          "a query whose only expensive stage is pre-staged untimed needs a live twin")
+      (consumers ++ twins).foreach(q =>
+        assert(SparkEntry.queries.contains(q), s"policy cites unregistered query $q"))
+    }
+  }
+
+  test("kmeans cells: staged and live paths are bit-identical; staged path reads the table") {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val t = s"kmeans_cells${ops.Similarity.KmeansIters}_${ops.Similarity.CentroidStride}$safe"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val liveMix = ops.Similarity.clusterMix(spark, dir).collect().toSeq
+    val liveSample = ops.Similarity.clusterSample(spark, dir).collect().toSeq
+    ops.Similarity.stageKmeansCells(spark, dir)
+    val stagedMixDf = ops.Similarity.clusterMix(spark, dir)
+    assert(stagedMixDf.queryExecution.optimizedPlan.toString.contains(t)
+        || stagedMixDf.queryExecution.executedPlan.toString.contains(t),
+      s"after staging, clusterMix should read table $t")
+    assert(stagedMixDf.collect().toSeq == liveMix,
+      "clusterMix: staged result differs from live result")
+    assert(ops.Similarity.clusterSample(spark, dir).collect().toSeq == liveSample,
+      "clusterSample: staged result differs from live result")
+  }
+
+  test("IVF: staged ANN keeps its live timed twin — same oracle, bit-identical results") {
+    assert(SparkEntry.oracleSql("q_knn_ivf") == SparkEntry.oracleSql("q_knn_ivf_staged"),
+      "the staged IVF query must be held to the live query's oracle")
+    val live = ops.Similarity.knnIvf(spark, dir).collect().toSeq
+    val staged = ops.Similarity.knnIvfStaged(spark, dir).collect().toSeq
+    assert(staged == live, "knnIvfStaged result differs from the live knnIvf")
+  }
+
+  test("bucketed join: staged layout is a pure materialization of the plain join") {
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           util.Exact.sum2(util.Exact.revenue).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(ops.Relational.bucketedJoin(spark, dir).collect().toSeq == plain,
+      "bucketedJoin over the staged layout differs from the plain live join")
+  }
+}
