@@ -238,6 +238,67 @@ object Relational {
        |GROUP BY CUBE(r.r_name, l.l_returnflag)
        |ORDER BY 1, 2""".stripMargin
 
+  /** q_sales_grouping_sets: explicit GROUPING SETS — the arbitrary-set
+    * member of the multi-granularity family next to [[salesRollup]]
+    * (hierarchical) and [[salesCube]] (full cross): exactly the four sets
+    * ((region, priority), (region), (priority), ()) in ONE pass. Measures
+    * are non-trivial on purpose: the exact revenue sum, line counts, and a
+    * COUNT(DISTINCT l_suppkey) — the distinct aggregate rides the same
+    * single Expand (partial per (gid, keys, suppkey), then final), where
+    * four separate GROUP BYs would scan the 100 TB fact four times and
+    * the distinct would shuffle four times. `grouping_id()` disambiguates
+    * the set each output row belongs to (both engines use the same
+    * first-column-is-MSB bit order), so an 'ALL' label can never be
+    * confused with a literal dimension value.
+    *
+    * Scale shape: lineitem⋈orders is the key-partitioned fact join shared
+    * with [[salesDaily]]; the dimension chain broadcasts; Expand fans each
+    * row to the 4 sets BEFORE the partial aggregate, so the shuffle
+    * carries only (set, group, suppkey) partials, not fanned fact rows.
+    */
+  def salesGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderpriority")),
+            Seq(col("r_name")),
+            Seq(col("o_orderpriority")),
+            Seq.empty),
+        col("r_name"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+           Exact.sum2(Exact.revenue).as("revenue"),
+           count(lit(1)).as("n_lines"),
+           count_distinct(col("l_suppkey")).as("n_suppliers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("gid"), col("revenue"), col("n_lines"), col("n_suppliers"))
+      .orderBy("gid", "region", "priority")
+  }
+
+  val salesGroupingSetsOracle: String =
+    s"""SELECT COALESCE(r.r_name, 'ALL') AS region,
+       |       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       |       CAST(GROUPING(r.r_name, o.o_orderpriority) AS INT) AS gid,
+       |       ${Exact.sum2Sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       |       COUNT(*) AS n_lines,
+       |       COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY GROUPING SETS ((r.r_name, o.o_orderpriority), (r.r_name),
+       |                        (o.o_orderpriority), ())
+       |ORDER BY 3, 1, 2""".stripMargin
+
   /** Pivot: revenue by month × return-flag — the wide-format reshape
     * (§2.7-adjacent; Spark `pivot` is a groupBy extension, the oracle
     * expresses it as conditional aggregation).

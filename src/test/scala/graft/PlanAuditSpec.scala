@@ -53,6 +53,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("grouping sets: one Expand feeds all four sets; dims broadcast; distinct rides the same pass") {
+    val df = ops.Relational.salesGroupingSets(spark, dir)
+    df.collect() // materialize AQE final plan
+    // AQE's toString prints the final plan followed by the initial plan;
+    // audit only the final one
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // exactly ONE Expand: all four grouping sets come from a single fact
+    // pass — four separate GROUP BYs would scan the fact four times
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected exactly one Expand:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    // the count-distinct must not add another Expand or fact re-scan: it
+    // plans as the standard two-phase distinct aggregate over the same pass
+    assert(plan.contains("BroadcastHashJoin"), s"dimension chain should broadcast:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
   test("whole-stage codegen covers the scan->project->aggregate hot path") {
     // skuDaily is pure arithmetic -> fully codegen'd. (Higher-order lambda
     // functions — tokens/shingles — are CodegenFallback by Spark design,
