@@ -212,21 +212,51 @@ object Curation {
     * source-keyed join of source-cardinality rows; in production the
     * corpus side is a stored running (n, Σbp) pair updated O(batch)/day.
     */
-  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
-    val t = QualityDriftTopK
-    val sig = TextAnalysis.qualitySignals(Tables.documents(spark, dir))
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame =
+    qualityDriftOfSides(qualityDriftSidesOf(
+      qualityDriftSignalOf(Tables.documents(spark, dir))))
+
+  /** Per-doc drift signal: (doc_id, source, bp) — the integer basis-point
+    * stopword density. Row-local projections only, so it runs unchanged on
+    * a streaming relation (the streaming face's ingest stage).
+    */
+  def qualityDriftSignalOf(docs: DataFrame): DataFrame =
+    TextAnalysis.qualitySignals(docs)
       .select(col("doc_id"), col("source"),
         when(col("n_tokens") > 0,
           expr("CAST(n_stopwords AS BIGINT) * 10000 div n_tokens"))
           .otherwise(0L).as("bp"))
+
+  /** The side-aggregated (source, side, n, s) relation from the per-doc
+    * signal — side 'c' = accumulated corpus (md5 buckets 0-7), 'b' =
+    * today's batch (8-9). Associative count/sum only, so a complete-mode
+    * streaming aggregation of this stage is micro-batch-split invariant.
+    */
+  def qualityDriftSidesOf(sig: DataFrame): DataFrame = {
     val bucket = pmod(conv(substring(md5(concat(lit("drift:"),
       col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long"), lit(10))
-    def side(f: org.apache.spark.sql.Column, pre: String): DataFrame =
-      sig.filter(f).groupBy("source")
-        .agg(count(lit(1)).as(s"n_$pre"), sum("bp").as(s"s_$pre"))
-    val corpus = side(bucket < 8, "corpus")
-    val batch  = side(bucket >= 8, "batch")
-    val joined = corpus.join(batch, Seq("source"))
+    sig.withColumn("side", when(bucket < 8, lit("c")).otherwise(lit("b")))
+      .groupBy("source", "side")
+      .agg(count(lit(1)).as("n"), sum("bp").as("s"))
+  }
+
+  /** Batch readout over the drained side relation: mean-shift rationals,
+    * rank, top-K flags — shared verbatim by [[qualityDrift]] and the
+    * streaming face (`q_stream_drift`), so both are held to the same
+    * DuckDB oracle.
+    */
+  def qualityDriftOfSides(sides: DataFrame): DataFrame = {
+    val t = QualityDriftTopK
+    // one conditional aggregation, not a self-join: the drained memory-sink
+    // relation can't be self-joined (its attributes never re-alias), and a
+    // single pass over the source×2-row relation is the better shape anyway;
+    // sources missing either side drop out like the former inner join
+    val joined = sides.groupBy("source")
+      .agg(sum(when(col("side") === "c", col("n"))).as("n_corpus"),
+           sum(when(col("side") === "c", col("s"))).as("s_corpus"),
+           sum(when(col("side") === "b", col("n"))).as("n_batch"),
+           sum(when(col("side") === "b", col("s"))).as("s_batch"))
+      .filter(col("n_corpus").isNotNull && col("n_batch").isNotNull)
       .withColumn("mean_shift_bp",
         (col("s_batch") * col("n_corpus") - col("s_corpus") * col("n_batch"))
           .cast("double") / (col("n_corpus") * col("n_batch")).cast("double"))

@@ -277,6 +277,36 @@ object StreamingQueries {
     graft.ops.Temporal.rollingZscoreOfDaily(spark.table(name))
   }
 
+  /** q_stream_drift: the [[graft.ops.Curation.qualityDrift]] monitor fed
+    * by the streaming engine — the per-doc signal and the (source, side)
+    * count/Σbp aggregation run THROUGH a complete-mode streaming query
+    * (associative integer aggregates, so the drained side relation is
+    * micro-batch-split invariant), then the mean-shift/rank/top-K readout
+    * runs as a batch pass over the drained table via the shared
+    * [[graft.ops.Curation.qualityDriftOfSides]] plan — same DuckDB oracle
+    * as the batch monitor. This keeps the every-curation-stage-has-a-
+    * streaming-face invariant for the drift monitors: continuous ingestion
+    * keeps the per-(source, side) running pairs current; the drift sweep
+    * is a cheap scheduled pass over the source-cardinality table — exactly
+    * the stored-running-sums production shape the batch monitor's
+    * scaladoc promises.
+    */
+  def streamQualityDrift(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_quality_drift"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val sides = graft.ops.Curation.qualityDriftSidesOf(
+      graft.ops.Curation.qualityDriftSignalOf(reader.parquet(s"$dir/documents.parque*")))
+    val q = sides.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Curation.qualityDriftOfSides(spark.table(name))
+  }
+
   def streamVocabTopK(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = "stream_vocab_topk"

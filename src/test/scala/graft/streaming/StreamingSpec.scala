@@ -280,6 +280,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming quality drift equals the batch monitor and is micro-batch-split invariant") {
+    // the per-(source, side) count/Σbp pairs are associative and complete
+    // mode re-emits full state; the mean-shift/rank readout is shared with
+    // the batch monitor — results must be identical under a forced 3-file
+    // split
+    val dir = tmpDir("stream_drift")
+    spark.read.parquet(s"$sf0001/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val streamed = StreamingQueries.streamQualityDrift(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Curation.qualityDrift(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+    assert(streamed.schema.fieldNames.contains("drifted"))
+  }
+
   test("streaming session_window summary equals the batch lag-form summary") {
     val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
