@@ -1736,7 +1736,17 @@ object Similarity {
       val vecs = vectors(spark, dir).persist()
       vecs.count()
       val cents = lloydCents(vecs, KmeansIters)
-      assignCellsSim(vecs, cents).select(col("vec_id"), col("cell"))
+      // materialize the narrow assignment, then release the fat vectors
+      // cache (mirrors stageKmeansCells): without this, a session running
+      // both cluster consumers unstaged holds two cached corpus-vector
+      // copies. The assignment cache itself is (vec_id, cell)-narrow and
+      // consumer-managed (clusterSample re-persists/uses it; Bench clears
+      // caches between queries).
+      val assigned = assignCellsSim(vecs, cents)
+        .select(col("vec_id"), col("cell")).persist()
+      assigned.count()
+      vecs.unpersist(blocking = false)
+      assigned
     }
   }
 
