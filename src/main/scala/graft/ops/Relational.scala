@@ -955,4 +955,124 @@ object Relational {
        |       CAST(MIN(key) AS BIGINT) AS min_key,
        |       CAST(MAX(key) AS BIGINT) AS max_key
        |FROM acts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- data-quality constraint audit ------------------------------------------
+
+  /** q_dq_checks: the pre-ingest validation gate — one row per constraint
+    * (nulls, key uniqueness, value domain, value range, referential
+    * integrity, temporal consistency) with checked/violation counts and a
+    * pass verdict. This is the expectations-suite shape (Deequ-style):
+    * the pipeline asserts the batch BEFORE promotion, and the audit table
+    * is the evidence trail.
+    *
+    * Scale shape: every per-table check family is FUSED into one
+    * conditional-aggregation pass over that table (one pruned scan each
+    * for orders and lineitem — never a scan per check), unpivoted to check
+    * rows by `stack`. Cross-table checks are key-only: the FK orphan
+    * probes are anti-joins over just the key columns (dimension side
+    * broadcasts; the fact-fact orphan check shuffles only 8-byte keys),
+    * and the temporal check rides the same key join with one date column
+    * on each side. All counts are exact longs; the verdict is an integer.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    // one fused pass over orders: nulls, duplicate keys, status domain
+    val oChecks = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        (count(col("o_orderkey")) - count_distinct(col("o_orderkey"))).as("dup_orderkey"),
+        count(when(not(col("o_orderstatus").isin("O", "F", "P")), 1)).as("bad_status"))
+      .select(expr(
+        """stack(3,
+          |  'null_orders_custkey',    n_rows, null_custkey,
+          |  'unique_orders_orderkey', n_rows, dup_orderkey,
+          |  'domain_orders_status',   n_rows, bad_status)
+          |  AS (check_name, n_checked, n_violations)""".stripMargin))
+      .withColumn("table_name", lit("orders"))
+    // one fused pass over lineitem: discount range, positive quantity
+    val lChecks = l.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+        count(when(col("l_quantity") <= 0, 1)).as("bad_quantity"))
+      .select(expr(
+        """stack(2,
+          |  'range_lineitem_discount', n_rows, bad_discount,
+          |  'range_lineitem_quantity', n_rows, bad_quantity)
+          |  AS (check_name, n_checked, n_violations)""".stripMargin))
+      .withColumn("table_name", lit("lineitem"))
+    // referential integrity: key-only anti-join probes. SQL FK semantics:
+    // a null child key satisfies the constraint (the null check owns those
+    // rows), so only non-null keys are "checked"
+    def fkCheck(name: String, tbl: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(key).filter(col(key).isNotNull)
+      val orphans = keys
+        .join(parent.select(pkey), col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      keys.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"),
+                col("n_violations"), lit(tbl).as("table_name"))
+    }
+    val fkLine = fkCheck("fk_lineitem_orderkey", "lineitem",
+      l, "l_orderkey", o, "o_orderkey")
+    val fkOrders = fkCheck("fk_orders_custkey", "orders",
+      o, "o_custkey", broadcast(c), "c_custkey")
+    // temporal consistency: a lineitem may never ship before its order date
+    val temporal = l.select("l_orderkey", "l_shipdate")
+      .join(o.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_checked"),
+           count(when(to_date(col("l_shipdate")) < to_date(col("o_orderdate")), 1))
+             .as("n_violations"))
+      .select(lit("temporal_ship_after_order").as("check_name"),
+              col("n_checked"), col("n_violations"), lit("lineitem").as("table_name"))
+    Seq(oChecks, lChecks, fkLine, fkOrders, temporal)
+      .reduce(_.unionByName(_))
+      .select(col("check_name"), col("table_name"), col("n_checked"),
+              col("n_violations"), (col("n_violations") === 0).cast("int").as("passed"))
+      .orderBy("check_name")
+  }
+
+  val dqChecksOracle: String =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate FROM orders),
+       |l AS (SELECT l_orderkey, l_quantity, l_discount, l_shipdate FROM lineitem),
+       |rows AS (
+       |  SELECT 'null_orders_custkey' AS check_name, 'orders' AS table_name,
+       |         COUNT(*) AS n_checked,
+       |         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations FROM o
+       |  UNION ALL
+       |  SELECT 'unique_orders_orderkey', 'orders', COUNT(*),
+       |         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM o
+       |  UNION ALL
+       |  SELECT 'domain_orders_status', 'orders', COUNT(*),
+       |         COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM o
+       |  UNION ALL
+       |  SELECT 'range_lineitem_discount', 'lineitem', COUNT(*),
+       |         COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM l
+       |  UNION ALL
+       |  SELECT 'range_lineitem_quantity', 'lineitem', COUNT(*),
+       |         COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) FROM l
+       |  UNION ALL
+       |  SELECT 'fk_lineitem_orderkey', 'lineitem',
+       |         (SELECT COUNT(*) FROM l WHERE l_orderkey IS NOT NULL),
+       |         COUNT(*) FROM l WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+       |           (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey)
+       |  UNION ALL
+       |  SELECT 'fk_orders_custkey', 'orders',
+       |         (SELECT COUNT(*) FROM o WHERE o_custkey IS NOT NULL),
+       |         COUNT(*) FROM o WHERE o_custkey IS NOT NULL AND NOT EXISTS
+       |           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       |  UNION ALL
+       |  SELECT 'temporal_ship_after_order', 'lineitem', COUNT(*),
+       |         COUNT(CASE WHEN CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+       |               THEN 1 END)
+       |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey)
+       |SELECT check_name, table_name, CAST(n_checked AS BIGINT) AS n_checked,
+       |       CAST(n_violations AS BIGINT) AS n_violations,
+       |       CAST(n_violations = 0 AS INT) AS passed
+       |FROM rows ORDER BY 1""".stripMargin
 }

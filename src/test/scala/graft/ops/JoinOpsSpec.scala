@@ -173,6 +173,60 @@ class JoinOpsSpec extends SparkSpec {
     assert(out((1L, 3L)).getAs[Double]("lift") == 4.0 / 3)
   }
 
+  test("dqChecks: planted violations are counted per constraint; fixture structural checks pass") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dq").toFile.getAbsolutePath
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq(1L, 2L).toDF("c_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // planted: one dup orderkey (101), one null custkey (102), one bad
+    // status (103), one FK-orphan custkey (104 -> 9)
+    Seq(
+      (100L, Option(1L), "O", d("1995-01-02")),
+      (101L, Option(2L), "F", d("1995-01-03")),
+      (101L, Option(2L), "P", d("1995-01-04")),
+      (102L, Option.empty[Long], "O", d("1995-01-05")),
+      (103L, Option(1L), "X", d("1995-01-06")),
+      (104L, Option(9L), "O", d("1995-01-07")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // planted: one negative quantity, one discount > 1, one orphan
+    // orderkey (999), one ship-before-order line (101 @ 01-01)
+    Seq(
+      (100L, 5.0, 0.10, d("1995-01-10")),
+      (100L, -1.0, 0.05, d("1995-01-11")),
+      (101L, 2.0, 1.50, d("1995-01-12")),
+      (999L, 1.0, 0.00, d("1995-01-13")),
+      (101L, 3.0, 0.20, d("1995-01-01")))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.dqChecks(spark, tmp).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"), r.getAs[Int]("passed"))).toMap
+    assert(out("null_orders_custkey") == ((6L, 1L, 0)))
+    assert(out("unique_orders_orderkey") == ((6L, 1L, 0)))
+    assert(out("domain_orders_status") == ((6L, 1L, 0)))
+    assert(out("range_lineitem_discount") == ((5L, 1L, 0)))
+    assert(out("range_lineitem_quantity") == ((5L, 1L, 0)))
+    assert(out("fk_lineitem_orderkey") == ((5L, 1L, 0)))
+    // null custkey is exempt from the FK probe (SQL FK semantics): 5
+    // non-null keys checked, only custkey 9 orphaned
+    assert(out("fk_orders_custkey") == ((5L, 1L, 0)))
+    // the dup orderkey 101 doubles its lines in the temporal join: rows
+    // 100:2x1 + 101:2x2 = 6 pairs; the 01-01 line violates against both
+    assert(out("temporal_ship_after_order") == ((6L, 2L, 0)))
+    // the shipped fixture: all structural constraints hold; the temporal
+    // check legitimately FIRES (the synthetic generator draws ship dates
+    // independently of order dates — the audit surfacing that is the
+    // feature, and the constant non-zero count is part of the oracle row)
+    val fixture = Relational.dqChecks(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(fixture.size == 8)
+    fixture.filterKeys(_ != "temporal_ship_after_order").values
+      .foreach(r => assert(r.getAs[Int]("passed") == 1, r.toString))
+    assert(fixture("temporal_ship_after_order").getAs[Long]("n_violations") > 0)
+  }
+
   test("rfm: buckets partition customers near-evenly, segment counts conserve, monetary exact") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.rfmSegments(spark, dir).collect()
