@@ -300,6 +300,85 @@ object Curation {
        |FROM j ORDER BY 1""".stripMargin
   }
 
+  // --- deterministic epoch shuffle -------------------------------------------
+
+  /** Docs per shard for [[epochShuffle]]. */
+  val ShuffleShardSize = 100L
+
+  /** Epoch seed for [[epochShuffle]] — changing it is the "new epoch, new
+    * order" lever; everything downstream stays bit-deterministic.
+    */
+  val ShuffleSeed = "epoch1"
+
+  /** q_epoch_shuffle: reproducible global training order without RNG
+    * state — every document's epoch position is the rank of
+    * md5(seed:doc_id) (keyed hash as the shuffle permutation), so any
+    * worker can recompute any shard from (seed, corpus) alone; a new
+    * epoch is a new seed, not a new random state to checkpoint. The audit
+    * reports, per contiguous [[ShuffleShardSize]]-doc shard: doc count,
+    * how many sources landed in the shard and the largest single-source
+    * clump (the mixing property a training shard needs — hash order
+    * provably interleaves sources), position extents, and an id checksum
+    * pinning the exact membership.
+    *
+    * Scale shape: the permutation is ONE range-partitioned sort by the
+    * 60-bit numeric hash prefix; global positions come from the
+    * [[graft.plans.PrefixSum]] scaffold (bucket-offset two-phase — never
+    * a single-partition window), and the shard audit is two map-side
+    * combined aggregations over (shard, source). At 100 TB the epoch
+    * layout is written once per seed and the data loader consumes shards
+    * as contiguous ranges of the sorted files.
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   seed: String = ShuffleSeed): DataFrame = {
+    val s = ShuffleShardSize
+    // 15 hex chars = 60 bits: numeric (PrefixSum's leading-order contract)
+    // and far from BIGINT overflow on both engines; doc_id breaks the
+    // (negligible) collision ties so the order is total
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("k",
+        conv(substring(md5(concat(lit(s"$seed:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("ep", lit(0))
+    val pos = graft.plans.PrefixSum.exclusiveRunningSum(
+      docs, lit(1L), Seq("ep"), Seq("k", "doc_id"), out = "pos0")
+    val perSource = pos
+      .withColumn("shard", expr(s"pos0 div $s"))
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ck"),
+           min("pos0").as("mn"), max("pos0").as("mx"))
+    perSource.groupBy("shard")
+      .agg(sum("n").as("n_docs"),
+           count(lit(1)).as("n_sources"),
+           max("n").as("max_source_docs"),
+           (min("mn") + 1).as("first_pos"),
+           (max("mx") + 1).as("last_pos"),
+           sum("ck").as("id_checksum"))
+      .orderBy("shard")
+  }
+
+  val epochShuffleOracle: String = {
+    val s = ShuffleShardSize
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+       |  FROM documents),
+       |p AS (SELECT doc_id, source,
+       |             ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos0 FROM d),
+       |ps AS (SELECT pos0 // $s AS shard, source, COUNT(*) AS n,
+       |              CAST(SUM(doc_id) AS BIGINT) AS ck,
+       |              MIN(pos0) AS mn, MAX(pos0) AS mx
+       |       FROM p GROUP BY 1, 2)
+       |SELECT shard, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |       COUNT(*) AS n_sources,
+       |       CAST(MAX(n) AS BIGINT) AS max_source_docs,
+       |       CAST(MIN(mn) + 1 AS BIGINT) AS first_pos,
+       |       CAST(MAX(mx) + 1 AS BIGINT) AS last_pos,
+       |       CAST(SUM(ck) AS BIGINT) AS id_checksum
+       |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --- deterministic interleave schedule -------------------------------------
 
   /** Schedule length (slots) for [[mixSchedule]]. */

@@ -154,6 +154,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"expected the named ASCII-guard error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("epochShuffle: shards tile positions exactly, membership conserves, hash order mixes sources") {
+    val docs = graft.Tables.documents(spark, dir)
+    val (nDocs, idSum, nSources) = {
+      val r = docs.agg(count(lit(1)), sum("doc_id"),
+        count_distinct(col("source"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val out = Curation.epochShuffle(spark, dir).collect()
+    val s = Curation.ShuffleShardSize
+    // positions tile 1..N with no gaps: shard i covers [i*s+1, ...]
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("shard") == i)
+      assert(r.getAs[Long]("first_pos") == i * s + 1)
+      assert(r.getAs[Long]("last_pos") == math.min((i + 1) * s, nDocs))
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("last_pos") - i * s)
+    }
+    // membership conserves exactly
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(out.map(_.getAs[Long]("id_checksum")).sum == idSum)
+    // the mixing property: hash order interleaves sources — every full
+    // shard sees well over half the sources and no single-source clump
+    // dominates (fixture: 20 sources, 100-doc shards)
+    out.filter(_.getAs[Long]("n_docs") == s).foreach { r =>
+      assert(r.getAs[Long]("n_sources") > nSources / 2, r.toString)
+      assert(r.getAs[Long]("max_source_docs") < s / 2, r.toString)
+    }
+    // a new seed is a different permutation (per-shard membership moves),
+    // but the same seed reproduces bit-identically
+    val again = Curation.epochShuffle(spark, dir).collect()
+    assert(out.toSeq == again.toSeq)
+    val other = Curation.epochShuffle(spark, dir, seed = "epoch2").collect()
+    assert(out.map(_.getAs[Long]("id_checksum")).toSeq !=
+           other.map(_.getAs[Long]("id_checksum")).toSeq)
+  }
+
   test("dedupClusterStats: planted exact duplicates produce the multi-size histogram") {
     import spark.implicits._
     // the shipped fixture is all-unique (every cluster_size=1), so the
