@@ -79,6 +79,30 @@ class ScaleSpec extends SparkSpec {
            s"round-robin layout unexpectedly clustered: $rr")
   }
 
+  test("z-order layout bounds BOTH dimension extents per file; date-linear leaves partkey unprunable") {
+    // the curve geometry, not the data, drives these bounds: a contiguous
+    // 2048-cell Morton range sits inside a bounding box of at most
+    // 128x64 cells (twice the aligned 64x32 block in each dimension),
+    // while a date-major linear range spans <=9 date buckets but the FULL
+    // 256-bucket partkey domain
+    val out = Layout.zorderLayout(spark, sf0001).collect()
+    val (z, lin) = out.partition(_.getAs[String]("layout") == "zorder")
+    assert(z.nonEmpty && lin.nonEmpty)
+    val nRows = Tables.lineitem(spark, sf0001).count()
+    assert(z.map(_.getAs[Long]("n_rows")).sum == nRows)
+    assert(lin.map(_.getAs[Long]("n_rows")).sum == nRows)
+    z.foreach { r =>
+      assert(r.getAs[Long]("pk_span") <= 128, r.toString)
+      assert(r.getAs[Long]("dt_span") <= 128, r.toString)
+    }
+    lin.foreach(r => assert(r.getAs[Long]("dt_span") <= 9, r.toString))
+    // the comparative claim: z-order makes partkey prunable, linear does not
+    val zMaxPk = z.map(_.getAs[Long]("pk_span")).max
+    val linMaxPk = lin.map(_.getAs[Long]("pk_span")).max
+    assert(zMaxPk * 2 <= linMaxPk,
+      s"z-order partkey extent $zMaxPk not materially tighter than linear $linMaxPk")
+  }
+
   test("stop-shingle DF cap collapses the hot-bucket candidate blowup (100 TB skew defense)") {
     import spark.implicits._
     // 100 boilerplate docs sharing one hot shingle set + 1 genuine near-dup
