@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative link analysis over relation-derived graphs — the sibling of
+  * the connected-components resolution in [[Dedup]]: CC answers "which
+  * nodes belong together", PageRank answers "which nodes matter", the
+  * relevance-weighting signal a curation pipeline uses to pick canonical
+  * documents/products out of a similarity or co-occurrence graph.
+  */
+object Graph {
+
+  /** Fixed-point scale for rank integers (the quantized-integer
+    * determinism idiom shared with the Lloyd chain): all PageRank
+    * arithmetic is integer multiply / integer divide, so every engine
+    * computes bit-identical ranks — no float summation order anywhere.
+    */
+  val PrScale = 1000000L
+
+  /** Damping in percent (d = 0.85) — kept as the integer pair (85, 15)
+    * so the update rule stays all-integer: r' = 0.15·scale + (85·Σ
+    * contrib) div 100.
+    */
+  val PrDampPct = 85L
+
+  /** Power iterations. Three suffice for a stable leaderboard on the
+    * co-purchase graph; the oracle unrolls exactly this many rounds.
+    */
+  val PrIters = 3
+
+  /** Leaderboard size. */
+  val PrTopK = 15
+
+  /** q_pagerank: PageRank centrality of parts in the co-purchase graph
+    * (nodes = parts, undirected edges = "appeared in the same order",
+    * weight = number of shared orders — [[Relational.basketPairs]]' graph
+    * without the top-k cut). [[PrIters]] damped power iterations in exact
+    * integer arithmetic: ranks are [[PrScale]]-scaled longs, each
+    * neighbor contribution is `(rank·w) div s` (s = weighted degree), and
+    * the damping mix is integer percent math — bit-identical across
+    * engines by construction, like every iterated chain in this repo
+    * (Lloyd, BPE, label propagation).
+    *
+    * Scale shape: the edge relation is built once from the per-order
+    * distinct part sets (pair fan-out bounded by order size, the
+    * basket-pairs bound) and persisted with its degree column; each
+    * iteration is one edge⋈rank equi-join on the source node plus one
+    * map-side combined sum keyed by the destination — the standard
+    * edge-partitioned distributed PageRank step (ranks shuffle, edges
+    * stay put; generational persist + eager materialize + unpersist keeps
+    * the loop lineage flat). The leaderboard is a distributed top-k.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select("u", "v", "w")
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val deg = edges.groupBy("u").agg(sum("w").as("s"))
+    val eds = edges.join(deg, "u").persist()
+    eds.count() // one edge build feeds every iteration
+    val base = (100L - PrDampPct) * PrScale / 100L
+    var rank = deg.select(col("u").as("node"), lit(PrScale).as("rank")).persist()
+    rank.count()
+    for (_ <- 1 to PrIters) {
+      val next = eds.join(rank, eds("u") === rank("node"))
+        .select(col("v"), expr("(rank * w) div s").as("c"))
+        .groupBy("v")
+        .agg(sum("c").as("sc"))
+        .select(col("v").as("node"),
+                (lit(base) + expr(s"($PrDampPct * sc) div 100")).as("rank"))
+        .persist()
+      next.count()
+      rank.unpersist(blocking = false)
+      rank = next
+    }
+    val out = rank.join(deg, rank("node") === deg("u"))
+      .select(col("node").as("partkey"), col("rank").as("pr_rank"),
+              col("s").as("degree_w"))
+      .orderBy(col("pr_rank").desc, col("partkey"))
+      .limit(PrTopK)
+    eds.unpersist(blocking = false)
+    out
+  }
+
+  val pageRankOracle: String = {
+    val base = (100L - PrDampPct) * PrScale / 100L
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS node,
+         |         CAST($base + ($PrDampPct * SUM((r.rank * e.w) // e.s)) // 100 AS BIGINT) AS rank
+         |  FROM e JOIN r${i - 1} r ON r.node = e.u GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pr AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+       |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |ed AS (SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr),
+       |d AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY 1),
+       |e AS (SELECT ed.u, ed.v, ed.w, d.s FROM ed JOIN d ON ed.u = d.u),
+       |r0 AS (SELECT u AS node, CAST($PrScale AS BIGINT) AS rank FROM d),
+       |$iters
+       |SELECT r.node AS partkey, r.rank AS pr_rank, d.s AS degree_w
+       |FROM r$PrIters r JOIN d ON d.u = r.node
+       |ORDER BY pr_rank DESC, partkey LIMIT $PrTopK""".stripMargin
+  }
+}

@@ -1075,4 +1075,34 @@ object Relational {
        |       CAST(n_violations AS BIGINT) AS n_violations,
        |       CAST(n_violations = 0 AS INT) AS passed
        |FROM rows ORDER BY 1""".stripMargin
+
+  /** The lineitem-family subset of [[dqChecksOracle]] — the oracle for the
+    * streaming arrival gate `q_stream_dq`, which validates the lineitem
+    * stream against the static warehouse (so only lineitem-side checks
+    * apply; the orders-side checks belong to the orders ingest).
+    */
+  val dqChecksLineitemOracle: String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+       |l AS (SELECT l_orderkey, l_quantity, l_discount, l_shipdate FROM lineitem),
+       |rows AS (
+       |  SELECT 'range_lineitem_discount' AS check_name, COUNT(*) AS n_checked,
+       |         COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS n_violations FROM l
+       |  UNION ALL
+       |  SELECT 'range_lineitem_quantity', COUNT(*),
+       |         COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) FROM l
+       |  UNION ALL
+       |  SELECT 'fk_lineitem_orderkey',
+       |         (SELECT COUNT(*) FROM l WHERE l_orderkey IS NOT NULL),
+       |         COUNT(*) FROM l WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+       |           (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey)
+       |  UNION ALL
+       |  SELECT 'temporal_ship_after_order', COUNT(*),
+       |         COUNT(CASE WHEN CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+       |               THEN 1 END)
+       |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey)
+       |SELECT check_name, 'lineitem' AS table_name,
+       |       CAST(n_checked AS BIGINT) AS n_checked,
+       |       CAST(n_violations AS BIGINT) AS n_violations,
+       |       CAST(n_violations = 0 AS INT) AS passed
+       |FROM rows ORDER BY 1""".stripMargin
 }

@@ -277,6 +277,71 @@ object StreamingQueries {
     graft.ops.Temporal.rollingZscoreOfDaily(spark.table(name))
   }
 
+  /** q_stream_dq: the data-quality gate validating an ARRIVING fact
+    * stream against the standing warehouse — the streaming face of
+    * [[graft.ops.Relational.dqChecks]]' lineitem constraint family.
+    * Lineitem is the stream (the batch being validated before promotion);
+    * orders and customer are the static side. Three streaming
+    * aggregations drain through complete-mode memory sinks (Structured
+    * Streaming allows one aggregation per query):
+    *
+    *  - the fused row-local pass (range checks + non-null key counts),
+    *  - the FK orphan probe — a STREAM-STATIC left_anti join on just the
+    *    key column (the standing orders key set is the static build side),
+    *  - the temporal pass — a stream-static inner key join carrying one
+    *    date from each side.
+    *
+    * All three are associative counts, so each drained 1-row table is
+    * micro-batch-split invariant, and the readout assembles the same
+    * audit rows the batch gate emits — held to the same per-check oracle
+    * values. This is the production arrival-gate shape: the warehouse
+    * side is a static snapshot, the validation is continuous, and
+    * promotion waits on the verdict row.
+    */
+  def streamDqChecks(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val names = Seq("stream_dq_rowlocal", "stream_dq_fk", "stream_dq_temporal")
+    spark.streams.active.filter(q => names.contains(q.name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    def reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }.parquet(s"$dir/lineitem.parque*")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val o = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate")
+    def drain(df: DataFrame, name: String): DataFrame = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val rowLocal = drain(reader.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+      count(when(col("l_quantity") <= 0, 1)).as("bad_quantity"),
+      count(col("l_orderkey")).as("n_keys")), names(0))
+    val fk = drain(reader.select("l_orderkey")
+      .filter(col("l_orderkey").isNotNull)
+      .join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans")), names(1))
+    val temporal = drain(reader.select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+           count(when(to_date(col("l_shipdate")) < to_date(col("o_orderdate")), 1))
+             .as("n_early")), names(2))
+    val checks = rowLocal.crossJoin(fk).crossJoin(temporal).select(expr(
+      """stack(4,
+        |  'range_lineitem_discount',   n_rows, bad_discount,
+        |  'range_lineitem_quantity',   n_rows, bad_quantity,
+        |  'fk_lineitem_orderkey',      n_keys, n_orphans,
+        |  'temporal_ship_after_order', n_pairs, n_early)
+        |  AS (check_name, n_checked, n_violations)""".stripMargin))
+    checks.select(col("check_name"), lit("lineitem").as("table_name"),
+        col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).cast("int").as("passed"))
+      .orderBy("check_name")
+  }
+
   /** q_stream_drift: the [[graft.ops.Curation.qualityDrift]] monitor fed
     * by the streaming engine — the per-doc signal and the (source, side)
     * count/Σbp aggregation run THROUGH a complete-mode streaming query

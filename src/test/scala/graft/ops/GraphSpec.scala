@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank semantics: exact integer ranks on a hand-computed star graph
+  * (the quantized-integer update rule is deterministic enough to assert
+  * bit-exact values), plus leaderboard invariants on the fixture.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pageRank: hand-computed star graph — hub dominates, exact integer ranks") {
+    import spark.implicits._
+    // three orders, each {hub part 1, one leaf}: star 1—2, 1—3, 1—4,
+    // all weights 1. By hand (scale 1e6, base 150000, damp 85):
+    //   iter1: hub 2700000, leaf 433333
+    //   iter2: hub 1254999, leaf 915000
+    //   iter3: hub 2483250, leaf 505583
+    val tmp = java.nio.file.Files.createTempDirectory("prstar").toString
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L), (12L, 1L), (12L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graph.pageRank(spark, tmp).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        (r.getAs[Long]("pr_rank"), r.getAs[Long]("degree_w"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2483250L, 3L)), out.toString)
+    Seq(2L, 3L, 4L).foreach(p => assert(out(p) == ((505583L, 1L)), out.toString))
+  }
+
+  test("pageRank: fixture leaderboard is sorted, positive, degree-consistent, reproducible") {
+    val out = Graph.pageRank(spark, sf0001).collect()
+    assert(out.length == Graph.PrTopK)
+    val ranks = out.map(_.getAs[Long]("pr_rank"))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "leaderboard not rank-sorted")
+    // every rank ≥ the damping base (a node always keeps (1-d)·scale) and
+    // every node in the graph has positive weighted degree
+    val base = (100L - Graph.PrDampPct) * Graph.PrScale / 100L
+    out.foreach { r =>
+      assert(r.getAs[Long]("pr_rank") >= base, r.toString)
+      assert(r.getAs[Long]("degree_w") >= 1, r.toString)
+    }
+    val again = Graph.pageRank(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "pageRank not deterministic")
+  }
+}

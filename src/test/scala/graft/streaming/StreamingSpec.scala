@@ -294,6 +294,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.schema.fieldNames.contains("drifted"))
   }
 
+  test("streaming DQ arrival gate equals the batch lineitem checks and is micro-batch-split invariant") {
+    // all three drained aggregations are associative counts (row-local
+    // flags, the stream-static anti-join orphan count, the stream-static
+    // key-join temporal count), so the assembled audit must equal the
+    // batch gate's lineitem rows under a forced 3-file split
+    val dir = tmpDir("stream_dq")
+    spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$sf0001/customer.parquet")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val streamed = StreamingQueries.streamDqChecks(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Relational.dqChecks(spark, dir)
+      .filter(col("table_name") === "lineitem")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming session_window summary equals the batch lag-form summary") {
     val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
