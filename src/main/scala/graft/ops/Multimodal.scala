@@ -379,6 +379,98 @@ object Multimodal {
        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Samples per energy window for [[audioEnergy]]. */
+  val AudioWindow = 64
+
+  /** Low-energy threshold on the per-window sum of squared samples
+    * (unsigned 8-bit): a full window of ASCII space (32²·64 = 65536) or
+    * any short tail sits below it; voiced text bytes (~100²·64) sit far
+    * above. Exact integer compare on both engines.
+    */
+  val LowEnergySumSq = 150000L
+
+  /** Sample rate stamped into the staged WAVs. */
+  val AudioRate = 8000
+
+  /** q_audio_energy: windowed energy / trim audit over REAL PCM WAV — the
+    * VAD-style primitive a speech-data pipeline runs before transcription:
+    * decode the byte stream ([[graft.util.MediaCodec.decodeWavPcm8]], a
+    * real RIFF chunk walk), window the samples, score each window by its
+    * exact integer sum of squares, flag low-energy windows, and report
+    * per clip how much a leading/trailing trim would cut. Content is built
+    * as a standard 44-byte-header WAV around the document's bytes
+    * (encode→decode round-trips through the actual format, like the PNG
+    * path), so the oracle can recompute every number from the text.
+    *
+    * Scale shape: decode + windowing is `mapPartitions` over opaque bytes
+    * (decoder reuse per partition, no driver collect); the per-clip audit
+    * is one map-side combined aggregation; output is clip-cardinality.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = AudioWindow
+    val t = LowEnergySumSq
+    val clips = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .as[(Long, String)]
+    val windows = clips.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val wav = graft.util.MediaCodec.encodeWavPcm8(
+          text.getBytes(java.nio.charset.StandardCharsets.US_ASCII), AudioRate)
+        val (rate, samples) = graft.util.MediaCodec.decodeWavPcm8(wav)
+        val n = (samples.length + w - 1) / w
+        (0 until n).iterator.map { wi =>
+          val lo = wi * w
+          val hi = math.min(lo + w, samples.length)
+          var ssq = 0L; var i = lo
+          while (i < hi) { ssq += samples(i).toLong * samples(i); i += 1 }
+          (id, rate, samples.length.toLong, wi.toLong, ssq)
+        }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "wi", "ssq")
+    windows.groupBy("media_id", "sample_rate", "n_samples")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("ssq") < t, 1)).as("n_low"),
+        min(when(col("ssq") >= t, col("wi"))).as("first_voiced"),
+        max(when(col("ssq") >= t, col("wi"))).as("last_voiced"),
+        sum("ssq").as("total_sumsq"))
+      .select(
+        col("media_id"), col("sample_rate"), col("n_samples"),
+        col("n_windows"), col("n_low"),
+        // trim audit: windows a leading/trailing cut removes; an all-low
+        // clip trims entirely from the front (trail 0 by convention)
+        coalesce(col("first_voiced"), col("n_windows")).as("lead_trim"),
+        when(col("first_voiced").isNull, 0L)
+          .otherwise(col("n_windows") - 1 - col("last_voiced")).as("trail_trim"),
+        col("total_sumsq"))
+      .orderBy("media_id")
+  }
+
+  val audioEnergyOracle: String = {
+    val (w, t) = (AudioWindow, LowEnergySumSq)
+    s"""WITH m AS (SELECT doc_id, text, length(text)::BIGINT AS nb FROM documents
+       |           WHERE length(text) >= 1),
+       |f AS (SELECT doc_id, nb, text,
+       |             unnest(range(0, (nb + $w - 1) // $w)) AS wi
+       |      FROM m),
+       |s AS (SELECT doc_id, nb, wi,
+       |             list_sum(list_transform(
+       |               split(substr(text, (wi * $w + 1)::INT,
+       |                            least($w, nb - wi * $w)::INT), ''),
+       |               c -> unicode(c) * unicode(c))) AS ssq
+       |      FROM f)
+       |SELECT doc_id AS media_id, $AudioRate AS sample_rate, nb AS n_samples,
+       |       COUNT(*) AS n_windows,
+       |       COUNT(CASE WHEN ssq < $t THEN 1 END) AS n_low,
+       |       CAST(COALESCE(MIN(CASE WHEN ssq >= $t THEN wi END), COUNT(*)) AS BIGINT) AS lead_trim,
+       |       CAST(CASE WHEN MAX(CASE WHEN ssq >= $t THEN wi END) IS NULL THEN 0
+       |            ELSE COUNT(*) - 1 - MAX(CASE WHEN ssq >= $t THEN wi END) END AS BIGINT) AS trail_trim,
+       |       CAST(SUM(ssq) AS BIGINT) AS total_sumsq
+       |FROM s GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
   val mediaHeadersOracle: String =
     s"""SELECT doc_id AS media_id,
        |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'

@@ -109,6 +109,57 @@ object MediaCodec {
       throw new IllegalArgumentException("WAV: no fmt chunk")
     } else MediaHeader("raw", b.length, 1)
 
+  // --- WAV PCM encode/decode (canonical 44-byte header, 8-bit mono) ---------
+
+  /** Encode unsigned 8-bit mono PCM samples as a canonical RIFF/WAVE file
+    * (44-byte header: 16-byte fmt chunk + data chunk — the layout every
+    * WAV reader expects; [[parseHeader]] and [[decodeWavPcm8]] both walk
+    * it back).
+    */
+  def encodeWavPcm8(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + samples.length)
+    def le32(v: Int): Unit =
+      out.write(Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array[Byte](v.toByte, (v >>> 8).toByte))
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + samples.length)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1)           // PCM
+    le16(1)           // mono
+    le32(sampleRate)
+    le32(sampleRate)  // byte rate (8-bit mono)
+    le16(1)           // block align
+    le16(8)           // bits per sample
+    out.write("data".getBytes("US-ASCII")); le32(samples.length)
+    out.write(samples)
+    out.toByteArray
+  }
+
+  /** Decode a PCM WAV produced by [[encodeWavPcm8]] (or any 8-bit mono
+    * RIFF/WAVE): chunk-walk to `fmt ` for the sample rate and to `data`
+    * for the samples, returned as unsigned ints 0‥255.
+    */
+  def decodeWavPcm8(b: Array[Byte]): (Int, Array[Int]) = {
+    require(isWav(b), "not a RIFF/WAVE stream")
+    var rate = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = leInt(b, i + 4)
+      if (id == "fmt ") rate = leInt(b, i + 12)
+      else if (id == "data") {
+        require(rate > 0, "WAV: data chunk before fmt")
+        val n = math.min(sz, b.length - i - 8)
+        val s = new Array[Int](n)
+        var j = 0
+        while (j < n) { s(j) = b(i + 8 + j) & 0xff; j += 1 }
+        return (rate, s)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    throw new IllegalArgumentException("WAV: no data chunk")
+  }
+
   // --- PNG encode (8-bit grayscale, non-interlaced, filter 0) ---------------
 
   private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {

@@ -349,6 +349,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("audio energy: planted silence pattern yields the exact trim windows") {
+    import spark.implicits._
+    // clip = 2 low windows (spaces), 1 voiced ('A': 65^2*64 = 270400 >= T),
+    // 1 low tail -> lead_trim 2, trail_trim 1, n_low 3 of 4
+    val w = Multimodal.AudioWindow
+    val text = (" " * (2 * w)) + ("A" * w) + (" " * w)
+    val tmp = java.nio.file.Files.createTempDirectory("audio").toString
+    Seq((1L, text), (2L, " " * w)) // second clip: all-low -> full lead trim
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.audioEnergy(spark, tmp).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_windows") == 4)
+    assert(c1.getAs[Long]("n_low") == 3)
+    assert(c1.getAs[Long]("lead_trim") == 2)
+    assert(c1.getAs[Long]("trail_trim") == 1)
+    assert(c1.getAs[Long]("total_sumsq") ==
+      3L * w * 32 * 32 + 1L * w * 65 * 65)
+    val c2 = out(2L)
+    assert(c2.getAs[Long]("n_windows") == 1)
+    assert(c2.getAs[Long]("lead_trim") == 1 && c2.getAs[Long]("trail_trim") == 0)
+  }
+
   test("multimodal histogram: bin mass equals decoded pixel count, png pad lands in bin 0") {
     import spark.implicits._
     val hist = Multimodal.mediaHistogram(spark, dir).collect()

@@ -142,6 +142,20 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseHeader(out.toByteArray) == MediaCodec.MediaHeader("wav", 8000, 1))
   }
 
+  test("WAV PCM: encode -> decode round-trips samples exactly; header parse sees the rate") {
+    val samples = Array.tabulate(300)(i => (i * 7 % 256).toByte)
+    val wav = MediaCodec.encodeWavPcm8(samples, 8000)
+    assert(MediaCodec.isWav(wav))
+    assert(wav.length == 44 + samples.length) // canonical header
+    val (rate, back) = MediaCodec.decodeWavPcm8(wav)
+    assert(rate == 8000)
+    assert(back.toSeq == samples.map(_ & 0xff).toSeq)
+    val h = MediaCodec.parseHeader(wav)
+    assert(h.format == "wav" && h.width == 8000)
+    // truncation and missing data chunk raise, not garbage
+    intercept[Exception](MediaCodec.decodeWavPcm8(wav.take(20)))
+  }
+
   test("unknown container falls back to raw passthrough dims") {
     assert(MediaCodec.parseHeader("plain text payload".getBytes("UTF-8")) ==
       MediaCodec.MediaHeader("raw", 18, 1))
