@@ -56,15 +56,25 @@ object Graph {
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // persist the pair aggregation FIRST: edges (×2 via the union), deg,
+    // and the eds join all re-derive from it — unpersisted, the per-order
+    // self-join would run ~6 times before the loop even starts
     val pairs = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("w"))
+      .persist()
+    pairs.count()
     val edges = pairs.select("u", "v", "w")
       .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
-    val deg = edges.groupBy("u").agg(sum("w").as("s"))
+    // deg is node-cardinality narrow and feeds both the loop join and the
+    // final readout — persisted for the query's lifetime (the narrow-
+    // relation convention; Bench clears caches between queries)
+    val deg = edges.groupBy("u").agg(sum("w").as("s")).persist()
+    deg.count()
     val eds = edges.join(deg, "u").persist()
     eds.count() // one edge build feeds every iteration
+    pairs.unpersist(blocking = false)
     val base = (100L - PrDampPct) * PrScale / 100L
     var rank = deg.select(col("u").as("node"), lit(PrScale).as("rank")).persist()
     rank.count()
