@@ -1076,6 +1076,78 @@ object Relational {
        |       CAST(n_violations = 0 AS INT) AS passed
        |FROM rows ORDER BY 1""".stripMargin
 
+  /** q_join_size_sketch: sketch-based join-cardinality estimation — the
+    * optimizer-statistics primitive: |A ⋈_k B| equals the inner product
+    * of the two key-frequency vectors, and the Count-Min inner product
+    * estimates it from two fixed d×w summaries (est_r = Σ_b A_r[b]·B_r[b],
+    * est = min_r — an overestimate by construction, expected slack
+    * |A|·|B|/w). The audit row carries the exact size next to the
+    * estimate, the overcount, and the budget verdict — the self-check-as-
+    * oracle-row idiom shared with `q_heavy_hitters`.
+    *
+    * Scale shape: each sketch is one map-side combined aggregation into a
+    * FIXED d×w table — mergeable across partitions, files, or days (the
+    * catalog-statistics shape: at 100 TB only the sketches are kept and
+    * the estimate is a 4096-row join; the exact join here exists to audit
+    * the estimator). Hash conventions shared with the CMS heavy-hitter
+    * sketch ([[TextAnalysis.heavyHitters]]).
+    */
+  def joinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.CmsRows
+    val w = TextAnalysis.CmsWidth
+    def bucketOf(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(r.cast("string"), lit(":"), k.cast("string"))), 1, 6), 16, 10)
+        .cast("long") % w
+    def cms(keys: DataFrame, kcol: String): DataFrame = keys
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col(kcol).as("k"))
+      .withColumn("b", bucketOf(col("r"), col("k")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey")
+    val est = cms(l, "l_orderkey").withColumnRenamed("c", "ca")
+      .join(cms(o, "o_orderkey").withColumnRenamed("c", "cb"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("e"))
+      .agg(min("e").as("est_size"))
+    val exact = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_size"))
+    val sizes = l.agg(count(lit(1)).as("na"))
+      .crossJoin(o.agg(count(lit(1)).as("nb")))
+    exact.crossJoin(est).crossJoin(sizes)
+      .select(col("na"), col("nb"), col("exact_size"), col("est_size"),
+        (col("est_size") - col("exact_size")).as("overcount"),
+        (col("est_size") >= col("exact_size") &&
+          col("est_size").cast("double") <=
+            col("exact_size").cast("double") +
+              lit(8.0) * col("na") * col("nb") / lit(w)).as("within_budget"))
+  }
+
+  val joinSizeSketchOracle: String = {
+    val d = TextAnalysis.CmsRows
+    val w = TextAnalysis.CmsWidth
+    s"""WITH la AS (SELECT l_orderkey AS k FROM lineitem),
+       |ob AS (SELECT o_orderkey AS k FROM orders),
+       |ca AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 6))::BIGINT % $w AS b,
+       |              COUNT(*) AS c
+       |       FROM la, range($d) t(r) GROUP BY 1, 2),
+       |cb AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 6))::BIGINT % $w AS b,
+       |              COUNT(*) AS c
+       |       FROM ob, range($d) t(r) GROUP BY 1, 2),
+       |perr AS (SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS e
+       |         FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY 1),
+       |est AS (SELECT MIN(e) AS est_size FROM perr),
+       |ex AS (SELECT COUNT(*) AS exact_size
+       |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |nn AS (SELECT (SELECT COUNT(*) FROM la) AS na,
+       |              (SELECT COUNT(*) FROM ob) AS nb)
+       |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       |       CAST(exact_size AS BIGINT) AS exact_size, est_size,
+       |       CAST(est_size - exact_size AS BIGINT) AS overcount,
+       |       (est_size >= exact_size AND
+       |        est_size::DOUBLE <= exact_size::DOUBLE + 8.0 * na * nb / $w)
+       |         AS within_budget
+       |FROM ex, est, nn""".stripMargin
+  }
+
   /** The lineitem-family subset of [[dqChecksOracle]] — the oracle for the
     * streaming arrival gate `q_stream_dq`, which validates the lineitem
     * stream against the static warehouse (so only lineitem-side checks

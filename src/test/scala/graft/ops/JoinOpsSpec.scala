@@ -227,6 +227,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(fixture("temporal_ship_after_order").getAs[Long]("n_violations") > 0)
   }
 
+  test("joinSizeSketch: CMS inner product never underestimates and sits inside the budget") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("jsz").toFile.getAbsolutePath
+    // A keys [1,1,2], B keys [1,2,2,3] → exact |A⋈B| = 2·1 + 1·2 = 4
+    Seq(1L, 1L, 2L).toDF("l_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq(1L, 2L, 2L, 3L).toDF("o_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Relational.joinSizeSketch(spark, tmp).head()
+    assert(r.getAs[Long]("exact_size") == 4)
+    assert(r.getAs[Long]("est_size") >= 4, r.toString)
+    assert(r.getAs[Boolean]("within_budget"), r.toString)
+    // fixture: the estimator's one-sided guarantee and budget must hold on
+    // real key distributions too
+    val f = Relational.joinSizeSketch(spark, "/root/testdata/sf0.001").head()
+    assert(f.getAs[Long]("est_size") >= f.getAs[Long]("exact_size"), f.toString)
+    assert(f.getAs[Long]("overcount") ==
+      f.getAs[Long]("est_size") - f.getAs[Long]("exact_size"))
+    assert(f.getAs[Boolean]("within_budget"), f.toString)
+  }
+
   test("rfm: buckets partition customers near-evenly, segment counts conserve, monetary exact") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.rfmSegments(spark, dir).collect()
