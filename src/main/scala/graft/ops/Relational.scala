@@ -1076,6 +1076,47 @@ object Relational {
        |       CAST(n_violations = 0 AS INT) AS passed
        |FROM rows ORDER BY 1""".stripMargin
 
+  /** q_skyline: the Pareto frontier (skyline) of the part catalog —
+    * minimize price, maximize size: a part survives iff nothing is both
+    * cheaper-or-equal and larger-or-equal with one strict. Multi-criteria
+    * selection is the "best trade-offs" primitive (cheapest-per-capability
+    * hardware, highest-quality-per-token data sources).
+    *
+    * Derivation here: collapse to per-price max size (map-side combined),
+    * then a strict-prefix running max over the PRICE-CARDINALITY relation
+    * (distinct prices ≪ rows; at 100 TB this ordered pass swaps to the
+    * [[graft.plans.PrefixSum]] scaffold) — a price group joins the
+    * frontier iff its max size strictly beats every cheaper group's, and
+    * all parts tying that (price, size) point survive (ties dominate
+    * nobody). The oracle is an INDEPENDENT quadratic NOT-EXISTS
+    * formulation, so the two derivations differentially check each other.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir).select("p_partkey", "p_retailprice", "p_size")
+    val perPrice = p.groupBy("p_retailprice").agg(max("p_size").as("max_size"))
+    val w = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("pmax", max("max_size").over(w))
+      .filter(col("pmax").isNull || col("max_size") > col("pmax"))
+      .select(col("p_retailprice").as("f_price"), col("max_size"))
+    p.join(broadcast(frontier),
+        p("p_retailprice") === col("f_price") && p("p_size") === col("max_size"))
+      .select(col("p_partkey").as("partkey"),
+              col("p_retailprice").as("price"), col("p_size").as("size"))
+      .orderBy("price", "partkey")
+  }
+
+  val skylineOracle: String =
+    s"""SELECT p_partkey AS partkey, p_retailprice AS price, p_size AS size
+       |FROM part r
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM part s
+       |  WHERE (s.p_retailprice < r.p_retailprice AND s.p_size >= r.p_size)
+       |     OR (s.p_retailprice <= r.p_retailprice AND s.p_size > r.p_size))
+       |ORDER BY 2, 1""".stripMargin
+
   /** q_join_size_sketch: sketch-based join-cardinality estimation — the
     * optimizer-statistics primitive: |A ⋈_k B| equals the inner product
     * of the two key-frequency vectors, and the Count-Min inner product

@@ -227,6 +227,21 @@ class JoinOpsSpec extends SparkSpec {
     assert(fixture("temporal_ship_after_order").getAs[Long]("n_violations") > 0)
   }
 
+  test("skyline: planted domination, tie, and frontier cases resolve exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sky").toFile.getAbsolutePath
+    // frontier: price 5→size 3 (parts 4,7 tie — ties dominate nobody),
+    // price 10→size 5 (parts 1,2 tie; 3 loses same-price/smaller;
+    // 5 loses cheaper-equal-size), price 20→size 9 (part 6)
+    Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 4), (4L, 5.0, 3),
+        (5L, 20.0, 5), (6L, 20.0, 9), (7L, 5.0, 3))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = Relational.skyline(spark, tmp).collect()
+      .map(_.getAs[Long]("partkey")).toSet
+    assert(got == Set(1L, 2L, 4L, 6L, 7L), got.toString)
+  }
+
   test("joinSizeSketch: CMS inner product never underestimates and sits inside the budget") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("jsz").toFile.getAbsolutePath
