@@ -1130,18 +1130,22 @@ object Relational {
     * FIXED d×w table — mergeable across partitions, files, or days (the
     * catalog-statistics shape: at 100 TB only the sketches are kept and
     * the estimate is a 4096-row join; the exact join here exists to audit
-    * the estimator). Hash conventions shared with the CMS heavy-hitter
-    * sketch ([[TextAnalysis.heavyHitters]]).
+    * the estimator). Width/depth shared with the CMS heavy-hitter sketch
+    * ([[TextAnalysis.heavyHitters]]); the d row-hashes are disjoint
+    * 24-bit slices of one md5 per key, so the build pays one digest per
+    * row.
     */
   def joinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.CmsRows
     val w = TextAnalysis.CmsWidth
-    def bucketOf(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(r.cast("string"), lit(":"), k.cast("string"))), 1, 6), 16, 10)
-        .cast("long") % w
+    // the d row-hashes are disjoint 24-bit slices of ONE md5 per key (4×6
+    // of the 32 hex chars) — one digest per input row instead of d, the
+    // dominant cost of the sketch build at fact-table cardinality
     def cms(keys: DataFrame, kcol: String): DataFrame = keys
-      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col(kcol).as("k"))
-      .withColumn("b", bucketOf(col("r"), col("k")))
+      .select(md5(col(kcol).cast("string")).as("h"))
+      .select(col("h"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b",
+        conv(expr("substring(h, r * 6 + 1, 6)"), 16, 10).cast("long") % w)
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
     val l = Tables.lineitem(spark, dir).select("l_orderkey")
     val o = Tables.orders(spark, dir).select("o_orderkey")
@@ -1167,10 +1171,10 @@ object Relational {
     val w = TextAnalysis.CmsWidth
     s"""WITH la AS (SELECT l_orderkey AS k FROM lineitem),
        |ob AS (SELECT o_orderkey AS k FROM orders),
-       |ca AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 6))::BIGINT % $w AS b,
+       |ca AS (SELECT r, ('0x' || substr(md5(k::VARCHAR), (r * 6 + 1)::INT, 6))::BIGINT % $w AS b,
        |              COUNT(*) AS c
        |       FROM la, range($d) t(r) GROUP BY 1, 2),
-       |cb AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 6))::BIGINT % $w AS b,
+       |cb AS (SELECT r, ('0x' || substr(md5(k::VARCHAR), (r * 6 + 1)::INT, 6))::BIGINT % $w AS b,
        |              COUNT(*) AS c
        |       FROM ob, range($d) t(r) GROUP BY 1, 2),
        |perr AS (SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS e
