@@ -1397,4 +1397,55 @@ object Dedup {
        |FROM pairs WHERE inter::DOUBLE / (n_a + n_b - inter) >= $JaccardThreshold
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // --- fuzzy entity matching (edit distance) ---------------------------------
+
+  /** Max edit distance for [[fuzzyMatch]] candidate pairs. */
+  val FuzzyMaxLev = 3
+
+  /** q_fuzzy_match: entity-resolution fuzzy matching — near-duplicate
+    * catalog NAMES found by blocked edit distance, the character-level
+    * sibling of the token-set dedup family (typo'd vendors, re-keyed
+    * products; Jaccard misses single-character typos that Levenshtein
+    * catches). Pipeline: collapse rows to the DISTINCT entity relation
+    * (name, support count, min-key representative) first — entity
+    * cardinality ≪ row cardinality — then block on the last name token
+    * and verify only within-block pairs with the codegen'd built-in
+    * `levenshtein` (exact integer distance on both engines).
+    *
+    * Scale shape: the quadratic verify is confined to blocks (the
+    * [[dedupBlocking]] economics; a degenerate hot block would take the
+    * same frequency-cap defense ScaleSpec proves there), and the O(k²)
+    * edit-distance matrix runs only on block-pair survivors of the
+    * entity-level collapse — never on raw rows.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("rep_key"))
+    val blocked = names.withColumn("blk", regexp_extract(col("name"), "[a-z]+$", 0))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("lev_dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("lev_dist") <= FuzzyMaxLev)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+              col("lev_dist"),
+              col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"),
+              col("a.rep_key").as("rep_a"), col("b.rep_key").as("rep_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyMatchOracle: String =
+    s"""WITH n AS (SELECT p_name AS name, COUNT(*) AS n_parts,
+       |                  CAST(MIN(p_partkey) AS BIGINT) AS rep_key
+       |           FROM part GROUP BY 1),
+       |b AS (SELECT name, n_parts, rep_key,
+       |             regexp_extract(name, '[a-z]+$$') AS blk FROM n)
+       |SELECT a.name AS name_a, b2.name AS name_b,
+       |       CAST(levenshtein(a.name, b2.name) AS INT) AS lev_dist,
+       |       a.n_parts AS n_parts_a, b2.n_parts AS n_parts_b,
+       |       a.rep_key AS rep_a, b2.rep_key AS rep_b
+       |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+       |WHERE levenshtein(a.name, b2.name) <= $FuzzyMaxLev
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -569,6 +569,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(block == exact, s"fixture recall shortfall: ${exact -- block}")
   }
 
+  test("fuzzyMatch: planted typos resolve within blocks; cross-block typos are the documented miss") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toFile.getAbsolutePath
+    // "red bolt"/"redd bolt": lev 1, same last-token block → found, with
+    // support counts and min-key reps carried. "red bolts" ends in a
+    // DIFFERENT last token, so its lev-1 pair escapes the block — the
+    // standard blocking recall trade, asserted so it can't silently change.
+    Seq((1L, "red bolt"), (2L, "redd bolt"), (3L, "red bolt"),
+        (4L, "red bolts"), (5L, "blue gear"))
+      .toDF("p_partkey", "p_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val out = Dedup.fuzzyMatch(spark, tmp).collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out(0)
+    assert(r.getAs[String]("name_a") == "red bolt" && r.getAs[String]("name_b") == "redd bolt")
+    assert(r.getAs[Int]("lev_dist") == 1)
+    assert(r.getAs[Long]("n_parts_a") == 2 && r.getAs[Long]("n_parts_b") == 1)
+    assert(r.getAs[Long]("rep_a") == 1L && r.getAs[Long]("rep_b") == 2L)
+  }
+
   test("weighted sampling: exactly K contiguous ranks per source, deterministic, weight-monotone for equal uniforms") {
     val out = Corpus.weightedSample(spark, dir).collect()
     val bySrc = out.groupBy(_.getAs[String]("source"))
