@@ -1004,19 +1004,20 @@ object Relational {
           |  'range_lineitem_quantity', n_rows, bad_quantity)
           |  AS (check_name, n_checked, n_violations)""".stripMargin))
       .withColumn("table_name", lit("lineitem"))
-    // referential integrity: key-only anti-join probes. SQL FK semantics:
-    // a null child key satisfies the constraint (the null check owns those
-    // rows), so only non-null keys are "checked"
+    // referential integrity: key-only probes. SQL FK semantics: a null
+    // child key satisfies the constraint (the null check owns those rows),
+    // so only non-null keys are "checked". One child scan per probe:
+    // checked and orphan counts come from a single left join against the
+    // DISTINCT parent keys (distinct prevents duplicate-parent fan-out
+    // from inflating either count; PlanAuditSpec pins the scan budget)
     def fkCheck(name: String, tbl: String, child: DataFrame, key: String,
-                parent: DataFrame, pkey: String): DataFrame = {
-      val keys = child.select(key).filter(col(key).isNotNull)
-      val orphans = keys
-        .join(parent.select(pkey), col(key) === col(pkey), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-      keys.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+                parent: DataFrame, pkey: String): DataFrame =
+      child.select(key).filter(col(key).isNotNull)
+        .join(parent.select(pkey).distinct(), col(key) === col(pkey), "left")
+        .agg(count(lit(1)).as("n_checked"),
+             count(when(col(pkey).isNull, 1)).as("n_violations"))
         .select(lit(name).as("check_name"), col("n_checked"),
                 col("n_violations"), lit(tbl).as("table_name"))
-    }
     val fkLine = fkCheck("fk_lineitem_orderkey", "lineitem",
       l, "l_orderkey", o, "o_orderkey")
     val fkOrders = fkCheck("fk_orders_custkey", "orders",

@@ -69,6 +69,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
   }
 
+  test("epoch shuffle: global positions via the prefix-sum scaffold — no window operator at all") {
+    val df = ops.Curation.epochShuffle(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the naive formulation is row_number() over a global ORDER BY — a
+    // single-partition Window that ceilings at one reducer; the scaffold
+    // must keep every pass window-free
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+  }
+
+  test("dq checks: per-table check families stay fused — three lineitem scans, not one per check") {
+    val df = ops.Relational.dqChecks(spark, dir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // lineitem feeds exactly three subplans: the fused row-local
+    // conditional aggregation, the key-only FK probe, and the temporal
+    // join — a regression that unfuses the row-local family shows up as
+    // extra scans here
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"expected 3 lineitem scans, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"FK probes should broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->project->aggregate hot path") {
     // skuDaily is pure arithmetic -> fully codegen'd. (Higher-order lambda
     // functions — tokens/shingles — are CodegenFallback by Spark design,
