@@ -120,4 +120,108 @@ object Graph {
        |FROM r$PrIters r JOIN d ON d.u = r.node
        |ORDER BY pr_rank DESC, partkey LIMIT $PrTopK""".stripMargin
   }
+
+  // --- triangle counting -------------------------------------------------------
+
+  /** Leaderboard size for [[triangles]]. */
+  val TriTopK = 15
+
+  /** q_triangles: per-node triangle counts in the co-purchase graph — the
+    * local-clustering signal next to [[pageRank]]'s centrality: PageRank
+    * says "this part matters", triangles say "this part sits in a tight
+    * co-purchase community" (the community-density prior a curation
+    * pipeline uses when picking canonical representatives out of a
+    * similarity graph).
+    *
+    * The implementation is the DEGREE-ORIENTED wedge join (the standard
+    * distributed triangle algorithm): every undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one, wedges are
+    * generated by self-joining oriented edges on their source, and a wedge
+    * (y, z) closes iff the oriented edge y→z exists. Orientation bounds
+    * each node's out-degree by O(√m) on any graph (arboricity bound), so
+    * the wedge relation — the only super-linear intermediate — is
+    * O(m^1.5) worst-case instead of the Σdeg² a raw adjacency self-join
+    * pays; at 100 TB this is the difference between a shuffle that
+    * completes and one that doesn't (hub nodes produce NO wedges: their
+    * edges all point INTO them). Each triangle is found exactly once (at
+    * its lowest-ordered apex) and credited to all three corners via one
+    * tiny union; the leaderboard is a distributed top-k.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .persist()
+    pairs.count() // feeds the degree count and both orientation projections
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .persist()
+    deg.count()
+    // orient: src = lower (d, id) endpoint; ties cannot happen on id
+    val withDeg = pairs
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("dd"))
+      .persist()
+    oriented.count() // one oriented edge build feeds wedges + closure probe
+    pairs.unpersist(blocking = false)
+    // wedges from a common apex, ordered so (y, z) matches an oriented edge
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"), col("dd").as("dy"))
+    val e2 = oriented.select(col("src").as("x"), col("dst").as("z"), col("dd").as("dz"))
+    val wedges = e1.join(e2, Seq("x"))
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("x"), col("y"), col("z"))
+    val tris = wedges.join(
+        oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .persist()
+    tris.count()
+    val perNode = tris.select(col("x").as("node"))
+      .unionByName(tris.select(col("y").as("node")))
+      .unionByName(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // tris (tiny) + deg (node-cardinality narrow) stay cached for the
+    // readout's lifetime (the pageRank convention — Bench clears caches
+    // between queries); the edge-sized oriented build is released now.
+    oriented.unpersist(blocking = false)
+    perNode.join(deg, "node")
+      .select(col("node").as("partkey"), col("n_tri"), col("d").as("degree"))
+      .orderBy(col("n_tri").desc, col("partkey"))
+      .limit(TriTopK)
+  }
+
+  val trianglesOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pr AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |         SELECT u AS node FROM pr UNION ALL SELECT v FROM pr) GROUP BY 1),
+       |ori AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+       |  FROM pr JOIN dg du ON du.node = pr.u JOIN dg dv ON dv.node = pr.v),
+       |orid AS (SELECT ori.src, ori.dst, dg.d AS dd FROM ori JOIN dg ON dg.node = ori.dst),
+       |tri AS (
+       |  SELECT e1.x, e1.y, e2.z
+       |  FROM (SELECT src AS x, dst AS y, dd AS dy FROM orid) e1
+       |  JOIN (SELECT src AS x, dst AS z, dd AS dz FROM orid) e2 USING (x)
+       |  JOIN ori e3 ON e3.src = e1.y AND e3.dst = e2.z
+       |  WHERE e1.dy < e2.dz OR (e1.dy = e2.dz AND e1.y < e2.z)),
+       |per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |          UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT per.node AS partkey, per.n_tri, dg.d AS degree
+       |FROM per JOIN dg USING (node)
+       |ORDER BY n_tri DESC, partkey LIMIT $TriTopK""".stripMargin
 }

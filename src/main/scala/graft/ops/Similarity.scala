@@ -1931,4 +1931,84 @@ object Similarity {
        |SELECT n_queries, n_truth, n_hits,
        |       CAST(n_hits AS DOUBLE) / n_truth AS recall_at_k
        |FROM tr, h""".stripMargin
+
+  // --- reciprocal-rank fusion (hybrid lexical + dense retrieval) --------------
+
+  /** RRF rank-dampening constant (the standard k = 60). */
+  val RrfK = 60
+
+  /** Candidate-list depth per ranker for [[rrfFusion]] — RRF's production
+    * shape fuses bounded top-R candidate lists, never full-corpus ranks.
+    */
+  val RrfCandidates = 100
+
+  /** Fused result size for [[rrfFusion]]. */
+  val RrfTopK = 20
+
+  /** Dense-side probe vector id for [[rrfFusion]] (vec_id aligns with
+    * doc_id in the fixtures — one embedding per document).
+    */
+  val RrfProbeId = 0L
+
+  /** q_rrf_fusion: reciprocal-rank fusion of the lexical BM25 ranking
+    * ([[TextAnalysis.bm25Scores]], the pivot-term query) with a dense
+    * embedding ranking (cosine against the [[RrfProbeId]] probe vector) —
+    * hybrid retrieval, the standard way a curation pipeline combines
+    * keyword and semantic relevance without score calibration:
+    * rrf(d) = Σ_r 1/(k + rank_r(d)) over the rankers that surfaced d.
+    *
+    * Scale shape: each ranker is cut to its top-[[RrfCandidates]] FIRST via
+    * `orderBy().limit()` — a distributed partial top-k
+    * (TakeOrderedAndProject: per-partition heaps, k rows to one reducer) —
+    * so the global rank windows and the fusion join only ever see 2·R rows
+    * regardless of corpus size; nothing corpus-sized is globally sorted.
+    * Fusion arithmetic is two exactly-rounded IEEE divisions and one
+    * addition per row — bit-identical across engines; ranks themselves are
+    * integers with id tiebreaks.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val probe = vecs.filter(col("vec_id") === RrfProbeId)
+      .select(col("v").as("qv"), col("nv").as("nq"))
+    val denseTop = vecs.filter(col("vec_id") =!= RrfProbeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("id"),
+              pairSim(col("qv"), col("v"), col("nq"), col("nv")).as("sim"))
+      .orderBy(col("sim").desc, col("id")).limit(RrfCandidates)
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("sim").desc, col("id"))))
+      .select("id", "r_dense")
+    val lexTop = TextAnalysis.bm25Scores(spark, dir)
+      .select(col("doc_id").as("id"), col("sdec"))
+      .orderBy(col("sdec").desc, col("id")).limit(RrfCandidates)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("sdec").desc, col("id"))))
+      .select("id", "r_lex")
+    denseTop.join(lexTop, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(RrfTopK)
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0)).as("r_dense"),
+        col("rrf_score"))
+  }
+
+  val rrfFusionOracle: String =
+    s"""WITH ${TextAnalysis.bm25CoreSql},
+       |lex AS (SELECT doc_id AS id, sdec FROM bm ORDER BY sdec DESC, doc_id LIMIT $RrfCandidates),
+       |lexr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY sdec DESC, id) AS INT) AS r_lex FROM lex),
+       |e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |p AS (SELECT v AS qv FROM e WHERE vec_id = $RrfProbeId),
+       |den AS (SELECT e.vec_id AS id, ${cosineSql("qv", "v")} AS sim
+       |        FROM e, p WHERE e.vec_id <> $RrfProbeId
+       |        ORDER BY sim DESC, id LIMIT $RrfCandidates),
+       |denr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS INT) AS r_dense FROM den),
+       |f AS (SELECT COALESCE(lexr.id, denr.id) AS doc_id, r_lex, r_dense,
+       |             COALESCE(1.0::DOUBLE / ($RrfK + r_lex), 0.0::DOUBLE)
+       |               + COALESCE(1.0::DOUBLE / ($RrfK + r_dense), 0.0::DOUBLE) AS rrf_score
+       |      FROM lexr FULL OUTER JOIN denr ON lexr.id = denr.id)
+       |SELECT doc_id, COALESCE(r_lex, 0) AS r_lex, COALESCE(r_dense, 0) AS r_dense, rrf_score
+       |FROM f ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
 }

@@ -617,4 +617,119 @@ object Temporal {
        |            AS INT) AS is_anomaly
        |FROM win ORDER BY 1, 2""".stripMargin
   }
+
+  // --- first-order Markov transition matrix -----------------------------------
+
+  /** Fixed-point probability scale for [[markovNext]] (parts per million) —
+    * the quantized-integer determinism idiom shared with PageRank/Lloyd:
+    * probabilities are emitted as `n·10⁶ div total`, an exact integer on
+    * every engine, never a float ratio.
+    */
+  val MarkovScale = 1000000L
+
+  /** q_markov_next: first-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current event type), the sequence-model
+    * summary a training pipeline derives before building next-action
+    * datasets (and the empirical prior an event-sampler mixes against).
+    * Successor pairing is `lead()` over (user, ts, event_id) — the event_id
+    * tiebreak makes same-timestamp ordering deterministic (§4.4-g rule).
+    *
+    * Scale shape: the sequence window shuffles once on user_id (the same
+    * hash partitioning the sessionizer uses — at 100 TB this is the one
+    * unavoidable shuffle, and it is key-parallel across users); transitions
+    * then collapse to a |types|² relation via one map-side combined count,
+    * and the per-source normalizer is a window over that TINY aggregated
+    * relation — not a second pass over the corpus.
+    */
+  def markovNext(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    trans
+      .withColumn("total_from", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
+        expr(s"(n * $MarkovScale) div total_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovNextOracle: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |t AS (SELECT from_type, to_type, COUNT(*) AS n
+       |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS total_from,
+       |       (n * $MarkovScale) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+       |FROM t ORDER BY 1, 2""".stripMargin
+
+  // --- robust (MAD) outlier days ----------------------------------------------
+
+  /** MAD multiplier for [[madOutliers]] — the classic 3·MAD robust band. */
+  val MadK = 3L
+
+  /** q_mad_outliers: robust outlier days per event type via median absolute
+    * deviation — the breakdown-resistant sibling of [[rollingZscore]]: a
+    * single anomalous day inflates a mean/stddev band enough to hide
+    * itself, but not the median/MAD band. All arithmetic is exact: daily
+    * totals quantize to integer units (×10⁴, the z-score monitor's scale),
+    * medians ride an even-count-safe ×2 fixed point (the average of two
+    * integers is exactly representable at ×2), deviations another ×2 — so
+    * the flag `4·|x−med| > 3·(4·MAD)` is a pure integer comparison,
+    * bit-identical across engines (exact-percentile interpolation at p=0.5
+    * is a sum of a long and an exact ×0.5 product on both engines).
+    *
+    * Scale shape: the corpus collapses through the same map-side combined
+    * daily rollup as the z-score monitor; both median passes run over the
+    * TINY days×types relation (persisted once — narrow-relation
+    * convention), so at 100 TB the cost is the rollup scan, full stop. The
+    * exact medians are only affordable BECAUSE they run post-collapse; a
+    * pre-collapse percentile would swap to `percentile_approx` (the
+    * q_quantile_profile_check-audited path).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("total"))
+      .select(col("event_type"), col("day"),
+        (col("total") * 10000).cast(DecimalType(18, 0)).cast("long").as("units"))
+      .persist()
+    daily.count() // feeds both median passes and the readout
+    val med = daily.groupBy("event_type")
+      .agg((expr("percentile(units, 0.5)") * 2).cast("long").as("med2"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("units") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    val out = dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("units"), col("med2"), col("mad4"),
+        (col("dev2") * 2 > lit(MadK) * col("mad4")).cast("int").as("is_outlier"))
+      .orderBy("event_type", "day")
+    daily.unpersist(blocking = false)
+    out
+  }
+
+  val madOutliersOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS DECIMAL(18,0)) AS BIGINT) AS units
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, CAST(2 * median(units) AS BIGINT) AS med2
+       |      FROM daily GROUP BY 1),
+       |d AS (SELECT daily.*, m.med2, ABS(2 * units - med2) AS dev2
+       |      FROM daily JOIN m USING (event_type)),
+       |md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+       |       FROM d GROUP BY 1)
+       |SELECT d.event_type, d.day, d.units, d.med2, md.mad4,
+       |       CAST(2 * d.dev2 > $MadK * md.mad4 AS INT) AS is_outlier
+       |FROM d JOIN md USING (event_type) ORDER BY 1, 2""".stripMargin
 }

@@ -302,6 +302,110 @@ object TextAnalysis {
        |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, tfidf
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --- BM25 retrieval ---------------------------------------------------------
+
+  /** BM25 term-saturation constant (the standard k₁ = 1.2). */
+  val BmK1 = 1.2
+
+  /** BM25 length-normalization constant (the standard b = 0.75). */
+  val BmB = 0.75
+
+  /** Query size for [[bm25TopK]]: the top-df non-stopword terms form the
+    * fixed probe query (deterministic — no external query set exists in
+    * the fixtures).
+    */
+  val BmPivots = 5
+
+  /** Result size for [[bm25TopK]]. */
+  val BmTopK = 20
+
+  /** The shared BM25 scoring formula, interpolated VERBATIM into both
+    * engines' plans (Spark parses it via `expr`): identical text → identical
+    * left-associative IEEE operation trees → bit-identical doubles (ln
+    * agreement JVM↔libm is the long-green q_tfidf empirical precedent).
+    * Expects columns n_docs/avgdl (double), df/tf/dl (integral).
+    */
+  private val bm25Sql: String =
+    s"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)" +
+      s" * (CAST(tf AS DOUBLE) * ($BmK1 + 1.0))" +
+      s" / (CAST(tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * CAST(dl AS DOUBLE) / avgdl))"
+
+  /** Per-document BM25 score against the fixed pivot-term query — the
+    * scored relation [[bm25TopK]] ranks and
+    * [[Similarity.rrfFusion]] fuses with the dense ranking. Columns:
+    * doc_id, dl, n_terms, sdec (DECIMAL(38,10) exact sum — internal only,
+    * callers emit its double cast). Per-term scores go through
+    * DECIMAL(28,10) before summing so the per-doc total is independent of
+    * aggregation order (the lmQuality idiom).
+    *
+    * Scale shape: one corpus explode persisted once and consumed three
+    * times (dl, df, tf); the probe terms and corpus scalars ride 1-row/
+    * k-row broadcasts; the tf aggregation only sees rows that survive the
+    * broadcast semi-join on the 5 pivot terms, so the scoring join is
+    * O(matched postings), not O(corpus) — the inverted-index shape.
+    */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val tokRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .persist()
+    tokRows.count() // feeds dl, df, and the pivot-term postings
+    val dl = tokRows.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tokRows.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pivot = dfreq.filter(!col("tok").isin(Stopwords.map(lit): _*))
+      .orderBy(col("df").desc, col("tok")).limit(BmPivots)
+    val tf = tokRows.join(broadcast(pivot), "tok")
+      .groupBy("doc_id", "tok", "df").agg(count(lit(1)).as("tf"))
+    val out = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", expr(bm25Sql).cast("decimal(28,10)"))
+      .groupBy("doc_id", "dl")
+      .agg(sum("s").as("sdec"), count(lit(1)).cast("int").as("n_terms"))
+    tokRows.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared oracle CTE chain ending in `bm(doc_id, dl, n_terms, sdec)` —
+    * the DuckDB mirror of [[bm25Scores]].
+    */
+  val bm25CoreSql: String =
+    s"""tokrows AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |docl AS (SELECT doc_id, COUNT(*) AS dl FROM tokrows GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM docl),
+       |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokrows GROUP BY 1),
+       |probe_terms AS (SELECT tok, df FROM dfreq
+       |                WHERE NOT list_contains($stopwordsSql, tok)
+       |                ORDER BY df DESC, tok LIMIT $BmPivots),
+       |posting AS (SELECT t.doc_id, t.tok, p.df, COUNT(*) AS tf
+       |            FROM tokrows t JOIN probe_terms p USING (tok) GROUP BY 1, 2, 3),
+       |sc AS (SELECT posting.doc_id, docl.dl, CAST($bm25Sql AS DECIMAL(28,10)) AS s
+       |       FROM posting JOIN docl USING (doc_id), st),
+       |bm AS (SELECT doc_id, dl, CAST(COUNT(*) AS INT) AS n_terms, SUM(s) AS sdec
+       |       FROM sc GROUP BY 1, 2)""".stripMargin
+
+  /** q_bm25_topk: BM25 document retrieval for the fixed pivot-term query —
+    * the lexical-relevance ranking a curation pipeline runs to pull
+    * benchmark-adjacent or domain-targeted documents out of a corpus
+    * (tf-idf's production-grade successor: saturating tf, length
+    * normalization). Ranking happens on the exact decimal sum; only the
+    * emitted score is a double.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("sdec").desc, col("doc_id"))
+      .limit(BmTopK)
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+              col("sdec").cast("double").as("score"))
+
+  val bm25TopKOracle: String =
+    s"""WITH $bm25CoreSql
+       |SELECT doc_id, dl, n_terms, CAST(sdec AS DOUBLE) AS score
+       |FROM bm ORDER BY sdec DESC, doc_id LIMIT $BmTopK""".stripMargin
+
   // --- repetition filter (Gopher-style top n-gram coverage) ------------------
 
   /** Coverage above which a document is flagged as repetitious. Gopher-style

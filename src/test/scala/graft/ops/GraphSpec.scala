@@ -44,4 +44,32 @@ class GraphSpec extends SparkSpec {
     val again = Graph.pageRank(spark, sf0001).collect()
     assert(out.toSeq == again.toSeq, "pageRank not deterministic")
   }
+
+  test("triangles: planted K4 + disjoint edge — 4 triangles, 3 per K4 node, edge-only nodes absent") {
+    import spark.implicits._
+    // one order with parts {1,2,3,4} → K4 (C(4,3) = 4 triangles, every
+    // node in 3); a second order {5,6} adds an edge in no triangle
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    (Seq(10L -> 1L, 10L -> 2L, 10L -> 3L, 10L -> 4L) ++ Seq(11L -> 5L, 11L -> 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graph.triangles(spark, tmp).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        (r.getAs[Long]("n_tri"), r.getAs[Long]("degree"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
+    out.values.foreach(v => assert(v == ((3L, 3L)), out.toString))
+  }
+
+  test("triangles: fixture leaderboard sorted, bounded by degree-choose-2, reproducible") {
+    val out = Graph.triangles(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= Graph.TriTopK)
+    val tris = out.map(_.getAs[Long]("n_tri"))
+    assert(tris.sameElements(tris.sortBy(-_)), "leaderboard not sorted")
+    out.foreach { r =>
+      val (t, d) = (r.getAs[Long]("n_tri"), r.getAs[Long]("degree"))
+      assert(t >= 1 && t <= d * (d - 1) / 2, r.toString) // each triangle uses 2 incident edges
+    }
+    val again = Graph.triangles(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "triangles not deterministic")
+  }
 }
