@@ -40,7 +40,12 @@ object Plans {
     "q_token_budget", "q_dedup_degree", "q_knn_rp",
     "q_mix_schedule", "q_trend_slope", "q_cluster_sample",
     "q_embed_drift", "q_quality_drift", "q_ab_lift", "q_rfm",
-    "q_basket_pairs", "q_zipf_fit")
+    "q_basket_pairs", "q_zipf_fit",
+    "q_sales_grouping_sets", "q_dq_checks", "q_epoch_shuffle",
+    "q_zorder_layout", "q_pagerank", "q_join_size_sketch", "q_skyline",
+    "q_fuzzy_match", "q_audio_energy",
+    "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
+    "q_rrf_fusion")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -246,7 +251,39 @@ object Plans {
     "q_zipf_fit" ->
       ("the vocab aggregation is the only corpus-sized stage; TakeOrdered " +
        "prunes to the top ranks before the window, and the fit is a 1-row " +
-       "aggregate of DECIMAL-carried sums."))
+       "aggregate of DECIMAL-carried sums."),
+    "q_pagerank" ->
+      ("the visible plan is the final leaderboard join over the last rank " +
+       "generation; each power iteration executed eagerly at construction " +
+       "under the generational persist discipline (edges built once with " +
+       "degrees, ranks shuffle, edges stay put — see Graph.pageRank)."),
+    "q_triangles" ->
+      ("prune-before-fan-out: the hub top-k and its broadcast semi-join " +
+       "shrink the lineitem relation BEFORE the quadratic per-order pair " +
+       "build, so the full co-purchase pair set never materializes; the " +
+       "wedge self-join runs on the degree-ORIENTED induced edges " +
+       "(out-degree bounded by arboricity — hubs emit no wedges), built " +
+       "eagerly like every multi-consumer relation. The visible plan is " +
+       "the per-corner credit union + leaderboard over the persisted " +
+       "triangle set."),
+    "q_markov_next" ->
+      ("the sequence lead() window partitions by user_id (the one " +
+       "unavoidable corpus shuffle, key-parallel across users); the " +
+       "per-source normalizer is a second window over the |types|² " +
+       "aggregate — never a second corpus pass."),
+    "q_mad_outliers" ->
+      ("the corpus collapses through one map-side combined daily rollup; " +
+       "both exact-median passes and their joins run over the persisted " +
+       "days×types relation with the median relations broadcast back."),
+    "q_bm25_topk" ->
+      ("inverted-index shape: the 5 probe terms broadcast into the " +
+       "postings join so scoring is O(matched postings); per-term doubles " +
+       "are decimal-summed (aggregation-order independence) and the " +
+       "result is a TakeOrdered partial top-k."),
+    "q_rrf_fusion" ->
+      ("both rankers cut to top-R candidates via TakeOrderedAndProject " +
+       "BEFORE any global rank window — the windows and the full-outer " +
+       "fusion join only ever see 2·R rows regardless of corpus size."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

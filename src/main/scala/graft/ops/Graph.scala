@@ -123,48 +123,70 @@ object Graph {
 
   // --- triangle counting -------------------------------------------------------
 
+  /** Hub-community size for [[triangles]]: the census runs on the subgraph
+    * induced by the [[TriHubs]] most frequently ordered parts (ties by id).
+    * Full-graph exact triangle counting on the co-purchase graph is
+    * quadratic-ish in basket density (measured ~35M wedges / ~18 s at
+    * sf0.1 — it would be the suite's worst query), and even a post-hoc hub
+    * cut still pays the full O(baskets·width²) pair materialization first.
+    * Ranking hubs by ORDER FREQUENCY instead moves the prune to the SOURCE:
+    * one map-side combined count picks the hubs, a broadcast semi-join
+    * shrinks the lineitem relation itself, and the quadratic pair build
+    * only ever sees hub rows — the prune-before-fan-out rule that holds at
+    * 100 TB (the full pair set is never materialized anywhere).
+    */
+  val TriHubs = 2000
+
   /** Leaderboard size for [[triangles]]. */
   val TriTopK = 15
 
-  /** q_triangles: per-node triangle counts in the co-purchase graph — the
-    * local-clustering signal next to [[pageRank]]'s centrality: PageRank
-    * says "this part matters", triangles say "this part sits in a tight
-    * co-purchase community" (the community-density prior a curation
-    * pipeline uses when picking canonical representatives out of a
-    * similarity graph).
+  /** q_triangles: per-node triangle counts in the co-purchase subgraph of
+    * the [[TriHubs]] most-ordered parts — the local-clustering signal next
+    * to [[pageRank]]'s centrality: PageRank says "this part matters",
+    * triangles say "this part sits in a tight co-purchase community" (the
+    * community-density prior a curation pipeline uses when picking
+    * canonical representatives out of a similarity graph).
     *
-    * The implementation is the DEGREE-ORIENTED wedge join (the standard
-    * distributed triangle algorithm): every undirected edge is oriented
-    * from its lower-(degree, id) endpoint to the higher one, wedges are
+    * The census is the DEGREE-ORIENTED wedge join (the standard
+    * distributed triangle algorithm): every induced edge is oriented from
+    * its lower-(degree, id) endpoint to the higher one, wedges are
     * generated by self-joining oriented edges on their source, and a wedge
     * (y, z) closes iff the oriented edge y→z exists. Orientation bounds
     * each node's out-degree by O(√m) on any graph (arboricity bound), so
     * the wedge relation — the only super-linear intermediate — is
     * O(m^1.5) worst-case instead of the Σdeg² a raw adjacency self-join
-    * pays; at 100 TB this is the difference between a shuffle that
-    * completes and one that doesn't (hub nodes produce NO wedges: their
-    * edges all point INTO them). Each triangle is found exactly once (at
-    * its lowest-ordered apex) and credited to all three corners via one
-    * tiny union; the leaderboard is a distributed top-k.
+    * pays; hub-degree nodes produce NO wedges (their edges all point INTO
+    * them). Each triangle is found exactly once (at its lowest-ordered
+    * apex) and credited to all three corners via one tiny union; the hub
+    * cut and the leaderboard are distributed top-ks.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
+      .persist()
+    li.count() // feeds the hub rank and the pruned pair build
+    val hubs = li.groupBy("p").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("p")).limit(TriHubs)
+      .select("p")
+    // prune BEFORE the quadratic fan-out: only hub rows reach the self-join
+    val hli = li.join(broadcast(hubs), Seq("p"), "left_semi")
+    val induced = hli.as("a").join(hli.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
       .persist()
-    pairs.count() // feeds the degree count and both orientation projections
-    val deg = pairs.select(col("u").as("node"))
-      .unionByName(pairs.select(col("v").as("node")))
+    induced.count() // feeds the induced degree and both orientation sides
+    li.unpersist(blocking = false)
+    val ideg = induced.select(col("u").as("node"))
+      .unionByName(induced.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
       .persist()
-    deg.count()
+    ideg.count()
     // orient: src = lower (d, id) endpoint; ties cannot happen on id
-    val withDeg = pairs
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    // ideg is bounded at TriHubs rows by construction — always broadcast
+    val withDeg = induced
+      .join(broadcast(ideg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(ideg.select(col("node").as("v"), col("d").as("dv"))), "v")
     val oriented = withDeg.select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -172,11 +194,11 @@ object Graph {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .join(broadcast(ideg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
       .select(col("src"), col("dst"), col("dd"))
       .persist()
     oriented.count() // one oriented edge build feeds wedges + closure probe
-    pairs.unpersist(blocking = false)
+    induced.unpersist(blocking = false)
     // wedges from a common apex, ordered so (y, z) matches an oriented edge
     val e1 = oriented.select(col("src").as("x"), col("dst").as("y"), col("dd").as("dy"))
     val e2 = oriented.select(col("src").as("x"), col("dst").as("z"), col("dd").as("dz"))
@@ -191,11 +213,11 @@ object Graph {
       .unionByName(tris.select(col("y").as("node")))
       .unionByName(tris.select(col("z").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    // tris (tiny) + deg (node-cardinality narrow) stay cached for the
+    // tris (tiny) + ideg (hub-cardinality narrow) stay cached for the
     // readout's lifetime (the pageRank convention — Bench clears caches
     // between queries); the edge-sized oriented build is released now.
     oriented.unpersist(blocking = false)
-    perNode.join(deg, "node")
+    perNode.join(broadcast(ideg), "node")
       .select(col("node").as("partkey"), col("n_tri"), col("d").as("degree"))
       .orderBy(col("n_tri").desc, col("partkey"))
       .limit(TriTopK)
@@ -203,15 +225,18 @@ object Graph {
 
   val trianglesOracle: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |pr AS (SELECT DISTINCT a.p AS u, b.p AS v
-       |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-       |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
-       |         SELECT u AS node FROM pr UNION ALL SELECT v FROM pr) GROUP BY 1),
+       |hub AS (SELECT p FROM (SELECT p, COUNT(*) AS f FROM li GROUP BY 1)
+       |        ORDER BY f DESC, p LIMIT $TriHubs),
+       |hli AS (SELECT o, p FROM li WHERE p IN (SELECT p FROM hub)),
+       |ind AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |        FROM hli a JOIN hli b ON a.o = b.o AND a.p < b.p),
+       |idg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |          SELECT u AS node FROM ind UNION ALL SELECT v FROM ind) GROUP BY 1),
        |ori AS (
        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
-       |  FROM pr JOIN dg du ON du.node = pr.u JOIN dg dv ON dv.node = pr.v),
-       |orid AS (SELECT ori.src, ori.dst, dg.d AS dd FROM ori JOIN dg ON dg.node = ori.dst),
+       |  FROM ind JOIN idg du ON du.node = ind.u JOIN idg dv ON dv.node = ind.v),
+       |orid AS (SELECT ori.src, ori.dst, idg.d AS dd FROM ori JOIN idg ON idg.node = ori.dst),
        |tri AS (
        |  SELECT e1.x, e1.y, e2.z
        |  FROM (SELECT src AS x, dst AS y, dd AS dy FROM orid) e1
@@ -221,7 +246,7 @@ object Graph {
        |per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
        |          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
        |          UNION ALL SELECT z FROM tri) GROUP BY 1)
-       |SELECT per.node AS partkey, per.n_tri, dg.d AS degree
-       |FROM per JOIN dg USING (node)
+       |SELECT per.node AS partkey, per.n_tri, idg.d AS degree
+       |FROM per JOIN idg USING (node)
        |ORDER BY n_tri DESC, partkey LIMIT $TriTopK""".stripMargin
 }

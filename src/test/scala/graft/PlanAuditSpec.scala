@@ -546,4 +546,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
            s"unexpected join in a stateless vectorizer:\n$plan")
   }
+
+  test("markov next: sequence window keyed by user_id; normalizer window over the tiny agg") {
+    val plan = planOf(ops.Temporal.markovNext(spark, dir))
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(plan).isDefined,
+           s"sequence window not partitioned by user_id:\n$plan")
+    assert("windowspecdefinition\\(from_type#".r.findFirstIn(plan).isDefined,
+           s"normalizer not a window over the aggregated relation:\n$plan")
+    assert(plan.contains("partial_"), s"transition counts not map-side combined:\n$plan")
+  }
+
+  test("mad outliers: corpus collapses through a partial daily agg; medians join back broadcast") {
+    val plan = planOf(ops.Temporal.madOutliers(spark, dir))
+    assert(plan.contains("partial_"), s"daily rollup not map-side combined:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"median relations not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"days×types relation shuffled for a join:\n$plan")
+  }
+
+  test("triangles: hub cut + leaderboard are distributed top-ks, hub set probes as broadcast semi") {
+    val plan = planOf(ops.Graph.triangles(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"leaderboard not a partial top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bm25: probe terms broadcast into the postings join; top-k is TakeOrdered") {
+    val plan = planOf(ops.TextAnalysis.bm25TopK(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"probe terms not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not a partial top-k:\n$plan")
+    assert(plan.contains("partial_"), s"tf/df counts not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rrf fusion: BOTH candidate lists cut by TakeOrdered before any rank window") {
+    val plan = planOf(ops.Similarity.rrfFusion(spark, dir))
+    val cuts = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(cuts >= 2, s"expected 2 candidate top-k cuts, saw $cuts:\n$plan")
+    assert(plan.contains("FullOuter"), s"fusion not a full-outer rank join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
