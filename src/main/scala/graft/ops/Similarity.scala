@@ -1995,6 +1995,42 @@ object Similarity {
         col("rrf_score"))
   }
 
+  // --- hubness audit ----------------------------------------------------------
+
+  /** q_knn_hubness: k-occurrence histogram of the exact top-k graph — the
+    * standard hubness diagnostic (how often does each vector appear in
+    * other points' k-NN lists): high-dimensional spaces concentrate
+    * retrievals onto hub vectors, which skews ANN recall, near-dup
+    * clustering, and any kNN-derived mix — so the curation pipeline audits
+    * the distribution before trusting its neighbor graphs. Output is the
+    * histogram over ALL vectors (k_occ = 0 counts the antihubs via a left
+    * anti-ish join), not a leaderboard: the SHAPE (variance/tail) is the
+    * signal.
+    *
+    * Scale shape: rides [[knnBruteForce]]'s result relation (queries ×
+    * TopK rows — already bounded); the occurrence count is one map-side
+    * combined aggregation, the antihub completion is a broadcast left
+    * join of that tiny count relation onto the id-only corpus scan, and
+    * the histogram is a second tiny aggregation.
+    */
+  def knnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val occ = knnBruteForce(spark, dir)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+    ids.join(broadcast(occ), ids("vec_id") === occ("neighbor_id"), "left")
+      .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      .groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("k_occ")
+  }
+
+  val knnHubnessOracle: String =
+    s"""WITH bf AS ($knnBruteForceOracle),
+       |occ AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+       |        FROM bf GROUP BY 1)
+       |SELECT COALESCE(occ.k_occ, 0) AS k_occ, COUNT(*) AS n_vectors
+       |FROM embeddings e LEFT JOIN occ ON occ.neighbor_id = e.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val rrfFusionOracle: String =
     s"""WITH ${TextAnalysis.bm25CoreSql},
        |lex AS (SELECT doc_id AS id, sdec FROM bm ORDER BY sdec DESC, doc_id LIMIT $RrfCandidates),

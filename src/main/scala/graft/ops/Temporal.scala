@@ -649,10 +649,22 @@ object Temporal {
               col("event_type").as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(seq))
       .filter(col("to_type").isNotNull)
-      .groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n"))
+      .select("from_type", "to_type")
+    markovOfTransitions(trans)
+  }
+
+  /** Shared readout: (from_type, to_type) transition rows → the normalized
+    * matrix. Factored out so the streaming face
+    * ([[graft.streaming.StreamingQueries.streamMarkovNext]]) drains its
+    * state-derived transitions through the identical aggregation (and the
+    * identical oracle).
+    */
+  def markovOfTransitions(trans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byFrom = Window.partitionBy("from_type")
     trans
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
       .withColumn("total_from", sum(col("n")).over(byFrom))
       .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
         expr(s"(n * $MarkovScale) div total_from").as("p_ppm"))

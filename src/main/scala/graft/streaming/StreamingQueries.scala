@@ -388,4 +388,70 @@ object StreamingQueries {
     q.awaitTermination()
     graft.ops.TextAnalysis.rankTopK(spark.table(name), 20)
   }
+
+  /** q_stream_markov: the Markov transition matrix as a stream — the
+    * sequence-analytics face of the stateful family: `mapGroupsWithState`
+    * keyed by user carries each user's full (ts, event_id, type) history,
+    * re-sorts it per micro-batch, and re-emits the user's complete
+    * transition list with a monotone `n_seen` counter. A file stream has
+    * no per-user arrival-order guarantee across micro-batches (a later
+    * file may carry EARLIER events), so per-arrival incremental pairing
+    * would be split-dependent; cumulative re-emit + take-latest-per-user
+    * (`n_seen` is strictly monotone per emission) makes the drained result
+    * batch-identical under ANY file split — the [[streamDedupExact]]
+    * discipline extended to order-sensitive state. State is the per-user
+    * event history (the minimum an order-correcting sequencer must retain
+    * unbounded; production bounds it with a watermark-finalized horizon,
+    * the documented complete-mode trade). The drained transitions reduce
+    * through [[graft.ops.Temporal.markovOfTransitions]] — the batch
+    * query's exact readout and DuckDB oracle.
+    */
+  def streamMarkovNext(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val name = "stream_markov_next"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+              col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val withTrigger = maxFilesPerTrigger // threaded via eventsStream below when set
+    val src2 = withTrigger match {
+      case None => src
+      case Some(n) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+        val base = spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", n.toString).parquet(s"$dir/events.parque*")
+        val ts = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => base.withColumn("ts", col("ts").cast("timestamp"))
+        }
+        ts.select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+                  col("event_id"), col("event_type"))
+          .as[(Long, Long, Long, String)]
+    }
+    val emitted = src2.groupByKey(_._1)
+      .mapGroupsWithState[Seq[(Long, Long, String)], (Long, Long, Seq[(String, String)])](
+        GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+        val all = (state.getOption.getOrElse(Seq.empty) ++
+          rows.map(r => (r._2, r._3, r._4))).sortBy(e => (e._1, e._2))
+        state.update(all)
+        val trans = all.iterator.sliding(2).withPartial(false)
+          .map { case Seq(a, b) => (a._3, b._3) }.toSeq
+        (uid, all.size.toLong, trans)
+      }
+      .toDF("user_id", "n_seen", "trans")
+    val q = emitted.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalTrans = spark.table(name)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(explode(col("trans")).as("t"))
+      .select(col("t._1").as("from_type"), col("t._2").as("to_type"))
+    graft.ops.Temporal.markovOfTransitions(finalTrans)
+  }
 }

@@ -121,6 +121,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq, "bm25TopK not deterministic")
   }
 
+  test("knnHubness: histogram conserves vectors and retrievals, includes antihubs") {
+    val out = Similarity.knnHubness(spark, sf0001).collect()
+    val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val nRetrievals = Similarity.knnBruteForce(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == nVecs, "vector mass not conserved")
+    assert(out.map(r => r.getAs[Long]("k_occ") * r.getAs[Long]("n_vectors")).sum == nRetrievals,
+           "retrieval mass not conserved")
+    assert(out.exists(_.getAs[Long]("k_occ") == 0L), "antihub bucket missing")
+    val ks = out.map(_.getAs[Long]("k_occ"))
+    assert(ks.sameElements(ks.sorted), "histogram not k-ordered")
+  }
+
   test("rrfFusion: scores reconstruct from ranks, fused order is descending, ranks bounded") {
     val out = Similarity.rrfFusion(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= Similarity.RrfTopK)

@@ -256,6 +256,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.schema.fieldNames.contains("is_anomaly"))
   }
 
+  test("streaming markov equals the batch matrix under an order-scrambling 3-file split") {
+    // repartition(3) scatters rows across files with no per-user time
+    // order, and 1 file per trigger forces user histories to SPAN
+    // micro-batches with later batches carrying earlier events — the
+    // cumulative re-sort + take-latest-per-user reduction is what is
+    // actually under test
+    val dir = tmpDir("stream_markov")
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamed = StreamingQueries.streamMarkovNext(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Temporal.markovNext(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming vocab top-k equals the batch leaderboard and is micro-batch-split invariant") {
     // counting is associative and complete mode re-emits full state, so
     // the drained counts — and the shared rank readout — must equal the
