@@ -45,7 +45,7 @@ object Plans {
     "q_zorder_layout", "q_pagerank", "q_join_size_sketch", "q_skyline",
     "q_fuzzy_match", "q_audio_energy",
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
-    "q_rrf_fusion")
+    "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -283,7 +283,21 @@ object Plans {
     "q_rrf_fusion" ->
       ("both rankers cut to top-R candidates via TakeOrderedAndProject " +
        "BEFORE any global rank window — the windows and the full-outer " +
-       "fusion join only ever see 2·R rows regardless of corpus size."))
+       "fusion join only ever see 2·R rows regardless of corpus size."),
+    "q_knn_hubness" ->
+      ("rides the bounded brute-force top-k relation; the occurrence count " +
+       "broadcasts into a left join over the id-only corpus scan and the " +
+       "histogram is a second tiny partial+final aggregation."),
+    "q_dedup_canonical" ->
+      ("edges + components resolve eagerly at construction (the " +
+       "q_dedup_resolution path, capped pair source); the visible plan is " +
+       "the quality projection, the label-keyed pick window, and the " +
+       "rollup over the labeled relation."),
+    "q_dedup_containment" ->
+      ("the inverted-index self-join runs WITHOUT the Jaccard length prune " +
+       "(size asymmetry is the semantics), so the over-cap stop-shingle " +
+       "LeftAnti is the sole quadratic bound; sizes ride the explode " +
+       "relation and the pair aggregate is partial+final."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1058,6 +1058,146 @@ object Dedup {
        |FROM p0 p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold""".stripMargin
 
+  // --- canonical selection (quality-ranked representative per cluster) --------
+
+  /** q_dedup_canonical: the keep-best step every dedup pipeline ends with —
+    * resolution alone keeps the MIN-ID member of each near-dup cluster,
+    * but a curation pipeline keeps the BEST member: here the canonical
+    * document is the cluster member with the most tokens (ties broken by
+    * doc_id), an exact integer quality key, and the audit counts how often
+    * that quality pick overrides the naive min-id representative plus the
+    * token mass the dropped members would have contributed.
+    *
+    * Scale shape: edges come from the DF-capped pair source and resolve
+    * through [[resolveComponents]] (same path as q_dedup_resolution); the
+    * quality key is one stateless projection, the per-cluster pick is a
+    * keyed window over the labeled relation (partitioned by label — the
+    * cluster-cardinality shuffle resolution already paid), and the readout
+    * is one map-side combined rollup.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
+      .select("doc_a", "doc_b").cache()
+    val labels = resolveComponents(pairs)(spark)
+    pairs.unpersist()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    val lab = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("n_tokens").desc, col("doc_id"))
+    lab.withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("rk") === 1 && col("doc_id") =!= col("label"), 1L).otherwise(0L))
+          .as("n_quality_overrides"),
+        sum(when(col("rk") > 1, col("n_tokens")).otherwise(0L)).as("n_tokens_dropped"))
+      .orderBy("source")
+  }
+
+  val dedupCanonicalOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardPairsSql) t),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS start_id, doc_id AS reached FROM documents
+       |  UNION
+       |  SELECT r.start_id, e.dst FROM reach r JOIN edges e ON r.reached = e.src),
+       |labels AS (
+       |  SELECT start_id AS doc_id, MIN(reached) AS label FROM reach GROUP BY 1),
+       |q AS (SELECT doc_id, source, len(${TextAnalysis.tokensSql}) AS n_tokens FROM documents),
+       |lab AS (SELECT q.doc_id, q.source, q.n_tokens, l.label
+       |        FROM q JOIN labels l ON q.doc_id = l.doc_id),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY n_tokens DESC, doc_id) AS rk
+       |       FROM lab)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |       CAST(SUM(CASE WHEN rk = 1 AND doc_id <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_overrides,
+       |       CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_dropped
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- asymmetric containment near-dup ----------------------------------------
+
+  /** Containment threshold for [[containmentPairs]]: |A∩B| / min(|A|,|B|)
+    * at or above this flags the smaller set as contained.
+    */
+  val ContainmentThreshold = 0.8
+
+  /** q_dedup_containment: asymmetric containment detection — the metric
+    * Jaccard structurally misses: a short document quoted wholesale inside
+    * a much longer one has tiny Jaccard (union is big) but containment
+    * ≈ 1. This is the quote/subset-duplication detector a curation
+    * pipeline runs NEXT TO the symmetric near-dup pass.
+    *
+    * Scale shape: same inverted-index candidate generation as
+    * [[jaccardPairsCapped]], but WITHOUT the Jaccard length prune — size
+    * asymmetry is the point, so pairs with |A| ≪ |B| must survive. That
+    * makes the stop-shingle DF cap the ONLY quadratic defense here (every
+    * bucket bounded at cap²), which is why the capped source is not
+    * optional for this operator. Direction is decided by size (the smaller
+    * set is the contained one; equal sizes fall back to the larger id) —
+    * an exact integer rule.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDF).select("s")
+    val ex1 = ex0.join(hot, Seq("s"), "left_anti")
+    val sizes = ex1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ex = ex1.join(sizes, "doc_id")
+    val scored = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentThreshold)
+    scored.select(
+        when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("contained_id"),
+        when(col("n_a") < col("n_b"), col("doc_b"))
+          .when(col("n_b") < col("n_a"), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("container_id"),
+        col("inter"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        col("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY 1) WHERE df > $MaxShingleDF),
+       |ex1 AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex1 GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex1 a JOIN ex1 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_a, doc_b, inter, x.n AS n_a, y.n AS n_b,
+       |         CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
+       |  FROM pairs p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= $ContainmentThreshold)
+       |SELECT CASE WHEN n_a < n_b THEN doc_a WHEN n_b < n_a THEN doc_b
+       |            ELSE greatest(doc_a, doc_b) END AS contained_id,
+       |       CASE WHEN n_a < n_b THEN doc_b WHEN n_b < n_a THEN doc_a
+       |            ELSE least(doc_a, doc_b) END AS container_id,
+       |       inter,
+       |       least(n_a, n_b) AS n_contained,
+       |       greatest(n_a, n_b) AS n_container,
+       |       containment
+       |FROM sc ORDER BY 1, 2""".stripMargin
+
   // --- SimHash ---------------------------------------------------------------
 
   /** q_dedup_simhash: 32-bit SimHash fingerprints from md5 token hashes

@@ -577,6 +577,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup containment: over-cap shingles leave via LeftAnti; pair agg partial+final") {
+    val plan = planOf(ops.Dedup.containmentPairs(spark, dir))
+    assert(plan.contains("LeftAnti"), s"stop-shingle cut not an anti-join:\n$plan")
+    assert(plan.contains("partial_"), s"pair counts not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup canonical: pick window keyed by cluster label, rollup partial-aggregated") {
+    val plan = planOf(ops.Dedup.dedupCanonical(spark, dir))
+    assert("windowspecdefinition\\(label#".r.findFirstIn(plan).isDefined,
+           s"pick window not partitioned by label:\n$plan")
+    assert(plan.contains("partial_"), s"audit rollup not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("rrf fusion: BOTH candidate lists cut by TakeOrdered before any rank window") {
     val plan = planOf(ops.Similarity.rrfFusion(spark, dir))
     val cuts = "TakeOrderedAndProject".r.findAllIn(plan).length
