@@ -45,7 +45,8 @@ object Plans {
     "q_zorder_layout", "q_pagerank", "q_join_size_sketch", "q_skyline",
     "q_fuzzy_match", "q_audio_energy",
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
-    "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment")
+    "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
+    "q_path_topk")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -297,7 +298,12 @@ object Plans {
       ("the inverted-index self-join runs WITHOUT the Jaccard length prune " +
        "(size asymmetry is the semantics), so the over-cap stop-shingle " +
        "LeftAnti is the sole quadratic bound; sizes ride the explode " +
-       "relation and the pair aggregate is partial+final."))
+       "relation and the pair aggregate is partial+final."),
+    "q_path_topk" ->
+      ("the rn <= P prefix cut plans as a PARTIAL WindowGroupLimit (each " +
+       "task keeps P rows per user before the one user-keyed shuffle); " +
+       "path assembly and counting are map-side combined and the " +
+       "leaderboard is TakeOrdered."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

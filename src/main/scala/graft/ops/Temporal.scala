@@ -683,6 +683,62 @@ object Temporal {
        |       (n * $MarkovScale) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
        |FROM t ORDER BY 1, 2""".stripMargin
 
+  // --- opening-trajectory path mining -----------------------------------------
+
+  /** Prefix length for [[pathTopK]]. */
+  val PathPrefix = 3
+
+  /** Leaderboard size for [[pathTopK]]. */
+  val PathTopK = 15
+
+  /** q_path_topk: top opening trajectories — the first [[PathPrefix]]
+    * event types per user joined into a path string, counted and ranked.
+    * The behavioral sequence-mining summary next to [[markovNext]]: the
+    * matrix gives one-step dynamics, the path leaderboard gives the
+    * dominant multi-step openings (what a session-trajectory dataset
+    * builder samples against). Ordering is (ts, event_id) — the same
+    * deterministic successor rule as the matrix.
+    *
+    * Scale shape: the only corpus shuffle is the user-keyed rank window,
+    * and the `rn <= P` filter over `row_number` plans as a PARTIAL
+    * WindowGroupLimit (each task keeps only P rows per user BEFORE the
+    * shuffle — the q_sample_weighted two-phase top-k idiom), so path
+    * assembly sees ≤P rows per user; path counting is map-side combined
+    * and the leaderboard is a distributed top-k.
+    */
+  def pathTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prefix = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathPrefix)
+    val paths = prefix.groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("path_len",
+        (size(split(col("path"), ">", -1))).cast("int"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(PathTopK)
+      .select("path", "path_len", "n_users")
+  }
+
+  val pathTopKOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM e WHERE rn <= $PathPrefix GROUP BY 1)
+       |SELECT path, CAST(len(string_split(path, '>')) AS INT) AS path_len,
+       |       COUNT(*) AS n_users
+       |FROM p GROUP BY 1
+       |ORDER BY n_users DESC, path LIMIT $PathTopK""".stripMargin
+
   // --- robust (MAD) outlier days ----------------------------------------------
 
   /** MAD multiplier for [[madOutliers]] — the classic 3·MAD robust band. */

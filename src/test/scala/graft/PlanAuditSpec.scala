@@ -577,6 +577,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("path topk: prefix cut is a PARTIAL WindowGroupLimit; leaderboard is TakeOrdered") {
+    val plan = planOf(ops.Temporal.pathTopK(spark, dir))
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(plan).isDefined,
+           s"rn <= P not planned as a partial group limit:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"leaderboard not a partial top-k:\n$plan")
+  }
+
   test("dedup containment: over-cap shingles leave via LeftAnti; pair agg partial+final") {
     val plan = planOf(ops.Dedup.containmentPairs(spark, dir))
     assert(plan.contains("LeftAnti"), s"stop-shingle cut not an anti-join:\n$plan")

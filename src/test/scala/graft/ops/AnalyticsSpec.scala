@@ -52,6 +52,21 @@ class AnalyticsSpec extends SparkSpec {
            out.head.getAs[String]("to_type") == "B", out.mkString(","))
   }
 
+  test("pathTopK: prefixes cap at P, short histories keep their full path, counts aggregate") {
+    val tmp = java.nio.file.Files.createTempDirectory("path").toString
+    // u1: A,B,C,D -> prefix A>B>C (4th event ignored); u2: A,B,C -> same
+    // path; u3: A,B (short history kept at len 2); u4: Z,A
+    writeEvents(Seq(
+      (1L, 1, 1L, "A", 1.0), (2L, 2, 1L, "B", 1.0), (3L, 3, 1L, "C", 1.0), (4L, 4, 1L, "D", 1.0),
+      (5L, 1, 2L, "A", 1.0), (6L, 2, 2L, "B", 1.0), (7L, 3, 2L, "C", 1.0),
+      (8L, 1, 3L, "A", 1.0), (9L, 2, 3L, "B", 1.0),
+      (10L, 1, 4L, "Z", 1.0), (11L, 2, 4L, "A", 1.0)), tmp)
+    val out = Temporal.pathTopK(spark, tmp).collect()
+      .map(r => r.getAs[String]("path") -> (r.getAs[Int]("path_len"), r.getAs[Long]("n_users")))
+      .toMap
+    assert(out == Map("A>B>C" -> ((3, 2L)), "A>B" -> ((2, 1L)), "Z>A" -> ((2, 1L))), out.toString)
+  }
+
   test("madOutliers: planted spike flagged through a robust band; zero-MAD flags any deviation") {
     val tmp = java.nio.file.Files.createTempDirectory("mad").toString
     // "y": units 1e5..2e5 + 1e6 spike → med2 = 3.2e5, mad4 = 1.6e5, only
