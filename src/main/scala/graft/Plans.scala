@@ -46,7 +46,7 @@ object Plans {
     "q_fuzzy_match", "q_audio_energy",
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
     "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
-    "q_path_topk")
+    "q_path_topk", "q_vocab_growth")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -303,7 +303,14 @@ object Plans {
       ("the rn <= P prefix cut plans as a PARTIAL WindowGroupLimit (each " +
        "task keeps P rows per user before the one user-keyed shuffle); " +
        "path assembly and counting are map-side combined and the " +
-       "leaderboard is TakeOrdered."))
+       "leaderboard is TakeOrdered."),
+    "q_vocab_growth" ->
+      ("checkpoint boundaries are order statistics computed as " +
+       "orderBy().limit(c) partial top-ks over the id-only scan (4 tiny " +
+       "jobs, never a global rank window); the exploded shingle relation " +
+       "is persisted once and feeds the first-occurrence min-agg and the " +
+       "occurrence-count pass; the OLS tail is scalar math over one " +
+       "4-row explode."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

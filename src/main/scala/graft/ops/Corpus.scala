@@ -1027,6 +1027,108 @@ object Corpus {
        |FROM s""".stripMargin
   }
 
+  // --- Heaps'-law vocabulary growth -------------------------------------------
+
+  /** Checkpoint divisors for [[vocabGrowth]]: prefixes at N/8, N/4, N/2, N
+    * docs (doc_id order).
+    */
+  val HeapsCheckpoints: Seq[Long] = Seq(8L, 4L, 2L, 1L)
+
+  /** q_vocab_growth: Heaps'-law fit of vocabulary growth — V(n) ≈ K·n^β,
+    * the dataset-diversity scaling diagnostic next to [[zipfFit]]: Zipf
+    * describes the frequency head of a fixed corpus, Heaps describes how
+    * fast NEW vocabulary arrives as the corpus grows (a flattening β is
+    * the "more of the same data" signal a scaling-law analysis reads).
+    * The vocabulary unit is the word 3-GRAM shingle ([[graft.ops.Dedup
+    * .shingles]], the near-dup unit): the fixtures' unigram vocabulary
+    * saturates after a handful of documents, which degenerates the fit to
+    * a slope of exactly zero via catastrophic cancellation (measured:
+    * both engines agree to ~1e-14 and then differ in the cancelled ULPs)
+    * — shingle novelty keeps growing, so the regression is
+    * well-conditioned. Four doc-prefix checkpoints (N/8..N) in doc_id
+    * order give (shingle-occurrence, shingle-vocab) points; β is the
+    * log-log OLS slope via the exact decimal-summed coordinates
+    * ([[zipfFit]]'s idiom — identical scalar tails on both engines).
+    *
+    * Scale shape: checkpoint boundaries are order statistics of the
+    * id-only scan, each computed as `orderBy().limit(c)` — a distributed
+    * partial top-k, never a global rank window; vocabulary-at-checkpoint
+    * collapses to one min-aggregation per token (first-occurrence doc)
+    * plus ONE conditional-sum pass, and token counts ride a second
+    * conditional-sum pass over the same exploded relation (persisted, two
+    * consumers). Nothing corpus-sized is globally sorted.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = ids.count()
+    val cps = HeapsCheckpoints.map(d => math.max(n / d, 1L))
+    // the c-th smallest doc_id = max of the c smallest (TakeOrdered — the
+    // order-statistic-without-global-sort idiom); 4 tiny id-only jobs
+    val bounds = cps.map(c =>
+      ids.orderBy("doc_id").limit(c.toInt).agg(max("doc_id")).head().getLong(0))
+    val ex = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("tok"))
+      .persist()
+    ex.count() // feeds the first-occurrence agg and the token-count pass
+    val firstOcc = ex.groupBy("tok").agg(min("doc_id").as("fd"))
+    val vCols = bounds.indices.map(i =>
+      sum(when(col("fd") <= bounds(i), 1L).otherwise(0L)).as(s"v$i"))
+    val vocabRow = firstOcc.agg(vCols.head, vCols.tail: _*)
+    val tCols = bounds.indices.map(i =>
+      sum(when(col("doc_id") <= bounds(i), 1L).otherwise(0L)).as(s"t$i"))
+    val tokRow = ex.agg(tCols.head, tCols.tail: _*)
+    val pts = vocabRow.crossJoin(tokRow).select(
+      explode(array(bounds.indices.map(i =>
+        struct(col(s"t$i").as("t"), col(s"v$i").as("v"))): _*)).as("p"))
+      .select(log(col("p.t").cast("double")).as("x"),
+              log(col("p.v").cast("double")).as("y"),
+              col("p.t").as("t"), col("p.v").as("v"))
+    val d = (c: Column) => c.cast("decimal(18,14)")
+    val agg = pts.agg(
+      count(lit(1)).as("n_points"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x") * col("x"))).as("sxx"), sum(d(col("x") * col("y"))).as("sxy"),
+      max("t").as("tokens_full"), max("v").as("vocab_full"))
+    val dd = (nm: String) => col(nm).cast("double")
+    val nD = col("n_points").cast("double")
+    val beta = (nD * dd("sxy") - dd("sx") * dd("sy")) /
+               (nD * dd("sxx") - dd("sx") * dd("sx"))
+    ex.unpersist(blocking = false)
+    agg.select(
+      col("n_points"), col("tokens_full"), col("vocab_full"),
+      beta.as("beta"),
+      ((dd("sy") - beta * dd("sx")) / nD).as("ln_k"))
+  }
+
+  val vocabGrowthOracle: String =
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |cp AS (SELECT i, GREATEST(n // d, 1) AS c
+       |       FROM nn, (VALUES ${HeapsCheckpoints.zipWithIndex.map { case (d, i) => s"($i, $d)" }.mkString(", ")}) AS t(i, d)),
+       |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r FROM documents),
+       |b AS (SELECT cp.i, MAX(rk.doc_id) AS bound
+       |      FROM cp JOIN rk ON rk.r <= cp.c GROUP BY 1),
+       |ex AS (SELECT doc_id, unnest(shingles) AS tok
+       |       FROM (SELECT doc_id, ${Dedup.shinglesExposedSql} AS shingles FROM documents)),
+       |fo AS (SELECT tok, MIN(doc_id) AS fd FROM ex GROUP BY 1),
+       |pt AS (SELECT b.i,
+       |              (SELECT COUNT(*) FROM ex WHERE ex.doc_id <= b.bound) AS t,
+       |              (SELECT COUNT(*) FROM fo WHERE fo.fd <= b.bound) AS v
+       |       FROM b),
+       |r AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y, t, v FROM pt),
+       |s AS (SELECT COUNT(*) AS n_points, CAST(COUNT(*) AS DOUBLE) AS n,
+       |             CAST(SUM(CAST(x AS DECIMAL(18,14))) AS DOUBLE) AS sx,
+       |             CAST(SUM(CAST(y AS DECIMAL(18,14))) AS DOUBLE) AS sy,
+       |             CAST(SUM(CAST(x * x AS DECIMAL(18,14))) AS DOUBLE) AS sxx,
+       |             CAST(SUM(CAST(x * y AS DECIMAL(18,14))) AS DOUBLE) AS sxy,
+       |             CAST(MAX(t) AS BIGINT) AS tokens_full,
+       |             CAST(MAX(v) AS BIGINT) AS vocab_full
+       |      FROM r)
+       |SELECT n_points, tokens_full, vocab_full,
+       |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+       |       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS ln_k
+       |FROM s""".stripMargin
+
+
   // --- windowed co-occurrence PMI --------------------------------------------
 
   /** Co-occurrence window (forward distance 1..W) and leaderboard size for

@@ -86,6 +86,11 @@ object Dedup {
         .otherwise(array_distinct(grams))
     }
 
+  /** Public alias of the shingle SQL body (consumed by Corpus.vocabGrowth's
+    * oracle).
+    */
+  def shinglesExposedSql: String = shinglesSql
+
   private def shinglesSql: String = {
     val toks = TextAnalysis.tokensSql
     s"""CASE WHEN len($toks) < $ShingleN THEN []

@@ -264,4 +264,28 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
     assert(skip == Set(("y", "z"), ("x", "z"), ("x", "y")))
   }
+
+  test("vocabGrowth: all-new shingles give beta exactly 1 and ln_k exactly 0; fixture beta in (0,1)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("heaps").toString
+    // 8 docs, each with 4 unique tokens → 2 unique shingles per doc, never
+    // repeated: at every checkpoint t_i = v_i, so the log-log points lie on
+    // y = x and the OLS slope/intercept are BIT-exact 1.0 / 0.0 (sxy = sxx,
+    // sy = sx — the formula cancels algebraically, not numerically)
+    (0 until 8).map(i => (i.toLong, s"a$i b$i c$i d$i", "en", "s", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Corpus.vocabGrowth(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_points") == 4)
+    assert(r.getAs[Long]("tokens_full") == 16 && r.getAs[Long]("vocab_full") == 16, r.toString)
+    assert(r.getAs[Double]("beta") == 1.0, r.toString)
+    assert(r.getAs[Double]("ln_k") == 0.0, r.toString)
+    // fixture: shingle novelty grows sublinearly but strictly
+    val f = Corpus.vocabGrowth(spark, sf0001).collect().head
+    val beta = f.getAs[Double]("beta")
+    assert(beta > 0.0 && beta <= 1.0, f.toString)
+    assert(f.getAs[Long]("vocab_full") <= f.getAs[Long]("tokens_full"), f.toString)
+    val again = Corpus.vocabGrowth(spark, sf0001).collect().head
+    assert(f == again, "vocabGrowth not deterministic")
+  }
 }
