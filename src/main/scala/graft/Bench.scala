@@ -44,6 +44,13 @@ object Bench {
     catch { case _: Throwable => () }
     try ops.Similarity.stageKmeansCells(spark, sfDir)
     catch { case _: Throwable => () }
+    // GC barrier between the untimed staging writes and the FIRST timed
+    // query: the three staging passes churn hundreds of MB of write-side
+    // allocations, and q_allpairs_cosine (the alphabetical head) otherwise
+    // starts with that old-gen debt on its clock — the r8 driver-window
+    // 13.6 s-vs-3.8 s flap shape.
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -34,12 +34,39 @@ object Tables {
     * column; sub-µs truncation on the nanos path is invisible to every
     * date/window/gap operator downstream.
     */
+  /** Conf key for the legacy nanos-parquet escape hatch. Always SCOPED —
+    * set, resolve the relation, restore — never left mutated on the shared
+    * session (an unrestored global would make query results order-
+    * dependent). The relation's hadoop conf snapshot is taken eagerly at
+    * `spark.read.parquet` resolution, so the restore is safe.
+    */
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Runs `body` with [[NanosKey]] set, restoring the prior value after. */
+  def withNanosAsLong[A](s: SparkSession)(body: => A): A = {
+    val prior = s.conf.getOption(NanosKey)
+    s.conf.set(NanosKey, "true")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(NanosKey, v)
+      case None    => s.conf.unset(NanosKey)
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
+    val df = withNanosAsLong(s) {
+      val r = table(s, d, "events")
+      r.schema // force relation + schema resolution inside the scope
+      r
+    }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // nanos fixture detected: ParquetFileFormat re-reads the flag from
+        // the session conf at EXECUTION-planning time, so on this (legacy)
+        // layout it must stay set for the scan to succeed — a deliberate,
+        // documented exception to the scoped-restore rule above
+        s.conf.set(NanosKey, "true")
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         df.withColumn("ts", col("ts").cast("timestamp"))

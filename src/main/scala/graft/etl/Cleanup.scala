@@ -61,9 +61,12 @@ object Cleanup {
       // ISO dates order lexicographically == chronologically
       java.sql.Date.valueOf(dates.max)
     } else {
-      val d = spark.read.parquet(tableDir).agg(max(col(dateCol))).head().getDate(0)
-      require(d != null, s"cannot derive asOf: $tableDir has no rows")
-      d
+      // collect the max date as an ISO string, not java.sql.Date — the
+      // driver-side date row decode (`toJavaDate`) is JVM-sensitive
+      val r = spark.read.parquet(tableDir)
+        .agg(max(col(dateCol)).cast("string")).head()
+      require(!r.isNullAt(0), s"cannot derive asOf: $tableDir has no rows")
+      java.sql.Date.valueOf(java.time.LocalDate.parse(r.getString(0)))
     }
 
   /** Run retention on `tableDir`; notify success/failure via `poster`

@@ -115,7 +115,9 @@ object DailyIngest {
 
       // 8: retention on the final table (exclusive < asOf - days) — a pure
       //    partition drop on the date layout: kept days are never rewritten
-      val asOf = finalT.agg(max("f_shipdate")).head().getDate(0)
+      // primitive (string) collect — never decode java.sql.Date driver-side
+      val asOf = java.sql.Date.valueOf(java.time.LocalDate.parse(
+        finalT.agg(max("f_shipdate").cast("string")).head().getString(0)))
       Sinks.retentionDropPartitions(spark, lay.finalT, "f_shipdate", asOf, retentionDays)
 
       // 9: archive the input

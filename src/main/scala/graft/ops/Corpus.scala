@@ -1061,11 +1061,19 @@ object Corpus {
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val n = ids.count()
+    require(n > 0, "vocabGrowth: documents table is empty — no growth curve to fit")
     val cps = HeapsCheckpoints.map(d => math.max(n / d, 1L))
     // the c-th smallest doc_id = max of the c smallest (TakeOrdered — the
-    // order-statistic-without-global-sort idiom); 4 tiny id-only jobs
-    val bounds = cps.map(c =>
-      ids.orderBy("doc_id").limit(c.toInt).agg(max("doc_id")).head().getLong(0))
+    // order-statistic-without-global-sort idiom); 4 tiny id-only jobs.
+    // limit() takes an Int: past 2^31 docs the checkpoint prefix must come
+    // from a rank filter (PrefixSum-style) instead — fail loudly, never
+    // silently truncate the prefix
+    val bounds = cps.map { c =>
+      require(c <= Int.MaxValue,
+        s"vocabGrowth: checkpoint prefix $c exceeds limit()'s Int range — " +
+          "swap the TakeOrdered probe for a distributed rank filter at this scale")
+      ids.orderBy("doc_id").limit(c.toInt).agg(max("doc_id")).head().getLong(0)
+    }
     val ex = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("tok"))
       .persist()
@@ -1093,7 +1101,8 @@ object Corpus {
     val nD = col("n_points").cast("double")
     val beta = (nD * dd("sxy") - dd("sx") * dd("sy")) /
                (nD * dd("sxx") - dd("sx") * dd("sx"))
-    ex.unpersist(blocking = false)
+    // ex stays cached for the caller's action — firstOcc AND the token-count
+    // pass both re-read the shingle explode there; clearCache() releases it
     agg.select(
       col("n_points"), col("tokens_full"), col("vocab_full"),
       beta.as("beta"),

@@ -280,10 +280,12 @@ object Dedup {
   def jaccardPairsCapped(sh0: DataFrame, cap: Int): DataFrame = {
     // The shingle projection feeds four consumers (hot-set derivation, the
     // post-cap size pass, and both self-join sides); without a persist each
-    // consumer re-shingles the corpus. MEMORY_AND_DISK so a corpus bigger
-    // than executor memory degrades to disk instead of OOM; freed by the
+    // consumer re-shingles the corpus. MEMORY_AND_DISK_SER: disk spill
+    // instead of OOM past executor memory, and serialized bytes instead of
+    // per-doc string-array object graphs in the old gen (in-suite GC
+    // pressure is the q_dedup_resolution flap class); freed by the
     // caller's/bench's cache clear.
-    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("s")
@@ -1404,8 +1406,12 @@ object Dedup {
     // derivation and the capped index — inside one final action those
     // consumers race to compute the not-yet-cached explode+agg CONCURRENTLY
     // under core contention (the knnRecall flapping, observed here as
-    // 7→14 s run-to-run); the one tiny extra job pins the cache first
-    val tf = tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 7→14 s run-to-run); the one tiny extra job pins the cache first.
+    // SER storage: the (doc, term-string, tf) rows are millions of small
+    // string objects deserialized — packed bytes keep them out of the old
+    // gen, trading a little per-read CPU for in-suite GC robustness (the
+    // r8 driver-window 3.6× flap class)
+    val tf = tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     tf.count()
     val hot = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("term")
@@ -1415,7 +1421,7 @@ object Dedup {
     // re-running the anti-join over the full index each time; tf itself is
     // done once kept materializes
     val kept = tf.join(hot, Seq("term"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     kept.count()
     tf.unpersist(blocking = false)
     val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nq"))

@@ -73,11 +73,15 @@ object Layout {
       col("l_partkey"), to_date(col("l_shipdate")).as("d"))
     // dimension bounds: one narrow aggregation, inlined as literals so
     // every pass buckets identically (PrefixSum's bounds idiom)
-    val b = l.agg(min("l_partkey"), max("l_partkey"), min("d"), max("d")).head()
+    // bounds collect decodes only primitives (longs + ISO strings) — never
+    // java.sql.Date, whose driver-side row decode is JVM-sensitive
+    val b = l.agg(min("l_partkey"), max("l_partkey"),
+      min("d").cast("string"), max("d").cast("string")).head()
     val (pkMin, pkMax) = (b.getLong(0), b.getLong(1))
-    val (dMin, dMax) = (b.getDate(2), b.getDate(3))
-    val dSpan = java.time.temporal.ChronoUnit.DAYS.between(
-      dMin.toLocalDate, dMax.toLocalDate) + 1
+    val (dMinL, dMaxL) =
+      (java.time.LocalDate.parse(b.getString(2)), java.time.LocalDate.parse(b.getString(3)))
+    val dMin = java.sql.Date.valueOf(dMinL)
+    val dSpan = java.time.temporal.ChronoUnit.DAYS.between(dMinL, dMaxL) + 1
     // integer `div` throughout (all values non-negative, so truncation ==
     // floor == the oracle's `//`) — never double division
     val bucketed = l.select(

@@ -787,36 +787,51 @@ object Relational {
     * per (r, f, m) segment.
     *
     * Recency is measured against max(o_orderdate) IN THE DATA (never the
-    * wall clock — the §4.4-g determinism rule). Scale: per-customer
-    * metrics are one map-side combined aggregation; the boundary windows
-    * run over the customer-cardinality relation — at 100 TB the boundary
-    * derivation swaps to `percentile_approx` (rank error audited by
-    * `q_quantile_profile_check`'s self-check) or a per-metric two-phase
-    * top-k, with classification and the segment rollup unchanged.
+    * wall clock — the §4.4-g determinism rule), cross-joined in as a
+    * broadcast 1-row aggregate rather than collected to the driver (no
+    * date ever decodes driver-side — JVM-sensitive `toJavaDate` row
+    * decodes are a portability hazard). Scale: per-customer metrics are
+    * one map-side combined aggregation; boundary ORDER STATISTICS come
+    * from a value-histogram + the [[graft.plans.PrefixSum]] two-phase
+    * distributed prefix sum — the rank-r value is the unique histogram
+    * row whose cumulative range covers r, so no unpartitioned window
+    * anywhere in the plan and the boundaries stay bit-exact (an actual
+    * data value, not an interpolation).
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val b = RfmBuckets
     val orders = Tables.orders(spark, dir)
-    val asOf = orders.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    val asOf = broadcast(orders.agg(max(to_date(col("o_orderdate"))).as("as_of")))
     val per = orders.groupBy(col("o_custkey").as("custkey"))
       .agg(
-        datediff(lit(asOf), max(to_date(col("o_orderdate")))).cast("long").as("recency"),
+        max(to_date(col("o_orderdate"))).as("last_order"),
         count(lit(1)).as("frequency"),
         (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 100)
           .cast(DecimalType(18, 0)).as("monetary"))
+      .crossJoin(asOf)
+      .select(col("custkey"),
+        datediff(col("as_of"), col("last_order")).cast("long").as("recency"),
+        col("frequency"), col("monetary"))
       .persist()
-    per.count() // feeds three rank windows + the classify join
+    val n = per.count() // feeds three boundary derivations + the classify join
     def bucketOf(metric: String): DataFrame = {
-      val w = Window.orderBy(col(metric), col("custkey"))
-      val n = per.count()
-      val ranked = per.select(col("custkey"), col(metric))
-        .withColumn("rn", row_number().over(w))
-      val cuts = (1 until b).map(q =>
-        max(when(col("rn") === math.ceil(n.toDouble * q / b).toLong, col(metric)))
-          .as(s"b$q"))
-      ranked.agg(cuts.head, cuts.tail: _*)
+      // exact distributed order statistics: per-value counts, then a
+      // two-phase global prefix sum over the value order (PrefixSum's
+      // quantile-bucketed scaffold — no single-partition window). The
+      // value at rank r is the histogram row with cum < r <= cum + cnt;
+      // rank ties on custkey never change the VALUE at a rank, so this
+      // equals the oracle's row_number()-over-(metric, custkey) cut.
+      val vc = per.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .withColumn("_g", lit(0))
+      val cum = graft.plans.PrefixSum.exclusiveRunningSum(
+        vc, col("cnt"), Seq("_g"), Seq(metric), out = "cum")
+      val cuts = (1 until b).map { q =>
+        val r = math.ceil(n.toDouble * q / b).toLong
+        max(when(col("cum") < r && col("cum") + col("cnt") >= r, col(metric)))
+          .as(s"b$q")
+      }
+      cum.agg(cuts.head, cuts.tail: _*)
     }
     val (rb, fb, mb) = (bucketOf("recency"), bucketOf("frequency"), bucketOf("monetary"))
     def score(metric: String, bounds: Seq[org.apache.spark.sql.Column]) =
@@ -832,10 +847,10 @@ object Relational {
       .groupBy("r_bucket", "f_bucket", "m_bucket")
       .agg(
         count(lit(1)).as("n_customers"),
-        // Emitted as DECIMAL(18,0): oracle bridges collapse >18-digit decimals
-        // to float64, breaking exact compares. Whole-relation bound at sf0.1 is
-        // ~3.8e12, so the per-segment sum has ≥10⁵× headroom inside 18 digits.
-        sum("monetary").cast(DecimalType(18, 0)).as("sum_monetary"),
+        // Emitted as BIGINT: no decimal of any width leaves a query (oracle
+        // bridges/hashers diverge on the decimal type class). Whole-relation
+        // bound at sf0.1 is ~3.8e12 — far inside int64.
+        sum("monetary").cast("long").as("sum_monetary"),
         min("custkey").as("min_custkey"))
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
@@ -870,7 +885,7 @@ object Relational {
        |SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
        |       CAST(m_bucket AS INT) AS m_bucket,
        |       COUNT(*) AS n_customers,
-       |       CAST(SUM(monetary) AS DECIMAL(18,0)) AS sum_monetary,
+       |       CAST(SUM(monetary) AS BIGINT) AS sum_monetary,
        |       CAST(MIN(custkey) AS BIGINT) AS min_custkey
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
@@ -1223,4 +1238,72 @@ object Relational {
        |       CAST(n_violations AS BIGINT) AS n_violations,
        |       CAST(n_violations = 0 AS INT) AS passed
        |FROM rows ORDER BY 1""".stripMargin
+
+  // --- set operations ---------------------------------------------------------
+
+  /** Price floor defining the high-value customer set for [[setOps]]. */
+  val SetOpsPriceFloor = 150000.0
+
+  /** Trailing window (days from max(o_orderdate)) defining the recently
+    * active customer set for [[setOps]].
+    */
+  val SetOpsRecentDays = 365
+
+  /** q_set_ops: the relational set-operation audit — `INTERSECT` / `EXCEPT`
+    * over two customer key sets: A = customers with a high-value order
+    * (totalprice > [[SetOpsPriceFloor]]) and B = customers active in the
+    * trailing [[SetOpsRecentDays]] days (bound derived from max(o_orderdate)
+    * IN THE PLAN — broadcast 1-row cross join, no driver date collect). The
+    * three partitions (`both` = A∩B, `a_only` = A−B, `b_only` = B−A) each
+    * roll up to a count plus key checksums, giving the daily-batch-vs-corpus
+    * reconciliation shape every promotion pipeline runs ("which of today's
+    * keys are genuinely new / which standing keys went missing").
+    *
+    * Uses `Dataset.intersect` / `Dataset.except` EXPLICITLY — the §2.7
+    * set-operation exemplar. Catalyst plans both as hash-partitioned
+    * semi/anti joins over the distinct key sets: co-partitioned on the key,
+    * no broadcast ceiling on either side, partial aggregation for the
+    * rollup — the 100 TB shape (two key-column scans, two key shuffles).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val highValue = orders.filter(col("o_totalprice") > SetOpsPriceFloor)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val asOf = broadcast(orders.agg(max(to_date(col("o_orderdate"))).as("as_of")))
+    val recent = orders.crossJoin(asOf)
+      .filter(to_date(col("o_orderdate")) >= date_sub(col("as_of"), SetOpsRecentDays))
+      .select(col("o_custkey").as("custkey")).distinct()
+    // label each partition, then ONE grouped rollup — an empty partition
+    // yields no row, exactly the oracle's GROUP BY semantics
+    def labeled(df: DataFrame, label: String): DataFrame =
+      df.select(lit(label).as("part"), col("custkey"))
+    labeled(highValue.intersect(recent), "both")
+      .unionByName(labeled(highValue.except(recent), "a_only"))
+      .unionByName(labeled(recent.except(highValue), "b_only"))
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum("custkey").as("sum_key"),
+        min("custkey").as("min_key"),
+        max("custkey").as("max_key"))
+      .orderBy("part")
+  }
+
+  val setOpsOracle: String =
+    s"""WITH ao AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+       |a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+       |      WHERE o_totalprice > $SetOpsPriceFloor),
+       |b AS (SELECT DISTINCT o_custkey AS custkey FROM orders, ao
+       |      WHERE CAST(o_orderdate AS DATE) >= as_of - $SetOpsRecentDays),
+       |parts AS (
+       |  SELECT 'both' AS part, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+       |  UNION ALL
+       |  SELECT 'a_only', custkey FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+       |  UNION ALL
+       |  SELECT 'b_only', custkey FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a))
+       |SELECT part, COUNT(*) AS n_cust,
+       |       CAST(SUM(custkey) AS BIGINT) AS sum_key,
+       |       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       |       CAST(MAX(custkey) AS BIGINT) AS max_key
+       |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin
 }

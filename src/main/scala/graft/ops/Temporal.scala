@@ -44,8 +44,12 @@ object Temporal {
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("business_date", Clock.businessDate(col("ts")))
-    val asOf = e.agg(max("business_date")).head().getDate(0)
-    e.withColumn("kept", Clock.retentionKeep(col("business_date"), lit(asOf)))
+    // as-of = max(business_date) IN THE PLAN (broadcast 1-row cross join),
+    // never a driver-side date collect — `toJavaDate` row decodes are
+    // JVM-sensitive and this is a query path, not an ops entry point
+    val asOf = broadcast(e.agg(max("business_date").as("as_of")))
+    e.crossJoin(asOf)
+      .withColumn("kept", Clock.retentionKeep(col("business_date"), col("as_of")))
       .groupBy("event_type")
       .agg(
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -551,15 +555,16 @@ object Temporal {
       .withColumn("n", dec(5)(col("n0")))
     val num = dec(30)(col("n") * col("sxy") - col("sx") * col("sy"))
     val den = dec(20)(col("n") * col("sxx") - col("sx") * col("sx"))
-    // Output width contract: internal arithmetic stays wide (the dec(30)/
-    // dec(20) intermediates above), but the EMITTED columns are DECIMAL(18,0)
-    // — oracle bridges collapse decimals wider than 18 digits to float64 and
-    // lose exactness. Bounds measured at sf0.1: |num| ≤ ~4e10, |den| ≤ ~7e4,
-    // so 18 digits holds with ≥10⁶× headroom; at corpus scale the slope pair
-    // would be re-based (per-window day indices) before it approaches 1e18.
+    // Output type contract: internal arithmetic stays wide decimal (the
+    // dec(30)/dec(20) intermediates above), but the EMITTED columns are
+    // BIGINT — no decimal of ANY width leaves a query (oracle bridges and
+    // row hashers diverge on the decimal type class itself, not just on
+    // >18-digit widths). Bounds measured at sf0.1: |num| ≤ ~4e10,
+    // |den| ≤ ~7e4 — both far inside int64; at corpus scale the slope pair
+    // would be re-based (per-window day indices) before it approaches 2⁶³.
     agg.select(
         col("event_type"), col("n0").as("n_days"),
-        dec(18)(num).as("slope_num"), dec(18)(den).as("slope_den"),
+        num.cast("long").as("slope_num"), den.cast("long").as("slope_den"),
         (num.cast("double") / den.cast("double")).as("slope_units_per_day"),
         signum(num.cast("double")).cast("int").as("trend"))
       .orderBy("event_type")
@@ -584,8 +589,8 @@ object Temporal {
        |         CAST(SUM(x * x) AS DECIMAL(13,0)) AS sxx
        |  FROM xy GROUP BY 1)
        |SELECT event_type, n_days,
-       |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DECIMAL(18,0)) AS slope_num,
-       |       CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS DECIMAL(18,0)) AS slope_den,
+       |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS BIGINT) AS slope_num,
+       |       CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS BIGINT) AS slope_den,
        |       CAST(CAST(n * sxy - sx * sy AS DECIMAL(30,0)) AS DOUBLE)
        |         / CAST(CAST(n * sxx - sx * sx AS DECIMAL(20,0)) AS DOUBLE)
        |         AS slope_units_per_day,
@@ -782,7 +787,8 @@ object Temporal {
       .select(col("event_type"), col("day"), col("units"), col("med2"), col("mad4"),
         (col("dev2") * 2 > lit(MadK) * col("mad4")).cast("int").as("is_outlier"))
       .orderBy("event_type", "day")
-    daily.unpersist(blocking = false)
+    // daily stays cached through the caller's action (med, dev and mad all
+    // reference it lazily); Bench/Verify's clearCache() releases it
     out
   }
 

@@ -364,7 +364,10 @@ object TextAnalysis {
       .withColumn("s", expr(bm25Sql).cast("decimal(28,10)"))
       .groupBy("doc_id", "dl")
       .agg(sum("s").as("sdec"), count(lit(1)).cast("int").as("n_terms"))
-    tokRows.unpersist(blocking = false)
+    // tokRows stays cached for the CALLER's first action — dl/dfreq/tf all
+    // re-read it there; Bench/Verify's clearCache() between queries is the
+    // release point (the triangles/pageRank convention). An eager unpersist
+    // here would discard exactly the reuse the persist buys.
     out
   }
 

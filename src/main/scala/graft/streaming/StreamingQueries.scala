@@ -22,12 +22,25 @@ object StreamingQueries {
     * file is addressed through a glob — the source then roots itself at the
     * parent dir and matches only this file.
     */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*")
+  /** The shared events file-stream source. `maxFilesPerTrigger` (tests'
+    * split-forcing knob) threads through HERE so no caller re-implements
+    * the schema/ts normalization. The legacy nanos conf is SCOPED to the
+    * schema probe ([[graft.Tables.withNanosAsLong]]); only a detected
+    * nanos fixture leaves it set (execution-time scans re-read it — same
+    * documented exception as [[graft.Tables.events]]).
+    */
+  private def eventsStream(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rawSchema = graft.Tables.withNanosAsLong(spark) {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
+    val rdr = spark.readStream.schema(rawSchema)
+    val src = maxFilesPerTrigger
+      .fold(rdr)(n => rdr.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$dir/events.parque*")
     rawSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         src.withColumn("ts", col("ts").cast("timestamp"))
@@ -251,30 +264,21 @@ object StreamingQueries {
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = "stream_rolling_zscore"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    // split-forcing (tests) rebuilds the reader with the trigger option;
-    // the driver path uses the shared eventsStream
-    val stream = maxFilesPerTrigger match {
-      case None => eventsStream(spark, dir)
-      case Some(n) =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-        val r = spark.readStream.schema(rawSchema)
-          .option("maxFilesPerTrigger", n.toString).parquet(s"$dir/events.parque*")
-        rawSchema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => r.withColumn("ts", col("ts").cast("timestamp"))
-        }
-    }
+    val stream = eventsStream(spark, dir, maxFilesPerTrigger)
+    // the memory sink decodes rows on the DRIVER; group by the ISO string
+    // form of the day (lexicographic == chronological, still micro-batch-
+    // split invariant) so no java.sql.Date row decode — JVM-sensitive —
+    // happens in the drain, then restore DateType for the batch readout
     val daily = stream
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day_s"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
              .as("total"))
     val q = daily.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.ops.Temporal.rollingZscoreOfDaily(spark.table(name))
+    graft.ops.Temporal.rollingZscoreOfDaily(
+      spark.table(name).withColumn("day", to_date(col("day_s"))).drop("day_s"))
   }
 
   /** q_stream_dq: the data-quality gate validating an ARRIVING fact
@@ -411,27 +415,10 @@ object StreamingQueries {
     import spark.implicits._
     val name = "stream_markov_next"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val src = eventsStream(spark, dir)
+    val src2 = eventsStream(spark, dir, maxFilesPerTrigger)
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
               col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
-    val withTrigger = maxFilesPerTrigger // threaded via eventsStream below when set
-    val src2 = withTrigger match {
-      case None => src
-      case Some(n) =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-        val base = spark.readStream.schema(rawSchema)
-          .option("maxFilesPerTrigger", n.toString).parquet(s"$dir/events.parque*")
-        val ts = rawSchema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => base.withColumn("ts", col("ts").cast("timestamp"))
-        }
-        ts.select(col("user_id"), unix_micros(col("ts")).as("tsm"),
-                  col("event_id"), col("event_type"))
-          .as[(Long, Long, Long, String)]
-    }
     val emitted = src2.groupByKey(_._1)
       .mapGroupsWithState[Seq[(Long, Long, String)], (Long, Long, Seq[(String, String)])](
         GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>

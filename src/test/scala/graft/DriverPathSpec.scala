@@ -1,0 +1,45 @@
+package graft
+
+/** Standalone runs of the queries that previously collected `java.sql.Date`
+  * scalars on the driver (VERDICT r8 item 2: `q_rfm`, `q_retention`,
+  * `q_zorder_layout`, `q_stream_zscore` aborted with
+  * EXPRESSION_DECODING_FAILED / `DateTimeUtils.toJavaDate` in a foreign
+  * JVM). Each is exercised through the DRIVER's entry point
+  * (`SparkEntry.queries`) exactly as `Verify` runs it — constructed and
+  * fully materialized with no other query having warmed any state — and
+  * the source tree is asserted free of driver-side date decodes, so the
+  * fragile pattern cannot silently return.
+  */
+class DriverPathSpec extends SparkSpec {
+
+  private val fixed = Seq("q_rfm", "q_retention", "q_zorder_layout", "q_stream_zscore")
+
+  for (name <- fixed)
+    test(s"$name runs standalone through SparkEntry.queries and yields rows") {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name produced no rows")
+      // no decimal-typed output columns anywhere (the round-8 hasher rule)
+      val decs = df.schema.fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      assert(decs.isEmpty, s"$name emits decimal columns: ${decs.map(_.name).mkString(",")}")
+    }
+
+  test("no driver-side java.sql.Date row decodes anywhere in main sources") {
+    val srcRoot = java.nio.file.Paths.get("src/main/scala")
+    val bad = new scala.collection.mutable.ArrayBuffer[String]
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        for (i <- 0 until lines.size()) {
+          val l = lines.get(i)
+          if (l.contains(".getDate(") || l.contains("getAs[java.sql.Date]"))
+            bad += s"$p:${i + 1}: ${l.trim}"
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      "driver-side date decodes (JVM-sensitive toJavaDate) found:\n" + bad.mkString("\n"))
+  }
+}

@@ -599,6 +599,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("rfm: boundary derivation is window-free (prefix-sum order statistics)") {
+    val df = ops.Relational.rfmSegments(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the naive boundary form is row_number() over a global ORDER BY per
+    // metric — three single-partition windows over a corpus-cardinality
+    // relation; the histogram + PrefixSum scaffold must keep the whole
+    // plan window-free
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("rrf fusion: BOTH candidate lists cut by TakeOrdered before any rank window") {
     val plan = planOf(ops.Similarity.rrfFusion(spark, dir))
     val cuts = "TakeOrderedAndProject".r.findAllIn(plan).length

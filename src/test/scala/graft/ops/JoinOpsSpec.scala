@@ -326,13 +326,13 @@ class JoinOpsSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val planted = Temporal.trendSlope(spark, tmp).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
-    assert(planted(("up")).getAs[java.math.BigDecimal]("slope_num").longValueExact == 5000000L)
-    assert(planted(("up")).getAs[java.math.BigDecimal]("slope_den").longValueExact == 50L)
+    assert(planted(("up")).getAs[Long]("slope_num") == 5000000L)
+    assert(planted(("up")).getAs[Long]("slope_den") == 50L)
     assert(planted(("up")).getAs[Double]("slope_units_per_day") == 100000.0)
     assert(planted(("up")).getAs[Int]("trend") == 1)
     assert(planted(("down")).getAs[Int]("trend") == -1)
     assert(planted(("flat")).getAs[Int]("trend") == 0)
-    assert(planted(("flat")).getAs[java.math.BigDecimal]("slope_num").longValueExact == 0L)
+    assert(planted(("flat")).getAs[Long]("slope_num") == 0L)
     // fixture run well-formed
     assert(out.collect().forall(r => Set(-1, 0, 1)(r.getAs[Int]("trend"))))
   }

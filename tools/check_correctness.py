@@ -14,9 +14,11 @@ decimals to float64 on BOTH sides and masked a driver-gate failure
   * the Spark side is read natively with pyarrow (like the driver);
   * the oracle side is fetched as Arrow (decimal128 preserved, no pandas
     float collapse);
-  * any final Spark output column with DECIMAL precision > 18 is an
-    automatic FAIL — that width class does not round-trip exactly through
-    the driver's oracle bridge regardless of values.
+  * any final Spark output column of DECIMAL type — ANY precision — is an
+    automatic FAIL. Round 8 proved the driver's hasher diverges on the
+    decimal type class itself (q_rfm / q_trend_slope emitted decimal(18,0)
+    with bit-identical values and still hash-failed): emitted schemas must
+    be bigint/double/string/date/bool only; decimals stay internal.
 
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
@@ -32,15 +34,17 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-MAX_DECIMAL_PRECISION = 18
-
-
 def wide_decimals(schema):
-    """Columns in a pyarrow schema whose decimal precision exceeds 18."""
+    """Columns in a pyarrow schema of decimal type — ANY precision.
+
+    The driver's row hasher trips on the decimal type class itself, not
+    just on widths past 18 digits (round-8 finding), so every decimal in
+    an emitted schema is an automatic FAIL.
+    """
     bad = []
     for field in schema:
         t = field.type
-        if pa.types.is_decimal(t) and t.precision > MAX_DECIMAL_PRECISION:
+        if pa.types.is_decimal(t):
             bad.append(f"{field.name}:decimal({t.precision},{t.scale})")
     return bad
 
@@ -101,9 +105,9 @@ def main(sf_dir, out_dir):
             spark_tbl = pq.read_table(files)
             wide = wide_decimals(spark_tbl.schema)
             if wide:
-                print(f"FAIL {name}: output decimal wider than "
-                      f"{MAX_DECIMAL_PRECISION} digits (does not round-trip "
-                      f"exactly through the oracle bridge): {wide}")
+                print(f"FAIL {name}: decimal-typed output column(s) — the "
+                      f"driver hasher diverges on the decimal type class; "
+                      f"cast to BIGINT/DOUBLE before emitting: {wide}")
                 n_fail += 1
                 continue
             oracle_tbl = con.execute(sql).fetch_arrow_table()
