@@ -46,7 +46,7 @@ object Plans {
     "q_fuzzy_match", "q_audio_energy",
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
     "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
-    "q_path_topk", "q_vocab_growth")
+    "q_path_topk", "q_vocab_growth", "q_set_ops")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
@@ -241,9 +241,17 @@ object Plans {
        "the verdict is exact cross-multiplied integers."),
     "q_rfm" ->
       ("per-customer metrics are one partial aggregation; quintile " +
-       "boundaries derive from rank windows over the customer-cardinality " +
-       "relation and BROADCAST into the classify projection; the segment " +
-       "rollup is partial+final."),
+       "boundaries are exact order statistics from ONE labeled value " +
+       "histogram pushed through the metric-partitioned PrefixSum " +
+       "two-phase scaffold (no Window operator anywhere — " +
+       "PlanAuditSpec-asserted), returned as a single broadcast 1-row " +
+       "aggregate into the classify projection; the segment rollup is " +
+       "partial+final."),
+    "q_set_ops" ->
+      ("Dataset.intersect/except compile to hash-partitioned semi/anti " +
+       "joins over the distinct key projections — co-partitioned on the " +
+       "key, no broadcast ceiling on either side; the three labeled " +
+       "partitions union into one partial+final grouped rollup."),
     "q_basket_pairs" ->
       ("the pair generator self-joins the persisted DISTINCT (order, part) " +
        "relation keyed on orderkey — fan-out bounded per order, never " +
