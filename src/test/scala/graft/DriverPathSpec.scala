@@ -26,7 +26,7 @@ class DriverPathSpec extends SparkSpec {
       assert(decs.isEmpty, s"$name emits decimal columns: ${decs.map(_.name).mkString(",")}")
     }
 
-  test("no driver-side java.sql.Date row decodes anywhere in main sources") {
+  test("no driver-side date/timestamp/decimal row decodes anywhere in main sources") {
     val srcRoot = java.nio.file.Paths.get("src/main/scala")
     val bad = new scala.collection.mutable.ArrayBuffer[String]
     java.nio.file.Files.walk(srcRoot).forEach { p =>
@@ -34,7 +34,9 @@ class DriverPathSpec extends SparkSpec {
         val lines = java.nio.file.Files.readAllLines(p)
         for (i <- 0 until lines.size()) {
           val l = lines.get(i)
-          if (l.contains(".getDate(") || l.contains("getAs[java.sql.Date]"))
+          if (l.contains(".getDate(") || l.contains("getAs[java.sql.Date]") ||
+              l.contains(".getTimestamp(") || l.contains("getAs[java.sql.Timestamp]") ||
+              l.contains(".getDecimal(") || l.contains("getAs[java.math.BigDecimal]"))
             bad += s"$p:${i + 1}: ${l.trim}"
         }
       }
