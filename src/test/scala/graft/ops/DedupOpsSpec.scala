@@ -93,4 +93,55 @@ class DedupOpsSpec extends SparkSpec {
     val again = Dedup.containmentPairs(spark, sf0001).collect()
     assert(out.toSeq == again.toSeq, "containmentPairs not deterministic")
   }
+
+  // --- prefix-filtered Jaccard -----------------------------------------------
+
+  private def normalizedPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long, Double)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+              col("inter").cast("long"), col("n_a").cast("long"),
+              col("n_b").cast("long"), col("jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5)))
+      .toSet
+
+  test("ngramJaccardPrefix ≡ ngramJaccard on the fixture (prefix filter is lossless)") {
+    val prefix = normalizedPairs(Dedup.ngramJaccardPrefix(spark, sf0001))
+    val full = normalizedPairs(Dedup.ngramJaccard(spark, sf0001))
+    assert(prefix == full,
+      s"prefix path diverged: only-prefix=${(prefix -- full).take(3)} only-full=${(full -- prefix).take(3)}")
+    assert(full.nonEmpty, "fixture has no near-dup pairs — equivalence test vacuous")
+  }
+
+  test("prefix filter starves the hot-shingle bucket: one shared boilerplate gram, zero candidates") {
+    val tmp = java.nio.file.Files.createTempDirectory("jacpre").toString
+    // 10 docs, each 8 unique tokens + the same 3-token boilerplate tail:
+    // exactly ONE shared shingle per pair (df = 10), jaccard 1/17 << 0.5.
+    // The raw inverted index would emit all 45 pairs into the hot bucket;
+    // the df-ascending global order ranks the hot shingle LAST in every
+    // doc (9 shingles, prefix = 5), so the prefix index emits ZERO.
+    writeDocs((0L until 10L).map { i =>
+      val uniq = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
+      (i, s"$uniq common1 common2 common3", "s")
+    }, tmp)
+    val cand = Dedup.jaccardPrefixCandidates(
+      Dedup.docShingles(spark, tmp), Dedup.JaccardThreshold)
+    assert(cand.count() == 0, "hot shingle leaked into a prefix")
+    // and the end-to-end result still matches the unpruned definition
+    assert(normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp)) ==
+           normalizedPairs(Dedup.ngramJaccard(spark, tmp)))
+  }
+
+  test("prefix path finds a planted qualifying pair with exact intersection") {
+    val tmp = java.nio.file.Files.createTempDirectory("jacpre2").toString
+    // doc 0 and doc 1: 12-token base + one appended token on doc 1 →
+    // 10 shared shingles of doc0's 10 and doc1's 11, jaccard 10/11 ≥ 0.5.
+    // doc 2 is disjoint.
+    val base = (1 to 12).map(j => s"w$j").mkString(" ")
+    writeDocs(Seq(
+      (0L, base, "s"), (1L, base + " tail", "s"),
+      (2L, (1 to 12).map(j => s"z$j").mkString(" "), "s")), tmp)
+    val out = normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp))
+    assert(out == Set((0L, 1L, 10L, 10L, 11L, 10.0 / 11.0)), out.toString)
+  }
 }
