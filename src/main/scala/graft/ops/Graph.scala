@@ -222,6 +222,98 @@ object Graph {
       .limit(TriTopK)
   }
 
+  // --- breadth-first search ----------------------------------------------------
+
+  /** Hop bound for [[bfsHops]] — the oracle unrolls exactly this many
+    * frontier expansions.
+    */
+  val BfsHops = 4
+
+  /** q_bfs_hops: hop-bounded single-source BFS over the co-purchase graph —
+    * the per-level reachability census (how many parts sit 1, 2, 3, 4
+    * co-purchase hops from the most-connected hub). Distance-from-anchor is
+    * the third iterated-graph primitive next to [[pageRank]] (importance)
+    * and the [[graft.ops.Dedup]] resolution (membership): recommendation
+    * radius, blast-radius audits, and label-propagation seeds all reduce to
+    * it.
+    *
+    * The source is the maximum-degree node (ties by id), chosen IN-PLAN
+    * from a 1-row top-k — no driver-side scalar leaves the cluster.
+    *
+    * Scale shape: textbook distributed frontier expansion. The edge
+    * relation is built once (pair fan-out bounded by order size) and
+    * persisted; each hop is one edges⋈frontier equi-join on the source
+    * node, a distinct, and an anti-join against the accumulated visited
+    * set — all key-only shuffles of 8-byte ids. The frontier starts at one
+    * row (AQE broadcasts it) and the visited set grows monotonically, the
+    * exact shape Pregel-style BFS runs at 100 TB. Each generation is cut
+    * with an EAGER localCheckpoint, not a bare persist: the visited
+    * relation re-enters its own successor THREE times per hop (union +
+    * frontier + anti-join), so the un-truncated logical plan grows 3^h —
+    * the classic iterative-lineage explosion that OOMs the DRIVER long
+    * before executors feel anything (measured: the 4-hop analyzed plan is
+    * ~80k formatted lines un-truncated, ~100 truncated). The readout is
+    * one tiny per-hop aggregation (count/sum/min/max over ≤ [[BfsHops]]+1
+    * groups).
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pr = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .select("u", "v")
+    val edges = pr.unionByName(pr.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    edges.count() // one edge build feeds the source pick + every hop
+    // max-degree source, ties by id — a 1-row distributed top-k
+    val src = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(1)
+      .select(col("u").as("node"))
+    // eager localCheckpoint = materialize + TRUNCATE lineage (see scaladoc;
+    // a plain persist leaves the 3^h logical plan in place). Generations
+    // are node-cardinality narrow; the ContextCleaner reclaims them.
+    var visited = src.select(col("node"), lit(0L).as("hop")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (h <- 1 to BfsHops) {
+      val next = edges.join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop"))
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = visited.filter(col("hop") === h).select("node")
+    }
+    edges.unpersist(blocking = false)
+    visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node"),
+           min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("hop")
+  }
+
+  val bfsHopsOracle: String = {
+    val levels = (1 to BfsHops).map { h =>
+      s"""f$h AS (SELECT DISTINCT ed.v AS node FROM ed JOIN f${h - 1} f ON ed.u = f.node
+         |        WHERE ed.v NOT IN (SELECT node FROM v${h - 1})),
+         |v$h AS (SELECT * FROM v${h - 1}
+         |        UNION ALL SELECT node, CAST($h AS BIGINT) FROM f$h)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pr AS (SELECT a.p AS u, b.p AS v FROM li a
+       |       JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |ed AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+       |src AS (SELECT u AS node FROM (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1)
+       |        ORDER BY d DESC, u LIMIT 1),
+       |f0 AS (SELECT node FROM src),
+       |v0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM src),
+       |$levels
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       CAST(SUM(node) AS BIGINT) AS sum_node,
+       |       MIN(node) AS min_node, MAX(node) AS max_node
+       |FROM v$BfsHops GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val trianglesOracle: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |hub AS (SELECT p FROM (SELECT p, COUNT(*) AS f FROM li GROUP BY 1)

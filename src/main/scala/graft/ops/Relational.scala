@@ -469,6 +469,72 @@ object Relational {
     ProfileCols.sorted.map(c =>
       s"SELECT '$c' AS column_name, TRUE AS within_bound").mkString("\nUNION ALL\n")
 
+  // --- Benford first-digit audit ------------------------------------------------
+
+  /** Benford's-law expected first-significant-digit frequencies in exact
+    * parts-per-million: round(log10(1 + 1/d) · 10⁶), hardcoded so NO
+    * transcendental runs on either engine (a libm log10 ulp could flip a
+    * rounded constant; a literal table cannot). The nine values sum to
+    * exactly 1,000,000.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Shared formula text (the oracle-exactness idiom): expected ppm as a
+    * CASE over the digit, valid verbatim in Spark SQL and DuckDB.
+    */
+  private val benfordExpectedSql: String =
+    "CAST(CASE digit " +
+      BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ") +
+      " END AS BIGINT)"
+
+  /** q_benford: Benford first-significant-digit audit of
+    * `l_extendedprice` — the forensic-accounting screen (fabricated or
+    * systematically generated monetary data diverges from the log-law
+    * digit distribution; TPC-H's uniform price generator diverges LOUDLY,
+    * which is exactly what the audit should report).
+    *
+    * Exactness: prices are exact cents riding a double, so the digit is
+    * taken from the ROUNDED integer cent count rendered as a string —
+    * first char of the digits of 100·x IS the first significant digit for
+    * any x ≥ 0.01, with no log10 anywhere. Observed shares are integer
+    * ppm ((10⁶·n) div total); expected shares are the hardcoded
+    * [[BenfordPpm]] literals via shared CASE text. Every output column is
+    * BIGINT.
+    *
+    * Scale shape: one pruned single-column scan, one 9-group map-side
+    * combined aggregation, the 1-row total as a broadcast cross join —
+    * nothing wider than 9 rows ever shuffles.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("bigint").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_values"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("(1000000 * n_values) div total"))
+      .withColumn("expected_ppm", expr(benfordExpectedSql))
+      .select(col("digit"), col("n_values"), col("observed_ppm"),
+              col("expected_ppm"),
+              (col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditOracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       |              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem),
+       |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+       |SELECT digit, n_values,
+       |       (1000000 * n_values) // total AS observed_ppm,
+       |       $benfordExpectedSql AS expected_ppm,
+       |       (1000000 * n_values) // total - $benfordExpectedSql AS dev_ppm
+       |FROM c, t ORDER BY digit""".stripMargin
+
   /** q_bloom_semijoin: runtime-filtered semi-join — revenue of lineitems
     * whose order is URGENT, with the fact side pre-filtered by a Bloom
     * filter built from the key side before the exact semi-join.
@@ -771,6 +837,118 @@ object Relational {
        |         JOIN ca b ON b.part = top.part_b, nn
        |ORDER BY c_ab DESC, part_a, part_b""".stripMargin
   }
+
+  /** Minimum support for [[basketTriples]] — an itemset must recur across
+    * at least this many baskets to count as frequent.
+    */
+  val TripleMinSup = 2L
+
+  /** Leaderboard size for [[basketTriples]]. */
+  val TripleTopK = 20
+
+  /** Basket-count cut for [[basketTriples]]: mining runs over the
+    * [[TripleHubs]] widest customer baskets (ties by custkey) — the same
+    * prune-at-the-source discipline as [[graft.ops.Graph.TriHubs]]. The
+    * cut bounds the cubic enumeration at hubs·width³ regardless of corpus
+    * size, and heavy baskets are where itemset evidence concentrates
+    * anyway (order-level baskets are too narrow to ever repeat a triple —
+    * measured ZERO support-2 triples at sf0.1).
+    */
+  val TripleHubs = 1000
+
+  /** q_basket_triples: frequent 3-itemsets by the a-priori prune — the
+    * level-up of [[basketPairs]] and the classic scalable market-basket
+    * algorithm: a triple can only be frequent if ALL THREE of its pairs
+    * are, so the enumeration is cut down to frequent-pair members BEFORE
+    * any triple is materialized. Baskets are per-customer distinct part
+    * sets (lifetime co-purchase), cut to the [[TripleHubs]] widest.
+    *
+    * Scale shape (prune-before-fan-out, the [[graft.ops.Graph.triangles]]
+    * rule): one pair aggregation over the hub baskets finds the frequent
+    * pairs; a broadcast semi-join shrinks the (basket, part) relation to
+    * frequent-pair members so the cubic enumeration never sees a
+    * non-candidate row; each enumerated (a,b) leg is semi-joined against
+    * the frequent-pair set before the third leg fans out, and the final
+    * triple is checked on its remaining two edges — monotonicity makes
+    * every prune lossless, which is why the oracle is the DIRECT unpruned
+    * triple aggregation over the same hub baskets. Supports collapse
+    * map-side; the leaderboard is a distributed top-k with a full
+    * deterministic tie order.
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
+      .select("ck", "part").distinct()
+      .persist()
+    cb.count() // feeds the hub rank + the pruned basket relation
+    val hubs = cb.groupBy("ck").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ck")).limit(TripleHubs)
+      .select("ck")
+    val items = cb.join(broadcast(hubs), Seq("ck"), "left_semi")
+      .select(col("ck").as("okey"), col("part"))
+      .persist()
+    items.count() // feeds the pair build + all three enumeration legs
+    cb.unpersist(blocking = false)
+    val fp = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= TripleMinSup)
+      .select("part_a", "part_b")
+      .persist()
+    fp.count() // the candidate-edge set: feeds fitems + three semi-joins
+    // parts that participate in ANY frequent pair — the a-priori row prune.
+    // The minsup floor collapses fp far below the catalog (raise minsup at
+    // scale to keep it broadcastable; the shape is unchanged).
+    val fitems = fp.select(col("part_a").as("part"))
+      .unionByName(fp.select(col("part_b").as("part"))).distinct()
+    val pli = items.join(broadcast(fitems), Seq("part"), "left_semi")
+    val xy = pli.as("x").join(pli.as("y"),
+        col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
+      .select(col("x.okey").as("okey"), col("x.part").as("pa"),
+              col("y.part").as("pb"))
+      // (a,b) must itself be frequent before the third leg fans out
+      .join(broadcast(fp.select(col("part_a").as("pa"), col("part_b").as("pb"))),
+            Seq("pa", "pb"), "left_semi")
+    val tri = xy.as("w").join(pli.as("z"),
+        col("w.okey") === col("z.okey") && col("w.pb") < col("z.part"))
+      .select(col("w.pa").as("pa"), col("w.pb").as("pb"), col("z.part").as("pc"))
+      // remaining two edges of the triangle must be frequent too
+      .join(broadcast(fp.select(col("part_a").as("pa"), col("part_b").as("pc"))),
+            Seq("pa", "pc"), "left_semi")
+      .join(broadcast(fp.select(col("part_a").as("pb"), col("part_b").as("pc"))),
+            Seq("pb", "pc"), "left_semi")
+    tri.groupBy("pa", "pb", "pc")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TripleMinSup)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+              col("pc").as("part_c"), col("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"), col("part_c"))
+      .limit(TripleTopK)
+  }
+
+  /** The direct (unpruned) triple aggregation — a-priori monotonicity makes
+    * the Spark side's prunes provably lossless, so equality against the
+    * brute-force definition is the correctness statement itself.
+    */
+  val basketTriplesOracle: String =
+    s"""WITH cb AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part
+       |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |hub AS (SELECT ck FROM (SELECT ck, COUNT(*) AS n FROM cb GROUP BY 1)
+       |        ORDER BY n DESC, ck LIMIT $TripleHubs),
+       |items AS (SELECT ck AS okey, part FROM cb WHERE ck IN (SELECT ck FROM hub)),
+       |tri AS (
+       |  SELECT x.part AS part_a, y.part AS part_b, z.part AS part_c,
+       |         COUNT(*) AS support
+       |  FROM items x
+       |  JOIN items y ON x.okey = y.okey AND x.part < y.part
+       |  JOIN items z ON x.okey = z.okey AND y.part < z.part
+       |  GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) >= $TripleMinSup)
+       |SELECT part_a, part_b, part_c, support FROM tri
+       |ORDER BY support DESC, part_a, part_b, part_c LIMIT $TripleTopK""".stripMargin
 
   // --- RFM segmentation -------------------------------------------------------
 

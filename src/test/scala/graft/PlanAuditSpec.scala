@@ -207,6 +207,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("prefix Jaccard: rank window partitions by doc (no global sort); candidates shuffle as bare ids") {
+    val df = ops.Dedup.jaccardPrefixCandidates(
+      ops.Dedup.docShingles(spark, dir), ops.Dedup.JaccardThreshold)
+    val plan = planOf(df)
+    // the rank pass must be per-doc — an unpartitioned window would pull
+    // the whole exploded shingle relation onto one reducer
+    assert(plan.contains("windowspecdefinition(doc_id"),
+           s"window must partition by doc_id:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("bfs hops: lineage truncated — readout scans the checkpointed visited set, no frontier replay") {
+    val df = ops.Graph.bfsHops(spark, dir)
+    val plan = planOf(df)
+    // the loop cut each generation with an eager localCheckpoint; the
+    // readout must be a flat scan of that RDD — a plan that still contains
+    // the frontier joins means the 3^h lineage explosion is back
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+           s"visited set not checkpoint-backed:\n$plan")
+    assert(!plan.contains("Join"), s"readout replays frontier joins:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+  }
+
+  test("basket triples: a-priori semi-joins broadcast; support aggregation combines map-side") {
+    val df = ops.Relational.basketTriples(spark, dir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+           s"frequent-pair prunes must be broadcast semi-joins:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("benford: one column read per branch, 9-group aggregation, 1-row total broadcasts") {
+    val df = ops.Relational.benfordAudit(spark, dir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // scans must prune to the single price column
+    assert(!plan.contains("l_quantity") && !plan.contains("l_orderkey"),
+           s"lineitem scan not pruned to l_extendedprice:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    // the 1-row total rides a broadcast cross join — never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"total must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
   test("range join is an equi-join on (user, bucket) — never a nested loop") {
     val plan = planOf(ops.Temporal.rangeJoin(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

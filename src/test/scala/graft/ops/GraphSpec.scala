@@ -60,6 +60,40 @@ class GraphSpec extends SparkSpec {
     out.values.foreach(v => assert(v == ((3L, 3L)), out.toString))
   }
 
+  test("bfsHops: planted path — exact per-level census, disconnected component unreached") {
+    import spark.implicits._
+    // path 1—2—3—4—5 (one order per edge) + disconnected edge 8—9.
+    // degrees: {2,3,4}→2, {1,5,8,9}→1; max-degree tie breaks to id 2.
+    // BFS from 2: hop0 {2}, hop1 {1,3}, hop2 {4}, hop3 {5}, hop4 ∅.
+    val tmp = java.nio.file.Files.createTempDirectory("bfs").toString
+    Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (12L, 3L), (12L, 4L),
+        (13L, 4L), (13L, 5L), (14L, 8L), (14L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graph.bfsHops(spark, tmp).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_node"),
+          r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))).toMap
+    assert(out == Map(
+      0L -> ((1L, 2L, 2L, 2L)), 1L -> ((2L, 4L, 1L, 3L)),
+      2L -> ((1L, 4L, 4L, 4L)), 3L -> ((1L, 5L, 5L, 5L))), out.toString)
+  }
+
+  test("bfsHops: fixture levels — single source, bounded hops, conserved stats, reproducible") {
+    val out = Graph.bfsHops(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byHop = out.map(r => r.getAs[Long]("hop") -> r).toMap
+    assert(byHop(0L).getAs[Long]("n_nodes") == 1L, "source level must be one node")
+    out.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_node"))
+      val (lo, hi) = (r.getAs[Long]("min_node"), r.getAs[Long]("max_node"))
+      assert(r.getAs[Long]("hop") >= 0 && r.getAs[Long]("hop") <= Graph.BfsHops)
+      assert(n >= 1 && lo <= hi && s >= n * lo && s <= n * hi, r.toString)
+    }
+    val again = Graph.bfsHops(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "bfsHops not deterministic")
+  }
+
   test("triangles: fixture leaderboard sorted, bounded by degree-choose-2, reproducible") {
     val out = Graph.triangles(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= Graph.TriTopK)

@@ -173,6 +173,76 @@ class JoinOpsSpec extends SparkSpec {
     assert(out((1L, 3L)).getAs[Double]("lift") == 4.0 / 3)
   }
 
+  test("basketTriples: lifetime customer baskets union across orders; only support-2 triple survives") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("tri3").toFile.getAbsolutePath
+    // customer 1's basket {1,2,3} assembles ACROSS two orders (10: {1,2},
+    // 11: {3}); customer 2 buys {1,2,3} in one order; customer 3 {1,2,4};
+    // customer 4 {7}. Triple (1,2,3) support 2 ≥ minsup; (1,2,4) support 1
+    // dies — and its (1,4)/(2,4) pairs are infrequent, so the a-priori
+    // prune kills it before enumeration.
+    Seq((10L, 1L), (10L, 2L), (11L, 3L), (12L, 1L), (12L, 2L), (12L, 3L),
+        (13L, 1L), (13L, 2L), (13L, 4L), (14L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L), (14L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.basketTriples(spark, tmp).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+            r.getAs[Long]("part_c"), r.getAs[Long]("support"))
+           == ((1L, 2L, 3L, 2L)), r.toString)
+  }
+
+  test("basketTriples: fixture leaderboard — ordered keys, support floor, deterministic") {
+    val out = Relational.basketTriples(spark, sf0001).collect()
+    assert(out.length <= Relational.TripleTopK)
+    val sup = out.map(_.getAs[Long]("support"))
+    assert(sup.sameElements(sup.sortBy(-_)), "not support-sorted")
+    out.foreach { r =>
+      assert(r.getAs[Long]("support") >= Relational.TripleMinSup, r.toString)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b") &&
+             r.getAs[Long]("part_b") < r.getAs[Long]("part_c"), r.toString)
+    }
+    val again = Relational.basketTriples(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "basketTriples not deterministic")
+  }
+
+  test("benfordAudit: planted cent values — exact digit counts, ppm splits, literal expectations") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("benford").toFile.getAbsolutePath
+    // digits: 1.00→1, 19.99→1, 2.50→2, 900.00→9, 0.03→3 (sub-1 value
+    // proves the digit comes from the CENT string, not the euro part)
+    Seq(1.00, 19.99, 2.50, 900.00, 0.03).toDF("l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.benfordAudit(spark, tmp).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("observed_ppm"),
+          r.getAs[Long]("expected_ppm"), r.getAs[Long]("dev_ppm")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L), out.toString)
+    assert(out(1L) == ((2L, 400000L, 301030L, 98970L)), out.toString)
+    assert(out(2L) == ((1L, 200000L, 176091L, 23909L)), out.toString)
+    assert(out(3L) == ((1L, 200000L, 124939L, 75061L)), out.toString)
+    assert(out(9L) == ((1L, 200000L, 45757L, 154243L)), out.toString)
+  }
+
+  test("benfordAudit: fixture — digits in 1..9, counts conserve, expectations sum to one million") {
+    val out = Relational.benfordAudit(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1 && d <= 9, r.toString)
+      assert(r.getAs[Long]("dev_ppm") ==
+        r.getAs[Long]("observed_ppm") - r.getAs[Long]("expected_ppm"), r.toString)
+    }
+    assert(Relational.BenfordPpm.map(_._2).sum == 1000000L)
+    // every lineitem row lands in exactly one digit bucket
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_values")).sum == total)
+  }
+
   test("dqChecks: planted violations are counted per constraint; fixture structural checks pass") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("dq").toFile.getAbsolutePath
