@@ -28,7 +28,7 @@ object Bench {
     // first execution (q_triangles measured 13.9 s cold vs 6.7 s warm at
     // sf0.1 in a fresh JVM) that no other query's warmup reaches. The
     // sf0.001 pass compiles the same operator pipelines untimed.
-    Seq("q_triangles", "q_pagerank").foreach { n =>
+    Seq("q_triangles", "q_pagerank", "q_bfs_hops", "q_basket_triples").foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }

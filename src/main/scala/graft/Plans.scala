@@ -47,7 +47,8 @@ object Plans {
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
     "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
     "q_path_topk", "q_vocab_growth", "q_set_ops",
-    "q_dedup_jaccard_prefix", "q_bfs_hops", "q_basket_triples", "q_benford")
+    "q_dedup_jaccard_prefix", "q_bfs_hops", "q_basket_triples", "q_benford",
+    "q_recs_itemcf")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.

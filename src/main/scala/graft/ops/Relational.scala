@@ -950,6 +950,63 @@ object Relational {
        |SELECT part_a, part_b, part_c, support FROM tri
        |ORDER BY support DESC, part_a, part_b, part_c LIMIT $TripleTopK""".stripMargin
 
+  /** Leaderboard size for [[recsItemCf]]. */
+  val RecsTopK = 15
+
+  /** q_recs_itemcf: item-based collaborative-filtering recommendations —
+    * "customers who bought what you bought also bought": for the anchor
+    * customer (the widest lifetime basket, ties by custkey, picked
+    * IN-PLAN from a 1-row top-k), every not-yet-owned part scored by its
+    * weighted co-occurrence with the anchor's basket (one point per
+    * (owned part, sharing customer) incidence — the unnormalized itemCF
+    * score). The recommendation shape completes the market-basket family:
+    * [[basketPairs]] measures global affinity, [[basketTriples]] mines
+    * recurring sets, this one personalizes.
+    *
+    * Scale shape (prune-before-fan-out): the co-occurrence join's LEFT
+    * side is first semi-joined to the anchor's ~basket-width part set
+    * (broadcast — a single basket is always tiny), so the per-customer
+    * fan-out is |owned ∩ basket|·|basket|, never |basket|²; owned parts
+    * leave via a broadcast anti-join BEFORE the score aggregation, scores
+    * collapse map-side, and the leaderboard is a distributed top-k with a
+    * full deterministic tie order. The anchor customer contributes no
+    * candidate rows by construction (all its parts are owned).
+    */
+  def recsItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
+      .select("ck", "part").distinct()
+      .persist()
+    cb.count() // feeds the anchor rank, the owned set, and both join sides
+    val anchor = cb.groupBy("ck").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ck")).limit(1)
+      .select("ck")
+    val own = cb.join(broadcast(anchor), Seq("ck"), "left_semi").select("part")
+    val ownedRows = cb.join(broadcast(own), Seq("part"), "left_semi")
+    ownedRows.as("a").join(cb.as("b"),
+        col("a.ck") === col("b.ck") && col("a.part") =!= col("b.part"))
+      .select(col("b.part").as("part"))
+      .join(broadcast(own), Seq("part"), "left_anti")
+      .groupBy("part").agg(count(lit(1)).as("score"))
+      .orderBy(col("score").desc, col("part"))
+      .limit(RecsTopK)
+  }
+
+  val recsItemCfOracle: String =
+    s"""WITH cb AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part
+       |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |anc AS (SELECT ck FROM (SELECT ck, COUNT(*) AS n FROM cb GROUP BY 1)
+       |        ORDER BY n DESC, ck LIMIT 1),
+       |own AS (SELECT part FROM cb WHERE ck IN (SELECT ck FROM anc)),
+       |co AS (SELECT b.part AS part, CAST(COUNT(*) AS BIGINT) AS score
+       |       FROM cb a JOIN cb b ON a.ck = b.ck AND a.part <> b.part
+       |       WHERE a.part IN (SELECT part FROM own)
+       |         AND b.part NOT IN (SELECT part FROM own)
+       |       GROUP BY 1)
+       |SELECT part, score FROM co ORDER BY score DESC, part LIMIT $RecsTopK""".stripMargin
+
   // --- RFM segmentation -------------------------------------------------------
 
   /** Quintile count for [[rfmSegments]]. */

@@ -241,6 +241,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
   }
 
+  test("itemCF recs: basket-set prunes ride broadcast semi/anti joins; scores combine map-side") {
+    val df = ops.Relational.recsItemCf(spark, dir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+           s"owned-part prune must be a broadcast semi-join:\n$plan")
+    // AQE's final-plan string elides materialized stage subtrees, so the
+    // anti-join is asserted on the optimized logical plan instead
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"), s"owned parts must leave via anti-join:\n$logical")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
   test("benford: one column read per branch, 9-group aggregation, 1-row total broadcasts") {
     val df = ops.Relational.benfordAudit(spark, dir)
     df.collect()

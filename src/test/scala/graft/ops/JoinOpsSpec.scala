@@ -210,6 +210,35 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq, "basketTriples not deterministic")
   }
 
+  test("recsItemCf: widest basket anchors; co-occurrence scores accumulate; owned parts excluded") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("itemcf").toFile.getAbsolutePath
+    // baskets: c1 {1,2,6} (widest → anchor), c2 {1,3}, c3 {2,3}, c4 {9},
+    // c5 {1,4}. Candidate 3 scores 2 (via part 1 @ c2 and part 2 @ c3),
+    // candidate 4 scores 1 (via part 1 @ c5); owned {1,2,6} and the
+    // unconnected 9 never appear.
+    Seq((10L, 1L), (10L, 2L), (10L, 6L), (11L, 1L), (11L, 3L),
+        (12L, 2L), (12L, 3L), (13L, 9L), (14L, 1L), (14L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (14L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.recsItemCf(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("score")))
+    assert(out.toSeq == Seq((3L, 2L), (4L, 1L)), out.mkString(";"))
+  }
+
+  test("recsItemCf: fixture leaderboard — bounded, score-sorted, positive, deterministic") {
+    val out = Relational.recsItemCf(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= Relational.RecsTopK)
+    val sc = out.map(_.getAs[Long]("score"))
+    assert(sc.sameElements(sc.sortBy(-_)), "not score-sorted")
+    sc.foreach(s => assert(s >= 1))
+    val again = Relational.recsItemCf(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "recsItemCf not deterministic")
+  }
+
   test("benfordAudit: planted cent values — exact digit counts, ppm splits, literal expectations") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("benford").toFile.getAbsolutePath
