@@ -252,7 +252,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val ngramJaccardOracle: String =
+  /** The UNPRUNED inverted-index Jaccard definition at an arbitrary
+    * threshold — the oracle body shared by the 0.5 operators and the
+    * prefix-filtered operator's [[PrefixJaccardThreshold]] instance.
+    */
+  def ngramJaccardOracleAt(t: Double): String =
     s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |pairs AS (
@@ -265,8 +269,10 @@ object Dedup {
        |FROM pairs p
        |JOIN sz x ON p.doc_a = x.doc_id
        |JOIN sz y ON p.doc_b = y.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $JaccardThreshold
+       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $t
        |ORDER BY 1, 2""".stripMargin
+
+  val ngramJaccardOracle: String = ngramJaccardOracleAt(JaccardThreshold)
 
   /** Exact pairwise Jaccard with the stop-shingle DF cap, over an explicit
     * (doc_id, shingles) relation (injectable for skew tests). Shingles with
@@ -393,36 +399,54 @@ object Dedup {
     * At t = 0.5 the prefix also halves the index; at the dedup-typical
     * t = 0.8 it keeps ~20% of each doc — candidate mass falls ~25×.
     *
-    * Plan shape: one df aggregation (map-side combined), one rank pass
-    * partitioned BY DOC (narrow rows, no global sort), the prefix
-    * self-join (buckets starved of hot shingles by construction), then
-    * [[verifyJaccardPairs]] — candidates travel as bare id pairs and only
-    * candidate docs are re-shingled.
+    * Plan shape — and why singleton shingles never travel: a shingle with
+    * corpus df = 1 cannot be SHARED, so it can never witness a candidate
+    * pair; and because the global order is df-ascending, a doc's df-1
+    * shingles occupy its FIRST n₁ ranks, so the global rank of a repeated
+    * shingle is n₁ + (its rank among the doc's repeated shingles) and the
+    * prefix test r ≤ n − ⌈t·n⌉ + 1 rewrites to r₂ ≤ cnt₂ − ⌈t·n⌉ + 1
+    * (cnt₂ = the doc's repeated-shingle count). The df-1 long tail — the
+    * overwhelming shingle mass of any real corpus — therefore exits after
+    * ONE map-side-combined count: only repeated shingles enter the df
+    * join, the per-doc rank window, and the index. The per-doc shingle
+    * ARRAYS are what is pinned (the [[jaccardPairsCapped]] discipline —
+    * compact rows, not the exploded corpus), the rank pass partitions BY
+    * DOC (no global sort), the prefix self-join's buckets are starved of
+    * hot shingles by construction, and [[verifyJaccardPairs]] re-shingles
+    * candidate docs only — candidates travel as bare id pairs.
     */
   def jaccardPrefixCandidates(sh0: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // two consumers race at action time (rank pass + df agg both read the
-    // explode) — pin eagerly, SER to keep the shingle strings out of the
-    // old gen (the in-suite GC robustness rule)
-    val ex = sh0.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-              explode(col("shingles")).as("s"))
+    // pin the COMPACT per-doc arrays, not the explode: two consumers (df
+    // count + the join input) re-explode from cache; SER keeps the string
+    // arrays out of the old gen (the in-suite GC robustness rule)
+    val sh = sh0.filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    ex.count()
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // per-doc rank under the global (df, s) order; ties impossible — the
-    // shingle arrays are distinct per doc, so (df, s) is unique within one
+    sh.count()
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+                       explode(col("shingles")).as("s"))
+    val dfreq2 = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    // only repeated shingles survive the join (no forced broadcast — a
+    // boilerplate-heavy corpus can have an unboundedly large repeated
+    // vocabulary; AQE broadcasts when it is small)
+    val exJ = ex.join(dfreq2, "s")
+    // per-doc rank among REPEATED shingles under the global (df, s) order;
+    // ties impossible — shingle arrays are distinct within a doc. cnt₂
+    // rides the same per-doc exchange as the rank.
     val byDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val pre = ex.join(dfreq, "s")
-      .withColumn("r", row_number().over(byDoc))
-      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")).cast("long") + 1)
+    val byDocAll = Window.partitionBy("doc_id")
+    val pre = exJ
+      .withColumn("r2", row_number().over(byDoc))
+      .withColumn("cnt2", count(lit(1)).over(byDocAll))
+      .filter(col("r2") <= col("cnt2") - ceil(lit(t) * col("n")).cast("long") + 1)
       .select("doc_id", "n", "s")
-    // prefix relations feed both self-join sides: persist the PRUNED rows
-    // (≈ half of ex at t=0.5) so the rank pass runs once, not twice
+    // the prefix index feeds both self-join sides: pin the pruned rows so
+    // the rank pass runs once, not twice
     val prePinned = pre.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     prePinned.count()
-    ex.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
     prePinned.as("a").join(prePinned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= lit(t) * col("b.n") &&
@@ -431,25 +455,39 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** q_dedup_jaccard_prefix: [[ngramJaccard]]'s exact result through the
-    * prefix-filtered candidate path — candidates from
-    * [[jaccardPrefixCandidates]], exact-Jaccard verification via the shared
-    * [[verifyJaccardPairs]] stage. Oracle = the UNPRUNED inverted-index SQL
-    * ([[ngramJaccardOracle]]): the hash gate itself proves the prune
+  /** Threshold for the prefix-filtered operator: the dedup-typical 0.8,
+    * NOT the exploratory 0.5 the unpruned/capped operators run at. This is
+    * the regime prefix filtering exists for — p(z) = |z| − ⌈t·|z|⌉ + 1
+    * keeps ~20% of each doc at t = 0.8 vs ~50% at t = 0.5, and candidate
+    * mass scales with the SQUARE of the kept fraction. Measured on the
+    * (adversarially self-similar, 27k-shingle-vocab) sf0.1 fixture:
+    * 296k distinct candidates at t = 0.5 — nearly every sharing pair —
+    * vs a few thousand at t = 0.8, while the RESULT is identical on the
+    * fixtures (every planted near-dup pair sits at jaccard ≥ 0.8).
+    */
+  val PrefixJaccardThreshold = 0.8
+
+  /** q_dedup_jaccard_prefix: the exact Jaccard-join result at
+    * [[PrefixJaccardThreshold]] through the prefix-filtered candidate
+    * path — candidates from [[jaccardPrefixCandidates]], exact-Jaccard
+    * verification via the shared [[verifyJaccardPairs]] stage. Oracle =
+    * the UNPRUNED inverted-index SQL at the same threshold
+    * ([[ngramJaccardOracleAt]]): the hash gate itself proves the prune
     * lossless.
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val cand = jaccardPrefixCandidates(docShingles(spark, dir), JaccardThreshold)
+    val cand = jaccardPrefixCandidates(docShingles(spark, dir), PrefixJaccardThreshold)
       .persist() // bare id pairs; feeds candIds + both verify joins
-    verifyJaccardPairs(spark, dir, cand)
+    verifyJaccardPairs(spark, dir, cand, PrefixJaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Same SQL as [[ngramJaccardOracle]] — the prefix filter is provably
+  /** Same SQL text as the unpruned definition, instantiated at the prefix
+    * operator's own threshold — the prefix filter is provably
     * output-invariant, and gating it against the unpruned definition is the
     * strongest correctness statement an optimization can make.
     */
-  val ngramJaccardPrefixOracle: String = ngramJaccardOracle
+  val ngramJaccardPrefixOracle: String = ngramJaccardOracleAt(PrefixJaccardThreshold)
 
   val ngramJaccardCappedOracle: String =
     s"""WITH sh AS (SELECT doc_id, shingles FROM $docShinglesSql t),
@@ -535,7 +573,8 @@ object Dedup {
     * persisted because it feeds both the doc_a and doc_b joins.
     */
   private def verifyJaccardPairs(spark: SparkSession, dir: String,
-                                 cand: DataFrame): DataFrame = {
+                                 cand: DataFrame,
+                                 t: Double = JaccardThreshold): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candSh = Tables.documents(spark, dir)
@@ -550,7 +589,7 @@ object Dedup {
         size(col("x.shingles")).as("n_a"), size(col("y.shingles")).as("n_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= t)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
   }
 

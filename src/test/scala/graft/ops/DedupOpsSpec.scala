@@ -105,12 +105,15 @@ class DedupOpsSpec extends SparkSpec {
                  r.getLong(4), r.getDouble(5)))
       .toSet
 
-  test("ngramJaccardPrefix ≡ ngramJaccard on the fixture (prefix filter is lossless)") {
+  test("ngramJaccardPrefix ≡ ngramJaccard∩[j≥0.8] on the fixture (prefix filter is lossless)") {
+    // the full 0.5-threshold result carries exact jaccard values, so its
+    // ≥ 0.8 slice IS the unpruned definition at the prefix threshold
     val prefix = normalizedPairs(Dedup.ngramJaccardPrefix(spark, sf0001))
     val full = normalizedPairs(Dedup.ngramJaccard(spark, sf0001))
+      .filter(_._6 >= Dedup.PrefixJaccardThreshold)
     assert(prefix == full,
       s"prefix path diverged: only-prefix=${(prefix -- full).take(3)} only-full=${(full -- prefix).take(3)}")
-    assert(full.nonEmpty, "fixture has no near-dup pairs — equivalence test vacuous")
+    assert(full.nonEmpty, "fixture has no j≥0.8 near-dup pairs — equivalence test vacuous")
   }
 
   test("prefix filter starves the hot-shingle bucket: one shared boilerplate gram, zero candidates") {
@@ -118,16 +121,17 @@ class DedupOpsSpec extends SparkSpec {
     // 10 docs, each 8 unique tokens + the same 3-token boilerplate tail:
     // exactly ONE shared shingle per pair (df = 10), jaccard 1/17 << 0.5.
     // The raw inverted index would emit all 45 pairs into the hot bucket;
-    // the df-ascending global order ranks the hot shingle LAST in every
-    // doc (9 shingles, prefix = 5), so the prefix index emits ZERO.
+    // here each doc has cnt2 = 1 repeated shingle against a prefix budget
+    // of cnt2 - ceil(0.8*9) + 1 = -6, so the prefix index emits ZERO.
     writeDocs((0L until 10L).map { i =>
       val uniq = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
       (i, s"$uniq common1 common2 common3", "s")
     }, tmp)
     val cand = Dedup.jaccardPrefixCandidates(
-      Dedup.docShingles(spark, tmp), Dedup.JaccardThreshold)
+      Dedup.docShingles(spark, tmp), Dedup.PrefixJaccardThreshold)
     assert(cand.count() == 0, "hot shingle leaked into a prefix")
     // and the end-to-end result still matches the unpruned definition
+    // (both empty: the only shared shingle gives jaccard 1/17)
     assert(normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp)) ==
            normalizedPairs(Dedup.ngramJaccard(spark, tmp)))
   }
