@@ -42,6 +42,15 @@ object Tables {
     */
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** The one sanctioned UNSCOPED set of [[NanosKey]]: on a detected
+    * legacy nanos layout the flag must stay set through execution
+    * planning (ParquetFileFormat re-reads it from the session conf), so
+    * [[events]] and the streaming source share this single exception
+    * point instead of re-hardcoding the key string.
+    */
+  def setNanosForLegacyLayout(s: SparkSession): Unit =
+    s.conf.set(NanosKey, "true")
+
   /** Runs `body` with [[NanosKey]] set, restoring the prior value after. */
   def withNanosAsLong[A](s: SparkSession)(body: => A): A = {
     val prior = s.conf.getOption(NanosKey)
@@ -66,7 +75,7 @@ object Tables {
         // the session conf at EXECUTION-planning time, so on this (legacy)
         // layout it must stay set for the scan to succeed — a deliberate,
         // documented exception to the scoped-restore rule above
-        s.conf.set(NanosKey, "true")
+        setNanosForLegacyLayout(s)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         df.withColumn("ts", col("ts").cast("timestamp"))

@@ -846,6 +846,24 @@ object Relational {
   /** Leaderboard size for [[basketTriples]]. */
   val TripleTopK = 20
 
+  /** (custkey, partkey) lifetime customer baskets — the shared input of
+    * the market-basket mining/personalization pair ([[basketTriples]],
+    * [[recsItemCf]]); one definition (and one oracle fragment,
+    * [[customerBasketsSql]]) so basket semantics cannot drift between
+    * them. Callers persist + pin — each query owns its cache lifetime.
+    */
+  private def customerBaskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
+      .select("ck", "part").distinct()
+
+  /** Oracle twin of [[customerBaskets]]. */
+  private val customerBasketsSql: String =
+    "SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+
   /** Basket-count cut for [[basketTriples]]: mining runs over the
     * [[TripleHubs]] widest customer baskets (ties by custkey) — the same
     * prune-at-the-source discipline as [[graft.ops.Graph.TriHubs]]. The
@@ -876,12 +894,7 @@ object Relational {
     * deterministic tie order.
     */
   def basketTriples(spark: SparkSession, dir: String): DataFrame = {
-    val cb = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
-      .select("ck", "part").distinct()
-      .persist()
+    val cb = customerBaskets(spark, dir).persist()
     cb.count() // feeds the hub rank + the pruned basket relation
     val hubs = cb.groupBy("ck").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ck")).limit(TripleHubs)
@@ -934,8 +947,7 @@ object Relational {
     * brute-force definition is the correctness statement itself.
     */
   val basketTriplesOracle: String =
-    s"""WITH cb AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part
-       |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s"""WITH cb AS ($customerBasketsSql),
        |hub AS (SELECT ck FROM (SELECT ck, COUNT(*) AS n FROM cb GROUP BY 1)
        |        ORDER BY n DESC, ck LIMIT $TripleHubs),
        |items AS (SELECT ck AS okey, part FROM cb WHERE ck IN (SELECT ck FROM hub)),
@@ -973,12 +985,7 @@ object Relational {
     * candidate rows by construction (all its parts are owned).
     */
   def recsItemCf(spark: SparkSession, dir: String): DataFrame = {
-    val cb = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
-      .select("ck", "part").distinct()
-      .persist()
+    val cb = customerBaskets(spark, dir).persist()
     cb.count() // feeds the anchor rank, the owned set, and both join sides
     val anchor = cb.groupBy("ck").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ck")).limit(1)
@@ -995,8 +1002,7 @@ object Relational {
   }
 
   val recsItemCfOracle: String =
-    s"""WITH cb AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part
-       |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s"""WITH cb AS ($customerBasketsSql),
        |anc AS (SELECT ck FROM (SELECT ck, COUNT(*) AS n FROM cb GROUP BY 1)
        |        ORDER BY n DESC, ck LIMIT 1),
        |own AS (SELECT part FROM cb WHERE ck IN (SELECT ck FROM anc)),

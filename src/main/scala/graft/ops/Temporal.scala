@@ -603,12 +603,12 @@ object Temporal {
        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
        |         SUM(CAST(value AS DECIMAL(18,4))) AS total
        |  FROM events GROUP BY 1, 2),
-       |u AS (SELECT *, CAST(total * 10000 AS DECIMAL(18,0)) AS units FROM daily),
+       |u AS (SELECT *, CAST(total * 10000 AS HUGEINT) AS units FROM daily),
        |win AS (
        |  SELECT *,
        |         COUNT(*) OVER t AS w_n,
-       |         CAST(SUM(units) OVER t AS DECIMAL(18,0)) AS s1,
-       |         CAST(SUM(units * units) OVER t AS DECIMAL(30,0)) AS s2
+       |         SUM(units) OVER t AS s1,
+       |         SUM(units * units) OVER t AS s2
        |  FROM u
        |  WINDOW t AS (PARTITION BY event_type ORDER BY day
        |               ROWS BETWEEN $w PRECEDING AND 1 PRECEDING))
@@ -616,9 +616,8 @@ object Temporal {
        |       CAST(ROUND(total, 2) AS DOUBLE) AS sum_value,
        |       w_n,
        |       CAST(w_n = $w AND
-       |            CAST(units * w_n - s1 AS DECIMAL(18,0))
-       |              * CAST(units * w_n - s1 AS DECIMAL(18,0))
-       |            > ${z * z} * (CAST(w_n AS DECIMAL(18,0)) * s2 - s1 * s1)
+       |            CAST((units * w_n - s1) * (units * w_n - s1) AS DOUBLE)
+       |            > ${z * z} * CAST(w_n * s2 - s1 * s1 AS DOUBLE)
        |            AS INT) AS is_anomaly
        |FROM win ORDER BY 1, 2""".stripMargin
   }

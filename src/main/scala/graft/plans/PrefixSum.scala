@@ -71,17 +71,27 @@ object PrefixSum {
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts else spark.sessionState.conf.numShufflePartitions
-    val ord = col(orderCols.head)
+    // The quantile probe and the bucket comparisons run on a DOUBLE
+    // projection of the leading order column, never its native type:
+    // bucketing needs only a monotone split (cast-to-double is monotone up
+    // to ties, and ties just share a bucket — run contiguity is from the
+    // sort, which uses the ORIGINAL columns), and the probe's .head() must
+    // decode only primitive doubles on the driver. A DECIMAL order column
+    // would otherwise reach the driver as java.math.BigDecimal through
+    // getSeq — the JVM-sensitive decode class (EXPRESSION_DECODING_FAILED
+    // in the round-8 foreign-JVM sandbox) the date-collect removals
+    // eliminated everywhere else.
+    val ord = col(orderCols.head).cast("double")
     val keyCol = concat_ws(Sep, partCols.map(c => col(c).cast("string")): _*)
     val valCol = coalesce(value.cast("long"), lit(0L))
 
-    val bounds: Seq[Any] =
+    val bounds: Seq[Double] =
       if (parts <= 1) Nil
       else {
         val probs = (1 until parts).map(_.toDouble / parts)
         val r = df.agg(
           percentile_approx(ord, array(probs.map(lit): _*), lit(1000)).as("b")).head()
-        if (r.isNullAt(0)) Nil else r.getSeq[Any](0)
+        if (r.isNullAt(0)) Nil else r.getSeq[Double](0)
       }
     // bucket = #bounds strictly below the value: monotone in the leading
     // order column, so bucket order == global order within every key
@@ -112,7 +122,7 @@ object PrefixSum {
     sums.groupBy(_.getAs[String]("_key")).foreach { case (key, rows) =>
       var acc = 0L
       rows.sortBy(_.getAs[Int]("_b")).foreach { r =>
-        if (acc != 0L) offsets.put(r.getAs[Int]("_b") + Sep + key, acc)
+        if (acc != 0L) offsets.put(s"${r.getAs[Int]("_b")}$Sep$key", acc)
         acc += r.getAs[Long]("_s")
       }
     }

@@ -40,7 +40,7 @@ object StreamingQueries {
       .parquet(s"$dir/events.parque*")
     rawSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.Tables.setNanosForLegacyLayout(spark)
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         src.withColumn("ts", col("ts").cast("timestamp"))
@@ -265,20 +265,31 @@ object StreamingQueries {
     val name = "stream_rolling_zscore"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val stream = eventsStream(spark, dir, maxFilesPerTrigger)
-    // the memory sink decodes rows on the DRIVER; group by the ISO string
-    // form of the day (lexicographic == chronological, still micro-batch-
-    // split invariant) so no java.sql.Date row decode — JVM-sensitive —
-    // happens in the drain, then restore DateType for the batch readout
+    // the memory sink decodes rows on the DRIVER, so nothing JVM-sensitive
+    // may cross it: the day rides as its ISO string (lexicographic ==
+    // chronological) instead of a java.sql.Date decode, and the value sum
+    // rides as exact integer ten-thousandths in a LONG instead of a
+    // DECIMAL(18,4) — a decimal column would decode through
+    // java.math.BigDecimal on the drain, the same foreign-JVM decode class
+    // as the date. Per-event longs are the decimal cast times 10⁴ (exact:
+    // scale-4 decimals ARE integers of 1e-4 units), their sum is
+    // associative — still micro-batch-split invariant — and the drained
+    // units reconstruct the exact decimal total for the shared readout.
+    val d184 = org.apache.spark.sql.types.DecimalType(18, 4)
     val daily = stream
       .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day_s"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-             .as("total"))
+           sum((col("value").cast(d184) * 10000).cast("long")).as("units_l"))
     val q = daily.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.ops.Temporal.rollingZscoreOfDaily(
-      spark.table(name).withColumn("day", to_date(col("day_s"))).drop("day_s"))
+      spark.table(name)
+        .withColumn("day", to_date(col("day_s"))).drop("day_s")
+        .withColumn("total",
+          (col("units_l").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            / lit(10000)).cast(d184))
+        .drop("units_l"))
   }
 
   /** q_stream_dq: the data-quality gate validating an ARRIVING fact

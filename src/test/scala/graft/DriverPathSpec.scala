@@ -26,6 +26,20 @@ class DriverPathSpec extends SparkSpec {
       assert(decs.isEmpty, s"$name emits decimal columns: ${decs.map(_.name).mkString(",")}")
     }
 
+  test("the stream_zscore memory sink carries only driver-safe types (no decimal/date decode in the drain)") {
+    // the memory sink decodes every row on the DRIVER: a decimal or date
+    // column there is the same foreign-JVM decode class as the round-8
+    // aborts even though the grep below can't see it (no explicit
+    // accessor). q_stream_zscore just ran above, so its drained table is
+    // in the catalog.
+    import org.apache.spark.sql.types.{DateType, DecimalType, TimestampType}
+    val sink = spark.table("stream_rolling_zscore").schema
+    val hazard = sink.fields.filter(f => f.dataType.isInstanceOf[DecimalType] ||
+      f.dataType == DateType || f.dataType == TimestampType)
+    assert(hazard.isEmpty,
+      s"JVM-sensitive types cross the memory sink: ${hazard.map(f => s"${f.name}:${f.dataType}").mkString(",")}")
+  }
+
   test("no driver-side date/timestamp/decimal row decodes anywhere in main sources") {
     val srcRoot = java.nio.file.Paths.get("src/main/scala")
     val bad = new scala.collection.mutable.ArrayBuffer[String]

@@ -236,6 +236,27 @@ class ScaleSpec extends SparkSpec {
     assert(viaOffsets == expected)
   }
 
+  test("prefix-sum over a DECIMAL order column: driver probe stays double, sums stay exact") {
+    import spark.implicits._
+    // the quantile probe's .head() must decode only primitive doubles on
+    // the driver (a decimal array decodes through java.math.BigDecimal —
+    // the round-8 foreign-JVM abort class), while bucketing stays a
+    // monotone split and the sums stay exact longs
+    val df = (0 until 1200).map(i => (s"k${i % 3}", i.toLong, 1L))
+      .toDF("k", "i", "v")
+      .withColumn("ord", col("i").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+    def sums(maxRows: Long): Map[(String, Long), Long] =
+      graft.plans.PrefixSum.exclusiveRunningSum(
+          df, col("v"), Seq("k"), Seq("ord", "i"), "cum", maxDriverOffsetRows = maxRows)
+        .select("k", "i", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaOffsets = sums(1L << 20) // decimal ord rides the double probe
+    val viaWindow = sums(1)
+    assert(viaOffsets == viaWindow)
+    // k0 rows are i = 0, 3, 6, ... — exactly 300 of them precede i = 900
+    assert(viaOffsets(("k0", 900L)) == 300L)
+  }
+
   test("bucketed tables co-locate: bucket join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")

@@ -38,46 +38,60 @@ BOUNDED = {
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
     lines = open(path).read().split("\n")
+
+    def bracket_groups(args: str) -> list[str]:
+        depth, groups, cur = 0, [], ""
+        for ch in args:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                else:
+                    cur += ch
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                else:
+                    cur += ch
+            elif depth >= 1:
+                cur += ch
+        return groups
+
     sec = None
-    wgl: dict[str, int] = {}
+    # per query: order-expr texts of WindowGroupLimit ops (their second
+    # bracket group), and order texts of GLOBAL ordered Window ops
+    wgl_orders: dict[str, set] = {}
     glob_wins: dict[str, list[str]] = {}
     for i, line in enumerate(lines):
         if line.startswith("## "):
             sec = line[3:].strip()
-        if "WindowGroupLimit" in line:
-            wgl[sec] = wgl.get(sec, 0) + 1
-        # exactly the Window operator — NOT WindowGroupLimit (its argument
-        # format [partition],[order],fn,k,mode would false-positive the
-        # two-group heuristic) and NOT WindowSort
-        if re.match(r"^\(\d+\) Window\s*$", line):
-            for j in range(i + 1, min(i + 6, len(lines))):
-                if lines[j].startswith("Arguments:"):
-                    args = lines[j][len("Arguments:"):].strip()
-                    depth, groups, cur = 0, [], ""
-                    for ch in args:
-                        if ch == "[":
-                            depth += 1
-                            if depth == 1:
-                                cur = ""
-                            else:
-                                cur += ch
-                        elif ch == "]":
-                            depth -= 1
-                            if depth == 0:
-                                groups.append(cur)
-                            else:
-                                cur += ch
-                        elif depth >= 1:
-                            cur += ch
-                    # [exprs],[order] with ASC/DESC = global ordered window;
-                    # [exprs],[partition] (no sort markers) is partitioned.
-                    if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
-                        glob_wins.setdefault(sec, []).append(groups[1][:70])
-                    break
+        is_wgl = bool(re.match(r"^\(\d+\) WindowGroupLimit", line))
+        # exactly the Window operator — WindowGroupLimit has the argument
+        # format [partition],[order],fn,k,mode and is handled separately
+        is_win = bool(re.match(r"^\(\d+\) Window\s*$", line))
+        if not (is_wgl or is_win):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                groups = bracket_groups(lines[j][len("Arguments:"):].strip())
+                if is_wgl and len(groups) >= 2:
+                    wgl_orders.setdefault(sec, set()).add(groups[1])
+                # [exprs],[order] with ASC/DESC = global ordered window;
+                # [exprs],[partition] (no sort markers) is partitioned.
+                if is_win and len(groups) == 2 and \
+                        ("ASC" in groups[1] or "DESC" in groups[1]):
+                    glob_wins.setdefault(sec, []).append(groups[1])
+                break
     bad = []
     for q, wins in sorted(glob_wins.items()):
-        if wgl.get(q, 0) > 0:
-            status = f"ok ({wgl[q]} WindowGroupLimit ops — two-phase top-k)"
+        # a global window is WindowGroupLimit-protected only if a group
+        # limit over the SAME order spec exists in the plan — per-window
+        # matching, not per-query credit (a protected top-k next to an
+        # unprotected global rank must still fail)
+        unprotected = [w for w in wins if w not in wgl_orders.get(q, set())]
+        if not unprotected:
+            status = "ok (every global window has a matching WindowGroupLimit — two-phase top-k)"
         elif q in BOUNDED:
             status = f"ok (bounded: {BOUNDED[q]})"
         else:
