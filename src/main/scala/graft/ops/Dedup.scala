@@ -416,13 +416,55 @@ object Dedup {
     * candidate docs only — candidates travel as bare id pairs.
     */
   def jaccardPrefixCandidates(sh0: DataFrame, t: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // pin the COMPACT per-doc arrays, not the explode: two consumers (df
     // count + the join input) re-explode from cache; SER keeps the string
     // arrays out of the old gen (the in-suite GC robustness rule)
     val sh = sh0.filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     sh.count()
+    // the prefix index feeds both self-join sides: pin the pruned rows so
+    // the rank pass runs once, not twice
+    val prePinned = jaccardPrefixIndex(sh, t).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    prePinned.count()
+    sh.unpersist(blocking = false)
+    // materialize the candidate ids OFF the index pin, then release it:
+    // prePinned's only consumer is the self-join above, so its pin is
+    // call-scoped — it must not outlive the call accumulating executor
+    // memory in consumers without the harness clearCache() convention.
+    // The returned cand pin is different: its consumers (candIds + the two
+    // verify joins) are outside this function, so it stays pinned as bare
+    // id pairs under the retained-cache convention.
+    val cand = jaccardPrefixSelfJoin(prePinned, t).persist()
+    cand.count()
+    prePinned.unpersist(blocking = false)
+    cand
+  }
+
+  /** Epsilon for the prefix budget and length-ratio arithmetic: ⌈t·n⌉ is
+    * computed as ceil(t·n − eps), and the length filter as
+    * a.n ≥ t·b.n − eps. The double product t·n carries rounding error
+    * ≤ n·2⁻⁵² (< 1e-6 for any n ≤ 4×10⁹ shingles/doc — far above a real
+    * document), so subtracting eps guarantees the ceiling NEVER lands
+    * strictly above the exact rational ⌈t·n⌉ — the unsafe direction, which
+    * would silently shorten the prefix and drop qualifying pairs for an
+    * arbitrary user threshold whose product rounds up (the shipped 0.5/0.8
+    * are provably safe, but the operator accepts any t). When t·n sits
+    * within eps BELOW an integer the ceiling drops by one — a one-longer
+    * prefix, strictly MORE candidates, lossless (verification filters).
+    * The length filter's unsafe direction is the same product rounding up
+    * past an integer doc length; the eps admits at most borderline extra
+    * candidates, never drops one.
+    */
+  private val PrefixCeilEps = 1e-6
+
+  /** The per-doc prefix index (lazy, no persists): repeated shingles
+    * ranked per doc under the global (df, s) order, kept while
+    * r₂ ≤ cnt₂ − ⌈t·n⌉ + 1. Split out so the plan-audit suite can inspect
+    * the window/exchange shape pre-cache.
+    */
+  private[graft] def jaccardPrefixIndex(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
                        explode(col("shingles")).as("s"))
     val dfreq2 = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -436,24 +478,29 @@ object Dedup {
     // rides the same per-doc exchange as the rank.
     val byDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
     val byDocAll = Window.partitionBy("doc_id")
-    val pre = exJ
+    exJ
       .withColumn("r2", row_number().over(byDoc))
       .withColumn("cnt2", count(lit(1)).over(byDocAll))
-      .filter(col("r2") <= col("cnt2") - ceil(lit(t) * col("n")).cast("long") + 1)
+      .filter(col("r2") <=
+        col("cnt2") - ceil(lit(t) * col("n") - lit(PrefixCeilEps)).cast("long") + 1)
       .select("doc_id", "n", "s")
-    // the prefix index feeds both self-join sides: pin the pruned rows so
-    // the rank pass runs once, not twice
-    val prePinned = pre.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    prePinned.count()
-    sh.unpersist(blocking = false)
-    prePinned.as("a").join(prePinned.as("b"),
+  }
+
+  /** The prefix self-join over an index relation (lazy, no persists). */
+  private[graft] def jaccardPrefixSelfJoin(pre: DataFrame, t: Double): DataFrame =
+    pre.as("a").join(pre.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") >= lit(t) * col("b.n") &&
-          col("b.n") >= lit(t) * col("a.n"))
+          col("a.n") >= lit(t) * col("b.n") - lit(PrefixCeilEps) &&
+          col("b.n") >= lit(t) * col("a.n") - lit(PrefixCeilEps))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-  }
+
+  /** The fully-lazy candidate plan (no pins, rank pass re-executes per
+    * join side) — the plan-audit surface mirroring what
+    * [[jaccardPrefixCandidates]] materializes.
+    */
+  private[graft] def jaccardPrefixCandidatesLazy(sh: DataFrame, t: Double): DataFrame =
+    jaccardPrefixSelfJoin(jaccardPrefixIndex(sh, t), t)
 
   /** Threshold for the prefix-filtered operator: the dedup-typical 0.8,
     * NOT the exploratory 0.5 the unpruned/capped operators run at. This is
@@ -476,8 +523,9 @@ object Dedup {
     * lossless.
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    // already persisted + materialized bare id pairs; feeds candIds + both
+    // verify joins
     val cand = jaccardPrefixCandidates(docShingles(spark, dir), PrefixJaccardThreshold)
-      .persist() // bare id pairs; feeds candIds + both verify joins
     verifyJaccardPairs(spark, dir, cand, PrefixJaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -1492,8 +1492,16 @@ object Relational {
 
   // --- set operations ---------------------------------------------------------
 
-  /** Price floor defining the high-value customer set for [[setOps]]. */
-  val SetOpsPriceFloor = 150000.0
+  /** Price floor defining the high-value customer set for [[setOps]].
+    * Chosen (with [[SetOpsRecentDays]]) so that ALL THREE partitions —
+    * `both`, `a_only`, AND `b_only` — are non-empty at every shipped
+    * fixture (measured: b_only = 5 / 45 / 496 customers at
+    * sf0.001 / 0.01 / 0.1), so the oracle hash gate exercises BOTH
+    * `EXCEPT` branches, not just A−B. At the previous 150000 floor,
+    * b_only was empty below sf0.1 and the gated comparison never
+    * witnessed the B−A branch.
+    */
+  val SetOpsPriceFloor = 350000.0
 
   /** Trailing window (days from max(o_orderdate)) defining the recently
     * active customer set for [[setOps]].

@@ -275,6 +275,13 @@ object StreamingQueries {
     // scale-4 decimals ARE integers of 1e-4 units), their sum is
     // associative — still micro-batch-split invariant — and the drained
     // units reconstruct the exact decimal total for the shared readout.
+    // BOUND (the slope_num/slope_den discipline): exactness of the long
+    // sum requires Σ|value|·10⁴ < 2⁶³ per (event_type, day) group —
+    // i.e. daily per-type volume under ~9.2×10¹⁴ value units, ~7 orders
+    // above the sf0.1 fixture's worst group. Past it the batch path's
+    // decimal sum NULLs out DETECTABLY while this long would wrap
+    // silently; a deployment near that volume must keep the decimal sum
+    // in-plan and convert at the readout instead of draining long units.
     val d184 = org.apache.spark.sql.types.DecimalType(18, 4)
     val daily = stream
       .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day_s"))

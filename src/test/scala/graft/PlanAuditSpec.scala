@@ -208,7 +208,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("prefix Jaccard: rank window partitions by doc (no global sort); candidates shuffle as bare ids") {
-    val df = ops.Dedup.jaccardPrefixCandidates(
+    val df = ops.Dedup.jaccardPrefixCandidatesLazy(
       ops.Dedup.docShingles(spark, dir), ops.Dedup.JaccardThreshold)
     val plan = planOf(df)
     // the rank pass must be per-doc — an unpartitioned window would pull
