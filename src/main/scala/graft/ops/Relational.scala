@@ -1565,4 +1565,126 @@ object Relational {
        |       CAST(MIN(custkey) AS BIGINT) AS min_key,
        |       CAST(MAX(custkey) AS BIGINT) AS max_key
        |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- multi-way join exemplars (TPC-H Q7/Q8 shapes) --------------------------
+
+  /** q_nation_volume: cross-nation revenue flow (the TPC-H Q7 shape) —
+    * which supplier nation ships how much to which customer nation, by
+    * order year. The canonical star-chain join exemplar: the fact
+    * (lineitem) joins orders on the orderkey (big-big, shuffle on the
+    * key), then the pre-annotated customer and supplier dims on their
+    * keys. Only the FIXED-cardinality nation table (25 rows, SF-invariant)
+    * is force-broadcast — onto the dims BEFORE their big joins, so the
+    * nation name rides the dim rows and never widens the fact shuffle.
+    * customer and supplier scale with SF (15k/1k rows per SF unit): at
+    * 100 TB they are NOT broadcastable, so their joins are left to
+    * shuffle on the key and AQE may still broadcast them when a filter
+    * makes them small. The nation-inequality filter runs after both dim
+    * joins (it needs both names); the rollup is partial-aggregated to at
+    * most 25×24×years groups.
+    */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+           Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  val nationVolumeOracle: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |       COUNT(*) AS n_items,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |WHERE sn.n_name <> cn.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Market-share constants for [[marketShare]]: customer region and the
+    * supplier nation whose share is measured. NATION_3 has suppliers with
+    * ASIA-customer sales in EVERY order year at every shipped fixture
+    * scale (probed at sf0.001/0.01/0.1), so the numerator branch of the
+    * conditional aggregate is exercised by the gate everywhere.
+    */
+  val MarketShareRegion = "ASIA"
+  val MarketShareSuppNation = "NATION_3"
+
+  /** q_market_share: the TPC-H Q8 shape — within one customer REGION's
+    * revenue, the per-year share supplied by one nation. Exercises the
+    * region→nation→customer broadcast-annotation chain (region and nation
+    * are fixed-cardinality — always broadcast; the region filter prunes
+    * the customer dim BEFORE its big join, the pushdown a declarative
+    * plan gets for free) plus a conditional aggregate over the same
+    * star-chain as [[nationVolume]].
+    *
+    * Exactness: numerator and denominator are DECIMAL(18,4) sums
+    * (aggregation-order independent); the share divides their double
+    * CASTS — one IEEE division of two exactly-agreed operands on both
+    * engines. The observability columns round through [[Exact.sum2]].
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nat = Tables.nation(spark, dir)
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(nat.join(broadcast(Tables.region(spark, dir)),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === MarketShareRegion)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val revDec = Exact.revenue.cast(DecimalType(18, 4))
+    val zeroDec = lit(0).cast(DecimalType(18, 4))
+    val mktDec = when(col("supp_nation") === MarketShareSuppNation, revDec)
+      .otherwise(zeroDec)
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      .agg(
+        (sum(mktDec).cast("double") / sum(revDec).cast("double")).as("mkt_share"),
+        round(sum(mktDec), 2).cast("double").as("mkt_revenue"),
+        round(sum(revDec), 2).cast("double").as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  val marketShareOracle: String =
+    s"""WITH base AS (
+       |  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |         CAST(${Exact.revenueSql} AS DECIMAL(18,4)) AS rev,
+       |         CASE WHEN sn.n_name = '$MarketShareSuppNation'
+       |              THEN CAST(${Exact.revenueSql} AS DECIMAL(18,4))
+       |              ELSE CAST(0 AS DECIMAL(18,4)) END AS mkt
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = '$MarketShareRegion')
+       |SELECT o_year,
+       |       CAST(SUM(mkt) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       |       CAST(ROUND(SUM(mkt), 2) AS DOUBLE) AS mkt_revenue,
+       |       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
+       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -350,6 +350,64 @@ object Temporal {
       |       CAST(SUM(n_events) AS BIGINT) AS n_events
       |FROM c""".stripMargin
 
+  /** q_attribution: first-touch / last-touch revenue attribution — for
+    * every purchase, the first and the most recent preceding touch
+    * (view/click) in the user's history, rolled up to attributed revenue
+    * and conversion counts per (first_touch, last_touch) cell. The
+    * marketing-analytics companion to [[asofJoin]]: where as-of attaches
+    * ONE most-recent left row, attribution needs both ends of the
+    * preceding-touch window.
+    *
+    * Plan: one shuffle on user_id; `first`/`last` with ignoreNulls over
+    * the SAME frame (unbounded-preceding → previous row, ordered by
+    * (ts, event_id) — the deterministic tie-break) fuse into a single
+    * window pass; purchases with no prior touch fall into the 'none'
+    * cell. Per-user partitions — no global window, no join. The rollup is
+    * a ≤(touch types+1)² cell grid, partial-aggregated.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    // both window columns in ONE projection → a single Window operator
+    // (chained withColumn leaves two, each a full pass over the sorted rows)
+    e.select(col("event_type"), col("value"),
+        first(touch, ignoreNulls = true).over(w).as("first_touch"),
+        last(touch, ignoreNulls = true).over(w).as("last_touch"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+           graft.util.Exact.sum2(col("value")).as("attributed_value"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  val attributionOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, ts, user_id, event_type, value FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |t AS (
+       |  SELECT *,
+       |    FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |                IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+       |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |               IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+       |  FROM e)
+       |SELECT COALESCE(first_touch, 'none') AS first_touch,
+       |       COALESCE(last_touch, 'none') AS last_touch,
+       |       COUNT(*) AS n_conversions,
+       |       ${graft.util.Exact.sum2Sql("value")} AS attributed_value
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q_asof_join: as-of (temporal) join — attach to every purchase the most
     * recent click by the same user at or before the purchase time, the
     * canonical trades↔quotes operator Spark lacks natively.

@@ -207,6 +207,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("nation volume: fixed dims broadcast, rollup partial-aggregated, no nested-loop joins") {
+    val plan = planOf(ops.Relational.nationVolume(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"nation not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("market share: region filter prunes the dim chain before the fact joins") {
+    val plan = planOf(ops.Relational.marketShare(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("attribution: both touch columns ride ONE window pass, partitioned by user") {
+    val plan = planOf(ops.Temporal.attribution(spark, dir))
+    assert(plan.contains("windowspecdefinition(user_id"),
+           s"window must partition by user_id:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).length == 1,
+           s"expected a single fused Window operator:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
   test("prefix Jaccard: rank window partitions by doc (no global sort); candidates shuffle as bare ids") {
     val df = ops.Dedup.jaccardPrefixCandidatesLazy(
       ops.Dedup.docShingles(spark, dir), ops.Dedup.JaccardThreshold)

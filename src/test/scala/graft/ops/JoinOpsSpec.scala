@@ -489,4 +489,34 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("w_n") <= Temporal.ZscoreWindowDays))
     assert(out.exists(_.getAs[Long]("w_n") == Temporal.ZscoreWindowDays))
   }
+
+  test("attribution: first/last touch, event_id tie-break at equal ts, none-cell for untouched purchases") {
+    val dir = Files.createTempDirectory("attr-events").toFile.getAbsolutePath
+    val sec = (s: Long) => s * 1000L * 1000L * 1000L
+    val rows = Seq(
+      // user 5: view and click at the SAME ts — event_id order decides
+      // first (21=view) vs last (22=click); both purchases inherit them
+      (21L, 100L, 5L, "view", 0.0),
+      (22L, 100L, 5L, "click", 0.0),
+      (23L, 200L, 5L, "purchase", 5.0),
+      (24L, 300L, 5L, "purchase", 2.5),
+      // user 6: purchase BEFORE any touch → 'none'; later purchase after
+      // a click attributes (click, click)
+      (31L, 50L, 6L, "purchase", 9.0),
+      (32L, 60L, 6L, "click", 0.0),
+      (33L, 70L, 6L, "purchase", 1.0),
+      // user 7: non-funnel type only — filtered out entirely, no row
+      (41L, 10L, 7L, "error", 0.0))
+    import spark.implicits._
+    rows.map { case (id, t, u, ty, v) => (id, sec(t), u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+                ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 7.5)),
+      ("none", "none")  -> ((1L, 9.0)),
+      ("click", "click") -> ((1L, 1.0))), out.toString)
+  }
 }
