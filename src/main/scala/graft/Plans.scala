@@ -48,7 +48,9 @@ object Plans {
     "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
     "q_path_topk", "q_vocab_growth", "q_set_ops",
     "q_dedup_jaccard_prefix", "q_bfs_hops", "q_basket_triples", "q_benford",
-    "q_recs_itemcf")
+    "q_recs_itemcf",
+    "q_nation_volume", "q_market_share", "q_attribution",
+    "q_rolling_distinct", "q_bootstrap_ci")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.

@@ -1687,4 +1687,112 @@ object Relational {
        |       CAST(ROUND(SUM(mkt), 2) AS DOUBLE) AS mkt_revenue,
        |       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Poisson bootstrap ------------------------------------------------------
+
+  /** Resample count for [[bootstrapCi]]. */
+  val BootstrapResamples = 64
+
+  /** Integer Poisson(1) CDF cutoffs on the 13-hex-digit hash grain
+    * (0 .. 16¹³ = 2⁵²): weight k iff u13 lands in [cutoff(k−1), cutoff(k)).
+    * Quantized ONCE here and interpolated as identical literals into both
+    * engines' SQL, so the resample weight is a pure integer comparison
+    * everywhere — no float CDF evaluation can diverge. Weights are capped
+    * at 8 (tail mass ~1e-6, deterministic on both engines).
+    */
+  private val PoissonCutoffs: Seq[Long] = {
+    val scale = 4503599627370496L // 16^13 = 2^52, the 13-hex-digit span
+    var p = math.exp(-1.0)
+    var c = p
+    (0 until 8).map { k =>
+      val cut = math.floor(c * scale).toLong
+      p = p / (k + 1)
+      c += p
+      cut
+    }
+  }
+
+  /** Shared CASE text mapping a 13-hex uniform to a Poisson(1) weight. */
+  private def poissonWeightSql(u: String): String =
+    "CASE " + PoissonCutoffs.zipWithIndex
+      .map { case (cut, k) => s"WHEN $u < $cut THEN $k" }
+      .mkString(" ") + " ELSE 8 END"
+
+  /** q_bootstrap_ci: a 95% Poisson-bootstrap confidence interval for the
+    * mean order value — THE distributed resampling method: classical
+    * bootstrap draws n-out-of-n WITH replacement, which needs global
+    * coordination, while Poisson(1) per-row weights approximate it with
+    * INDEPENDENT per-row draws — each row computes its own weight for
+    * every resample from a keyed hash, embarrassingly parallel.
+    *
+    * Plan: the fact explodes ×B resample indices, but the per-resample
+    * aggregation is partial (map-side combine), so the shuffle carries
+    * only B × partitions weighted partial sums — the explode never
+    * crosses the wire. The B per-resample means (a B-row relation) sort
+    * into the percentile readout. Determinism: the weight is an integer
+    * compare of the md5-derived 13-hex uniform against the
+    * [[PoissonCutoffs]] literals on BOTH engines; the weighted sums are
+    * exact decimals; each mean is one double division.
+    *
+    * CI convention: sorted means m₍₁₎…m₍B₎, cut = ⌊0.025·B⌋; the interval
+    * is [m₍cut+1₎, m₍B−cut₎] (with B = 64: the 2nd and 63rd order
+    * statistics).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bN = BootstrapResamples
+    val cut = (0.025 * bN).toInt
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val means = orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+              explode(sequence(lit(0), lit(bN - 1))).as("b"))
+      .withColumn("u13",
+        conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":"),
+                                  col("b").cast("string"))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("w", expr(poissonWeightSql("u13")).cast("long"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("o_totalprice").cast(DecimalType(18, 4)))
+             .as("sx"),
+           sum("w").as("nw"))
+      .select((col("sx").cast("double") / col("nw").cast("double"))
+        .as("mean_b"))
+      .agg(sort_array(collect_list("mean_b")).as("ms"))
+    orders
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double") /
+             count(lit(1)).cast("double")).as("point_mean"))
+      .crossJoin(means)
+      .select(col("n_orders"), lit(bN.toLong).as("n_resamples"),
+              col("point_mean"),
+              element_at(col("ms"), cut + 1).as("ci_lo"),
+              element_at(col("ms"), bN - cut).as("ci_hi"))
+  }
+
+  val bootstrapCiOracle: String = {
+    val bN = BootstrapResamples
+    val cut = (0.025 * bN).toInt
+    s"""WITH bs AS (SELECT unnest(generate_series(0, ${bN - 1})) AS b),
+       |u AS (
+       |  SELECT o_totalprice, b,
+       |         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+       |                             CAST(b AS VARCHAR)), 1, 13))::BIGINT AS u13
+       |  FROM orders CROSS JOIN bs),
+       |m AS (
+       |  SELECT b,
+       |         CAST(SUM((${poissonWeightSql("u13")}) *
+       |                  CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+       |           CAST(SUM(${poissonWeightSql("u13")}) AS DOUBLE) AS mean_b
+       |  FROM u GROUP BY 1),
+       |ms AS (SELECT LIST(mean_b ORDER BY mean_b) AS l FROM m),
+       |pt AS (
+       |  SELECT COUNT(*) AS n_orders,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) /
+       |           CAST(COUNT(*) AS DOUBLE) AS point_mean
+       |  FROM orders)
+       |SELECT n_orders, CAST($bN AS BIGINT) AS n_resamples, point_mean,
+       |       l[${cut + 1}] AS ci_lo, l[${bN - cut}] AS ci_hi
+       |FROM pt CROSS JOIN ms""".stripMargin
+  }
 }

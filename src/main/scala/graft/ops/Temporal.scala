@@ -135,6 +135,77 @@ object Temporal {
       |  ON x.hour_start = h.hour_start AND x.event_type = t.event_type
       |ORDER BY 1, 2""".stripMargin
 
+  /** Trailing window length (days) for [[rollingDistinct]]. */
+  val RollingDistinctDays = 7
+
+  /** q_rolling_distinct: trailing-7-day distinct active users per
+    * calendar day — the rolling-DAU/WAU operator. Distinct-over-sliding-
+    * window is the textbook scale trap: the naive form joins every day to
+    * its 7-day event window (×7 the corpus) or re-counts distincts per
+    * day. This plan never widens the data: a user active on day d covers
+    * [d, d+6], so per user the sorted active days collapse into coverage
+    * RUNS (a >6-day gap breaks a run; a gap of exactly 7 may split runs,
+    * but then the −1/＋1 boundary deltas land on the same date and cancel
+    * in the rollup). Each run emits ±1 interval-boundary deltas, and the
+    * per-day count is the running sum of deltas over the calendar spine —
+    * the classic interval-stabbing / difference-array form.
+    *
+    * Shuffles: one distinct on (day, user), one per-user window, one
+    * tiny delta rollup keyed by day. The final running sum is a global
+    * ordered window over the CALENDAR SPINE — bounded by elapsed days,
+    * not data volume (the [[eventsGapfill]] spine discipline), so the
+    * single partition holds ~10³ rows at any corpus scale.
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = RollingDistinctDays
+    val pairs = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .persist() // three consumers: runs, daily actives, spine bounds
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val runs = pairs
+      .withColumn("prev_day", lag("day", 1).over(byUser))
+      .withColumn("new_run",
+        when(col("prev_day").isNull ||
+             datediff(col("day"), col("prev_day")) > w - 1, 1L).otherwise(0L))
+      .withColumn("run_id", sum("new_run").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(min("day").as("run_start"),
+           date_add(max("day"), w - 1).as("run_end"))
+    val deltas = runs.select(col("run_start").as("day"), lit(1L).as("delta"))
+      .unionByName(runs.select(date_add(col("run_end"), 1).as("day"),
+                               lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("delta"))
+    val daily1 = pairs.groupBy("day").agg(count(lit(1)).as("n1"))
+    val spine = pairs.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    spine
+      .join(deltas, Seq("day"), "left")
+      .join(daily1, Seq("day"), "left")
+      .withColumn("active_7d", sum(coalesce(col("delta"), lit(0L))).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), coalesce(col("n1"), lit(0L)).as("active_1d"),
+              col("active_7d"))
+      .orderBy("day")
+  }
+
+  val rollingDistinctOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM pairs),
+       |spine AS (
+       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b)
+       |SELECT s.day,
+       |       (SELECT COUNT(*) FROM pairs p WHERE p.day = s.day) AS active_1d,
+       |       (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+       |        WHERE p.day BETWEEN s.day - ${RollingDistinctDays - 1} AND s.day)
+       |         AS active_7d
+       |FROM spine s ORDER BY 1""".stripMargin
+
   /** Oracle for q_stream_join ([[graft.streaming.StreamingQueries
     * .streamClickAttribution]]): the same click→purchase attribution as a
     * plain batch range join. DuckDB loads the parquet TIMESTAMP(NANOS)

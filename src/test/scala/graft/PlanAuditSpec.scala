@@ -230,6 +230,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("rolling distinct: run detection windows per user; only the day-spine readout is global") {
+    val plan = planOf(ops.Temporal.rollingDistinct(spark, dir))
+    assert(plan.contains("windowspecdefinition(user_id"),
+           s"run windows must partition by user_id:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("bootstrap CI: the xB resample explode combines map-side — only per-resample partials shuffle") {
+    val plan = planOf(ops.Relational.bootstrapCi(spark, dir))
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+    assert(plan.contains("Generate explode"), s"expected the resample explode:\n$plan")
+    // the partial aggregate must sit ABOVE the explode in the same stage —
+    // i.e. no exchange between Generate and the first partial HashAggregate
+    val gi = plan.indexOf("Generate explode")
+    val pi = plan.lastIndexOf("partial_sum")
+    val between = plan.substring(math.min(gi, pi), math.max(gi, pi))
+    assert(!between.contains("Exchange"),
+           s"explode output crosses an exchange before combining:\n$plan")
+  }
+
   test("prefix Jaccard: rank window partitions by doc (no global sort); candidates shuffle as bare ids") {
     val df = ops.Dedup.jaccardPrefixCandidatesLazy(
       ops.Dedup.docShingles(spark, dir), ops.Dedup.JaccardThreshold)

@@ -165,4 +165,41 @@ class AnalyticsSpec extends SparkSpec {
     val again = Similarity.rrfFusion(spark, sf0001).collect()
     assert(out.toSeq == again.toSeq, "rrfFusion not deterministic")
   }
+
+  test("rollingDistinct: exact-7-day gap splits runs whose deltas cancel; zero-activity days covered") {
+    // user 1 active on day 1 and day 8 (gap EXACTLY 7: two coverage runs
+    // [1,7] and [8,14], whose -1/+1 boundary deltas land on day 8 and
+    // cancel — coverage is continuous); user 2 active day 1 only
+    val tmp = java.nio.file.Files.createTempDirectory("rolldist").toString
+    writeEvents(Seq(
+      (1L, 1, 1L, "view", 0.0),
+      (2L, 8, 1L, "view", 0.0),
+      (3L, 1, 2L, "click", 0.0)), tmp)
+    val out = Temporal.rollingDistinct(spark, tmp).collect()
+      .map(r => r.getDate(0).toString ->
+                ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 8, s"spine must span day 1..8: $out")
+    assert(out("2024-01-01") == ((2L, 2L)), out.toString)
+    // days 2-7: no activity, but both users' trailing-7d coverage holds
+    (2 to 7).foreach { d =>
+      assert(out(f"2024-01-$d%02d") == ((0L, 2L)), s"day $d: $out")
+    }
+    // day 8: only user 1 was active in [day 2, day 8]
+    assert(out("2024-01-08") == ((1L, 1L)), out.toString)
+  }
+
+  test("bootstrapCi: deterministic, CI ordered around the point estimate, B resamples") {
+    val out = Relational.bootstrapCi(spark, sf0001).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_resamples") == Relational.BootstrapResamples)
+    val (lo, pt, hi) = (r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("point_mean"), r.getAs[Double]("ci_hi"))
+    assert(lo < hi, r.toString)
+    // fixed fixture + keyed hash ⇒ the interval is a constant of the data;
+    // the bootstrap-mean distribution clusters on the point estimate
+    assert(lo <= pt && pt <= hi, r.toString)
+    val again = Relational.bootstrapCi(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq, "bootstrapCi not deterministic")
+  }
 }

@@ -32,6 +32,7 @@ BOUNDED = {
     "q_skyline": "strict-prefix running max over the per-price max collapse (price cardinality)",
     "q_tokenize_ids": "vocabulary id assignment over the frequency-ranked vocab (vocab cardinality; production tokenizers cap the vocab)",
     "q_zipf_fit": "OLS fit over the top token ranks (rank-limited input)",
+    "q_rolling_distinct": "running delta sum over the calendar-day spine (bounded by elapsed days, not data volume)",
 }
 
 
