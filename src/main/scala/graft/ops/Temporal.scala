@@ -159,9 +159,13 @@ object Temporal {
   def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = RollingDistinctDays
+    // pinned under the retained-cache convention (NOT call-scoped like the
+    // prefix-Jaccard index pin): its three consumers — runs, daily actives,
+    // spine bounds — are all lazy branches of the RETURNED plan, so the pin
+    // must outlive this call; the harness's per-query clearCache releases it
     val pairs = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      .persist() // three consumers: runs, daily actives, spine bounds
+      .persist()
     val byUser = Window.partitionBy("user_id").orderBy("day")
     val runs = pairs
       .withColumn("prev_day", lag("day", 1).over(byUser))
