@@ -1795,4 +1795,205 @@ object Relational {
        |       l[${cut + 1}] AS ci_lo, l[${bN - cut}] AS ci_hi
        |FROM pt CROSS JOIN ms""".stripMargin
   }
+
+  // --- decision-support shapes (TPC-H Q17/Q15/Q22/Q2 skeletons) ---------------
+
+  /** q_small_qty_revenue: revenue locked in below-average-quantity line
+    * items, by brand — the TPC-H Q17 shape (correlated per-group average
+    * gate). The canonical AGGREGATE-JOIN-BACK pattern: the fact is
+    * aggregated per part, then joined back to itself on the same key to
+    * gate each row against its own group's statistic.
+    *
+    * Exactness: the gate `qty < 0.2·avg(qty)` is cross-multiplied into
+    * pure integers — `5·qty·n < Σqty` (quantities are exact integers
+    * riding doubles) — so no engine ever divides. Revenue sums through
+    * [[Exact.sum2]].
+    *
+    * Scale shape: both sides of the self-join hash-partition on
+    * `l_partkey` — the aggregate is map-side combined, and the join-back
+    * co-partitions with it (no broadcast of an SF-scaling relation). The
+    * per-part statistic is 2 longs, so the joined row stays narrow. The
+    * brand join shuffles on `p_partkey`; `part` scales with SF and is
+    * deliberately NOT force-broadcast (AQE may still elect to).
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+              col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_i"), sum("qty").as("sq_i"))
+    li.join(stats, col("l_partkey") === col("pk"))
+      .filter(lit(5L) * col("qty") * col("n_i") < col("sq_i"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_small"),
+           Exact.sum2(col("l_extendedprice")).as("lost_revenue"))
+      .orderBy("brand")
+  }
+
+  val smallQtyRevenueOracle: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT l_partkey AS pk, COUNT(*) AS n_i,
+       |         CAST(SUM(qty) AS BIGINT) AS sq_i
+       |  FROM li GROUP BY 1),
+       |small AS (
+       |  SELECT li.* FROM li JOIN st ON li.l_partkey = st.pk
+       |  WHERE 5 * qty * n_i < sq_i)
+       |SELECT p.p_brand AS brand, COUNT(*) AS n_small,
+       |       ${Exact.sum2Sql("l_extendedprice")} AS lost_revenue
+       |FROM small JOIN part p ON small.l_partkey = p.p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ship-date quarter measured by [[topSupplier]] (TPC-H Q15 uses a
+    * 3-month revenue window; the fixture generator covers 1995–2001, so
+    * Q1 1996 is populated at every shipped scale). */
+  val TopSupplierFrom = "1996-01-01"
+  val TopSupplierTo   = "1996-04-01"
+
+  /** q_top_supplier: the supplier(s) with maximum revenue over one
+    * ship-date quarter — the TPC-H Q15 shape (aggregate view + join back
+    * on its own MAX). The ARGMAX-ALL pattern done window-free: the 1-row
+    * global max cross-joins back into the per-supplier rollup, so ties
+    * all surface and nothing ever sorts the full relation. Equality is
+    * tested on the exact DECIMAL sums (internal only — the emitted
+    * revenue is the rounded double).
+    *
+    * Scale shape: one map-side-combined rollup keyed on `l_suppkey`, a
+    * 1-row broadcast, a filter. No window, no global sort, no driver
+    * collect — the same plan at 100 TB.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // pinned under the retained-cache convention: the supplier-cardinality
+    // rollup feeds BOTH lazy branches of the returned plan (the relation
+    // and its 1-row max) — without the pin the max branch re-scans the
+    // fact; the harness's per-query clearCache releases it
+    val revs = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit(TopSupplierFrom).cast("date") &&
+              to_date(col("l_shipdate")) <  lit(TopSupplierTo).cast("date"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(Exact.revenue.cast(DecimalType(18, 4))).as("rev"))
+      .persist()
+    revs.crossJoin(broadcast(revs.agg(max(col("rev")).as("max_rev"))))
+      .filter(col("rev") === col("max_rev"))
+      .select(col("s_suppkey"),
+              round(col("rev"), 2).cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierOracle: String =
+    s"""WITH revs AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |         SUM(CAST(${Exact.revenueSql} AS DECIMAL(18,4))) AS rev
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '$TopSupplierFrom'
+       |    AND CAST(l_shipdate AS DATE) <  DATE '$TopSupplierTo'
+       |  GROUP BY 1),
+       |mx AS (SELECT MAX(rev) AS max_rev FROM revs)
+       |SELECT s_suppkey, CAST(ROUND(rev, 2) AS DOUBLE) AS total_rev
+       |FROM revs CROSS JOIN mx WHERE rev = max_rev
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Recency cutoff for [[balanceAudit]]: customers count as dormant when
+    * they have NO order on/after this date. Probed at sf0.001/0.01/0.1 —
+    * the audit is non-empty at every shipped scale (2/14/148 rows pre-
+    * grouping), so the anti-join branch is exercised by the gate
+    * everywhere (the q_set_ops lesson). */
+  val BalanceAuditCutoff = "1999-01-01"
+
+  /** q_balance_audit: positive-balance customers holding MORE than the
+    * average positive balance who placed no recent order, rolled up per
+    * nation — the TPC-H Q22 shape (global scalar subquery + anti-join).
+    *
+    * Exactness: the scalar average is never divided out — the filter
+    * cross-multiplies `bal · n > Σbal` on exact DECIMAL(18,4) balances,
+    * and only the final per-nation sum rounds to a double.
+    *
+    * Scale shape: the 1-row (Σ, n) aggregate broadcasts; the balance gate
+    * prunes the customer relation BEFORE the anti-join so the shuffle
+    * carries only above-average customers; the anti-join probes a
+    * key-only projection of recent orders, hash-partitioned on the
+    * custkey. Nothing SF-scaling broadcasts.
+    */
+  def balanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pos = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_nationkey"),
+              col("c_acctbal").cast(DecimalType(18, 4)).as("bal"))
+    val avgb = pos.agg(sum("bal").as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit(BalanceAuditCutoff).cast("date"))
+      .select(col("o_custkey"))
+    pos.crossJoin(broadcast(avgb))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+           round(sum("bal"), 2).cast("double").as("total_bal"))
+      .orderBy("nationkey")
+  }
+
+  val balanceAuditOracle: String =
+    s"""WITH pos AS (
+       |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+       |  FROM customer WHERE c_acctbal > 0.0),
+       |avgb AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pos),
+       |sel AS (
+       |  SELECT pos.* FROM pos CROSS JOIN avgb
+       |  WHERE bal * n > s AND NOT EXISTS (
+       |    SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = pos.c_custkey
+       |      AND CAST(o.o_orderdate AS DATE) >= DATE '$BalanceAuditCutoff'))
+       |SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+       |       CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS total_bal
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_cheapest_supplier: per part, the supplier quoting the minimum
+    * line price; then the leaderboard of suppliers by how many parts they
+    * win — the TPC-H Q2 shape (groupwise argmin). The Spark side does it
+    * in ONE aggregation pass: `min(struct(price, suppkey))` orders
+    * lexicographically, so the struct minimum IS (min price, min suppkey
+    * at that price) — ties break deterministically toward the smaller
+    * key with no join-back and no window. The oracle derives the same
+    * relation through the classic two-pass MIN + equality-join
+    * formulation, so the two independently-shaped derivations
+    * differentially check each other.
+    *
+    * Scale shape: one map-side-combined agg keyed on `l_partkey` (the
+    * struct partial is 2 longs), one agg keyed on the winner, and a
+    * TakeOrderedAndProject top-25 — no shuffle ever carries more than the
+    * per-part winners relation.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    li.groupBy("l_partkey")
+      .agg(min(struct(col("cents"), col("l_suppkey"))).as("m"))
+      .select(col("m.cents").as("min_cents"),
+              col("m.l_suppkey").as("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_parts"), sum("min_cents").as("sum_min_cents"))
+      .orderBy(col("n_parts").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val cheapestSupplierOracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |m AS (SELECT l_partkey AS pk, MIN(cents) AS min_cents FROM li GROUP BY 1),
+      |w AS (
+      |  SELECT m.pk, m.min_cents, MIN(l_suppkey) AS s_suppkey
+      |  FROM li JOIN m ON li.l_partkey = m.pk AND li.cents = m.min_cents
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, COUNT(*) AS n_parts,
+      |       CAST(SUM(min_cents) AS BIGINT) AS sum_min_cents
+      |FROM w GROUP BY 1
+      |ORDER BY n_parts DESC, s_suppkey LIMIT 25""".stripMargin
 }

@@ -723,4 +723,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), s"fusion not a full-outer rank join:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("cheapest supplier: groupwise argmin is ONE agg chain — no window, no join-back") {
+    val plan = planOf(ops.Relational.cheapestSupplier(spark, dir))
+    assert(!plan.contains("Window"), s"argmin leaked a window:\n$plan")
+    assert(!plan.contains("Join"), s"argmin leaked a join-back:\n$plan")
+    assert(plan.contains("partial_"), s"struct-min not map-side combined:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"leaderboard not a partial top-k:\n$plan")
+  }
+
+  test("top supplier: argmax-all is window-free; the 1-row max broadcasts back") {
+    val plan = planOf(ops.Relational.topSupplier(spark, dir))
+    assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"1-row max not broadcast back:\n$plan")
+    assert(plan.contains("partial_"), s"rollup not map-side combined:\n$plan")
+  }
+
+  test("small-qty revenue: aggregate-join-back stays keyed (no cartesian, no forced broadcast of the per-part stats)") {
+    val plan = planOf(ops.Relational.smallQtyRevenue(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_"), s"per-part stats not map-side combined:\n$plan")
+  }
+
+  test("balance audit: the scalar average broadcasts; dormancy is a LeftAnti on a key-only probe") {
+    val plan = planOf(ops.Relational.balanceAudit(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"1-row (Σ,n) not broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"recency gate not an anti-join:\n$plan")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("corr audit: one pruned scan, one map-side-combined moment pass — no join, no window") {
+    val plan = planOf(ops.Stats.corrAudit(spark, dir))
+    assert(!plan.contains("Join"), s"moment pass leaked a join:\n$plan")
+    assert(!plan.contains("Window"), s"moment pass leaked a window:\n$plan")
+    assert(plan.contains("partial_"), s"moments not map-side combined:\n$plan")
+    assert(!plan.contains("l_shipdate"), s"scan not pruned:\n$plan")
+  }
+
+  test("chi2: totals re-aggregate the pinned cell relation — a single fact scan feeds all four branches") {
+    val df = ops.Stats.chi2(spark, dir)
+    df.collect() // materialize so InMemoryTableScan reuse is visible
+    val plan = planOf(df)
+    // the InMemoryRelation node re-PRINTS its provenance FileScan, so the
+    // textual scan count over-reports; the real assertion is that every
+    // totals branch reads the pinned cells, not parquet
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("gini: rank window partitions by nation (never a global sort); rollup partial-aggregated") {
+    val plan = planOf(ops.Stats.gini(spark, dir))
+    assert("windowspecdefinition\\(c_nationkey#".r.findFirstIn(plan).isDefined,
+           s"rank window not partitioned by nation:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
