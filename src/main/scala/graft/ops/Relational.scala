@@ -484,7 +484,7 @@ object Relational {
   /** Shared formula text (the oracle-exactness idiom): expected ppm as a
     * CASE over the digit, valid verbatim in Spark SQL and DuckDB.
     */
-  private val benfordExpectedSql: String =
+  private[graft] val benfordExpectedSql: String =
     "CAST(CASE digit " +
       BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ") +
       " END AS BIGINT)"
@@ -1981,6 +1981,49 @@ object Relational {
       .orderBy(col("n_parts").desc, col("s_suppkey"))
       .limit(25)
   }
+
+  /** Days of slack before a shipment counts as late in [[lateOrders]]. */
+  val LateOrdersSlackDays = 30
+
+  /** q_late_orders: orders with at least one line shipped more than
+    * [[LateOrdersSlackDays]] days after the order date, counted per
+    * priority — the TPC-H Q4 shape (correlated EXISTS). Planned as a
+    * LEFT SEMI join whose condition mixes the orderkey equi-part with the
+    * correlated date inequality: Spark hash-partitions both sides on the
+    * key and evaluates the residual inequality inside the join, so each
+    * order is emitted at most once no matter how many lines are late —
+    * exactly EXISTS semantics, with no DISTINCT pass and no row
+    * multiplication. The oracle states the same query as a textbook
+    * correlated EXISTS, so the two formulations differentially check.
+    *
+    * Scale shape: key-only projections on both sides (2 date columns
+    * ride), one key-partitioned semi-join, a 5-group map-side-combined
+    * rollup. Nothing broadcasts, nothing multiplies.
+    */
+  def lateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+           col("o_orderkey") === col("l_orderkey") &&
+             to_date(col("l_shipdate")) >
+               date_add(to_date(col("o_orderdate")), LateOrdersSlackDays),
+           "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val lateOrdersOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_late_orders
+       |FROM orders o
+       |WHERE EXISTS (
+       |  SELECT 1 FROM lineitem l
+       |  WHERE l.l_orderkey = o.o_orderkey
+       |    AND CAST(l.l_shipdate AS DATE) >
+       |        CAST(o.o_orderdate AS DATE) + INTERVAL $LateOrdersSlackDays DAY)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val cheapestSupplierOracle: String =
     """WITH li AS (

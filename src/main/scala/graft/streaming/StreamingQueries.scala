@@ -411,6 +411,42 @@ object StreamingQueries {
     graft.ops.TextAnalysis.rankTopK(spark.table(name), 20)
   }
 
+  /** q_stream_benford: the Benford forensic audit as a stream — the
+    * monitoring face of the audit family. The digit projection and the
+    * 9-group count are the streaming aggregation (complete mode,
+    * AvailableNow drain); the ppm arithmetic and the expected-frequency
+    * literals run batch-side on the drained 9-row table, with the total
+    * re-derived as Σ n_values (every row lands in exactly one digit
+    * bucket, so the sum IS the row count — no second pass over the
+    * stream). Counting is associative, so the drained result is
+    * micro-batch-split invariant and rides the batch query's oracle
+    * verbatim (graft.ops.Relational.benfordAuditOracle).
+    */
+  def streamBenford(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_benford"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val counts = reader.parquet(s"$dir/lineitem.parque*")
+      .select(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_values"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cells = spark.table(name)
+    cells.crossJoin(broadcast(cells.agg(sum("n_values").as("total"))))
+      .withColumn("observed_ppm", expr("(1000000 * n_values) div total"))
+      .withColumn("expected_ppm", expr(graft.ops.Relational.benfordExpectedSql))
+      .select(col("digit"), col("n_values"), col("observed_ppm"),
+              col("expected_ppm"),
+              (col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   /** q_stream_markov: the Markov transition matrix as a stream — the
     * sequence-analytics face of the stateful family: `mapGroupsWithState`
     * keyed by user carries each user's full (ts, event_id, type) history,

@@ -754,6 +754,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("late orders: EXISTS plans as ONE LeftSemi with the residual date inequality inside — no distinct pass") {
+    val plan = planOf(ops.Relational.lateOrders(spark, dir))
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi-join:\n$plan")
+    assert(!plan.toLowerCase.contains("distinct"), s"unexpected distinct pass:\n$plan")
+    assert(plan.contains("partial_"), s"priority rollup not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("corr audit: one pruned scan, one map-side-combined moment pass — no join, no window") {
     val plan = planOf(ops.Stats.corrAudit(spark, dir))
     assert(!plan.contains("Join"), s"moment pass leaked a join:\n$plan")

@@ -88,6 +88,28 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 2L, 1399L), (9L, 1L, 100L)), out.mkString(","))
   }
 
+  test("lateOrders: EXISTS semantics — one count per order however many lines are late; boundary day is on-time") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("lateord").toFile.getAbsolutePath
+    // order 1: TWO late lines → still counts once; order 2: shipped at
+    // exactly +30 days → NOT late (strict >); order 3: one late line of
+    // three; order 4: no lines at all
+    Seq((1L, "1-URGENT", "1997-01-01"), (2L, "1-URGENT", "1997-01-01"),
+        (3L, "2-HIGH", "1997-06-01"), (4L, "2-HIGH", "1997-06-01"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "1997-03-01"), (1L, "1997-04-01"),
+        (2L, "1997-01-31"),
+        (3L, "1997-06-05"), (3L, "1997-06-10"), (3L, "1997-08-01"))
+      .toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.lateOrders(spark, tmp).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n_late_orders"))
+    assert(out.toSeq == Seq("1-URGENT" -> 1L, "2-HIGH" -> 1L), out.mkString(","))
+  }
+
   test("corrAudit: exact ±1 on perfectly (anti)correlated groups; zero-variance guard yields NULL") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("corr").toFile.getAbsolutePath

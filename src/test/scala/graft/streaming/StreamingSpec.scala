@@ -326,6 +326,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming Benford audit equals the batch audit and is micro-batch-split invariant") {
+    // the drained aggregation is a pure associative count per digit, so
+    // the assembled ppm audit must equal the batch monitor under a forced
+    // 3-file split
+    val dir = tmpDir("stream_benford")
+    spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val streamed = StreamingQueries.streamBenford(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Relational.benfordAudit(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("streaming session_window summary equals the batch lag-form summary") {
     val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
