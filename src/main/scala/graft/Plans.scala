@@ -50,7 +50,10 @@ object Plans {
     "q_dedup_jaccard_prefix", "q_bfs_hops", "q_basket_triples", "q_benford",
     "q_recs_itemcf",
     "q_nation_volume", "q_market_share", "q_attribution",
-    "q_rolling_distinct", "q_bootstrap_ci")
+    "q_rolling_distinct", "q_bootstrap_ci",
+    "q_small_qty_revenue", "q_top_supplier", "q_balance_audit",
+    "q_cheapest_supplier", "q_late_orders",
+    "q_corr_audit", "q_chi2", "q_gini")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
