@@ -53,7 +53,10 @@ object Plans {
     "q_rolling_distinct", "q_bootstrap_ci",
     "q_small_qty_revenue", "q_top_supplier", "q_balance_audit",
     "q_cheapest_supplier", "q_late_orders",
-    "q_corr_audit", "q_chi2", "q_gini")
+    "q_corr_audit", "q_chi2", "q_gini",
+    "q_ship_priority", "q_local_volume", "q_returned_revenue",
+    "q_cust_order_dist", "q_promo_share", "q_big_orders",
+    "q_wait_suppliers")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.

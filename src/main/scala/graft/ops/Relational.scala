@@ -2039,4 +2039,391 @@ object Relational {
       |       CAST(SUM(min_cents) AS BIGINT) AS sum_min_cents
       |FROM w GROUP BY 1
       |ORDER BY n_parts DESC, s_suppkey LIMIT 25""".stripMargin
+
+  // --- order-backlog / volume decision-support shapes (Q3/Q5/Q10/Q13/Q14/Q18/Q21) ---
+
+  /** Constants for [[shipPriority]]: the market segment whose backlog is
+    * mined and the as-of date splitting "ordered before" from "shipped
+    * after". Mid-range of the fixtures' 1995–2001 span — both date
+    * predicates and the segment filter are non-empty at every shipped
+    * scale (probed at sf0.001/0.01/0.1).
+    */
+  val ShipPrioritySegment = "BUILDING"
+  val ShipPriorityAsOf    = "1998-06-15"
+
+  /** q_ship_priority: the TPC-H Q3 shape — the 10 highest-revenue orders
+    * from one market segment placed before the as-of date that still have
+    * lines shipping after it (the unshipped-backlog report).
+    *
+    * Scale shape: the segment filter prunes the customer dim to a
+    * key-only projection consumed by a LEFT SEMI join (no customer column
+    * survives, so nothing widens the fact shuffle); both date filters
+    * push into the parquet scans; the rollup is map-side combined on the
+    * (orderkey, orderdate) grain; the top-10 is a TakeOrderedAndProject —
+    * no global sort materializes. Nothing SF-scaling broadcasts.
+    *
+    * Exactness: revenue is the house exact decimal sum ([[Exact.sum2]]);
+    * the leaderboard orders by the rounded value with the orderkey as the
+    * deterministic tiebreak on both engines.
+    */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(ShipPriorityAsOf).cast("date")
+    val segCust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === ShipPrioritySegment)
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < asOf)
+      .join(segCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > asOf)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shipPriorityOracle: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_mktsegment = '$ShipPrioritySegment'
+       |  AND CAST(o.o_orderdate AS DATE) < DATE '$ShipPriorityAsOf'
+       |  AND CAST(l.l_shipdate AS DATE) > DATE '$ShipPriorityAsOf'
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Constants for [[localVolume]]: the customer region and the one-year
+    * order-date window. Probed non-empty at every shipped scale. */
+  val LocalVolumeRegion = "ASIA"
+  val LocalVolumeFrom   = "1997-01-01"
+  val LocalVolumeTo     = "1998-01-01"
+
+  /** q_local_volume: the TPC-H Q5 shape — one region's order revenue
+    * restricted to LOCAL supply (the supplier sits in the customer's own
+    * nation), rolled up per nation over a one-year window.
+    *
+    * Scale shape: region and nation are fixed-cardinality, so the
+    * region→nation chain broadcasts onto the customer dim and prunes it
+    * BEFORE the big joins (the nation name rides the customer rows — the
+    * 25-group rollup needs no further dim join). The supplier join
+    * carries the locality requirement `s_nationkey = c_nationkey` as its
+    * residual condition, so non-local lines die inside the join instead
+    * of fanning out. customer/supplier scale with SF and are left to
+    * shuffle on their keys.
+    */
+  def localVolume(spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === LocalVolumeRegion)
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit(LocalVolumeFrom).cast("date") &&
+              to_date(col("o_orderdate")) < lit(LocalVolumeTo).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir)
+              .select(col("l_orderkey"), col("l_suppkey"),
+                      col("l_extendedprice"), col("l_discount")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                    col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localVolumeOracle: String =
+    s"""SELECT n.n_name, COUNT(*) AS n_items,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |                AND s.s_nationkey = c.c_nationkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$LocalVolumeRegion'
+       |  AND CAST(o.o_orderdate AS DATE) >= DATE '$LocalVolumeFrom'
+       |  AND CAST(o.o_orderdate AS DATE) <  DATE '$LocalVolumeTo'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Order-date quarter for [[returnedRevenue]]. Probed non-empty at
+    * every shipped scale. */
+  val ReturnedFrom = "1998-01-01"
+  val ReturnedTo   = "1998-04-01"
+
+  /** q_returned_revenue: the TPC-H Q10 shape — the 20 customers who
+    * returned the most revenue (returnflag = R) on orders from one
+    * quarter, annotated with their nation.
+    *
+    * Scale shape: the returnflag and date filters push into the fact
+    * scans; only the fixed-cardinality nation table broadcasts (onto the
+    * customer dim BEFORE its big join); the rollup grain is the customer
+    * key with functionally-dependent name/balance/nation riding as group
+    * keys; the top-20 is a TakeOrderedAndProject.
+    *
+    * Exactness: c_acctbal is a bit-identical parquet passthrough on both
+    * engines (grouping key, never arithmetic); revenue is the house
+    * exact decimal sum with the custkey tiebreak.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit(ReturnedFrom).cast("date") &&
+              to_date(col("o_orderdate")) < lit(ReturnedTo).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+              .filter(col("l_returnflag") === "R")
+              .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(Exact.sum2(Exact.revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedRevenueOracle: String =
+    s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND CAST(o.o_orderdate AS DATE) >= DATE '$ReturnedFrom'
+       |  AND CAST(o.o_orderdate AS DATE) <  DATE '$ReturnedTo'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Order status excluded from [[custOrderDist]] ('P' = pending — the
+    * "count only completed demand" flavor of Q13's comment filter). */
+  val CustOrderDistExcludedStatus = "P"
+
+  /** q_cust_order_dist: the TPC-H Q13 shape — the distribution of orders
+    * per customer INCLUDING the zero bucket: how many customers placed
+    * exactly k qualifying orders. The zero bucket forces an outer join —
+    * the one relational shape an inner-join pipeline can't express.
+    *
+    * Scale shape: the status filter is applied to the orders side BEFORE
+    * the LEFT OUTER join (equivalent to the textbook ON-clause filter,
+    * and it prunes the shuffle); both aggregations are map-side combined
+    * — the first on the custkey the join already partitioned by, the
+    * second on the tiny count domain.
+    */
+  def custOrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= CustOrderDistExcludedStatus)
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custOrderDistOracle: String =
+    s"""SELECT c_count, COUNT(*) AS custdist FROM (
+       |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+       |  FROM customer c
+       |  LEFT OUTER JOIN orders o
+       |    ON c.c_custkey = o.o_custkey
+       |   AND o.o_orderstatus <> '$CustOrderDistExcludedStatus'
+       |  GROUP BY 1)
+       |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Ship-date year for [[promoShare]] (12 monthly groups; every month
+    * of 1998 has lines at every shipped scale). */
+  val PromoShareFrom = "1998-01-01"
+  val PromoShareTo   = "1999-01-01"
+  /** The part type whose revenue share is measured. */
+  val PromoShareType = "PROMO"
+
+  /** q_promo_share: the TPC-H Q14 shape — per ship month, the percentage
+    * of revenue from PROMO-typed parts. Same conditional-aggregate
+    * exactness discipline as [[marketShare]]: numerator and denominator
+    * are DECIMAL(18,4) sums (aggregation-order independent), the share is
+    * ONE IEEE expression `100.0 * num / den` over their double casts —
+    * identical text on both engines.
+    *
+    * Scale shape: the date filter pushes into the fact scan; the part
+    * dim joins on its key carrying only a boolean (is_promo), so the
+    * fact shuffle widens by one bit; part scales with SF so it is NOT
+    * force-broadcast (AQE may still elect to). The 12-group rollup is
+    * map-side combined.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === PromoShareType).as("is_promo"))
+    val revDec = Exact.revenue.cast(DecimalType(18, 4))
+    val zeroDec = lit(0).cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit(PromoShareFrom).cast("date") &&
+              to_date(col("l_shipdate")) < lit(PromoShareTo).cast("date"))
+      .select(col("l_partkey"), col("l_shipdate"),
+              col("l_extendedprice"), col("l_discount"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(month(to_date(col("l_shipdate"))).cast("long").as("ship_month"))
+      .agg(
+        (lit(100.0) * sum(when(col("is_promo"), revDec).otherwise(zeroDec)).cast("double") /
+          sum(revDec).cast("double")).as("promo_share"),
+        round(sum(when(col("is_promo"), revDec).otherwise(zeroDec)), 2)
+          .cast("double").as("promo_revenue"),
+        round(sum(revDec), 2).cast("double").as("total_revenue"))
+      .orderBy("ship_month")
+  }
+
+  val promoShareOracle: String =
+    s"""WITH base AS (
+       |  SELECT CAST(MONTH(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_month,
+       |         CAST(${Exact.revenueSql} AS DECIMAL(18,4)) AS rev,
+       |         CASE WHEN p.p_type = '$PromoShareType'
+       |              THEN CAST(${Exact.revenueSql} AS DECIMAL(18,4))
+       |              ELSE CAST(0 AS DECIMAL(18,4)) END AS promo
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE CAST(l.l_shipdate AS DATE) >= DATE '$PromoShareFrom'
+       |    AND CAST(l.l_shipdate AS DATE) <  DATE '$PromoShareTo')
+       |SELECT ship_month,
+       |       100.0 * CAST(SUM(promo) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS promo_share,
+       |       CAST(ROUND(SUM(promo), 2) AS DOUBLE) AS promo_revenue,
+       |       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
+       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Minimum whole-order quantity for [[bigOrders]] (strict >). The
+    * fixtures' l_quantity is integral (1–50 stored as double), so the
+    * order total is an exact integer; the cutoff is set so the report is
+    * a genuine distribution tail yet non-empty at every shipped scale
+    * (probed: 5 / 46 / 473 qualifying orders at sf0.001/0.01/0.1 — the
+    * top-100 limit boundary is exercised at bench scale). */
+  val BigOrdersMinQty = 300L
+
+  /** q_big_orders: the TPC-H Q18 shape — large-volume orders (whole-order
+    * quantity strictly above [[BigOrdersMinQty]]) with their customer,
+    * top-100 by order value.
+    *
+    * Scale shape: the HAVING gate runs FIRST as a map-side-combined
+    * aggregation over a two-column fact projection, so only qualifying
+    * orderkeys (the distribution tail) enter any join; orders joins on
+    * the orderkey, customer on the custkey — both key-shuffled with AQE
+    * free to broadcast the tiny qualifying side; the top-100 is a
+    * TakeOrderedAndProject on the bit-identical o_totalprice passthrough
+    * with the orderkey tiebreak.
+    *
+    * Exactness: quantities are integral doubles ≤50, so the DECIMAL sum
+    * is an exact integer and its BIGINT cast is lossless on both engines.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qty = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qsum"))
+      .filter(col("qsum") > BigOrdersMinQty)
+      .select(col("l_orderkey"), col("qsum").cast("bigint").as("sum_qty"))
+    qty
+      .join(Tables.orders(spark, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                      col("o_orderdate"), col("o_totalprice")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("o_orderdate"),
+              col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val bigOrdersOracle: String =
+    s"""WITH qty AS (
+       |  SELECT l_orderkey,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > $BigOrdersMinQty)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       |       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       |       o.o_totalprice, qty.sum_qty
+       |FROM qty
+       |JOIN orders o ON qty.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q_wait_suppliers: the TPC-H Q21 shape — suppliers who single-handedly
+    * held up multi-supplier orders: in how many orders involving at least
+    * one OTHER supplier was this supplier the ONLY one to ship more than
+    * [[LateOrdersSlackDays]] days after the order date. Top-25 by that
+    * count.
+    *
+    * The textbook statement is a double correlated subquery
+    * (EXISTS another-supplier line, NOT EXISTS another-late-supplier
+    * line). The Spark plan collapses both into ONE two-level aggregation:
+    * per (order, supplier) fold lateness, then per order count suppliers
+    * and late suppliers and keep orders with ≥2 suppliers exactly 1 of
+    * them late — the unique late supplier IS the waiting supplier. Each
+    * qualifying order contributes exactly once, which the oracle mirrors
+    * with COUNT(DISTINCT order). The two formulations differentially
+    * check each other.
+    *
+    * Scale shape: the only join fan-out is lineitem⋈orders on the
+    * orderkey (one date column rides); both aggregation levels are
+    * map-side combinable and the second reuses the first's key prefix;
+    * no EXISTS re-scan, no Expand, no self-join of the fact. The winner
+    * relation (≤ supplier cardinality) key-joins supplier for the name.
+    */
+  def waitSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+              (to_date(col("l_shipdate")) >
+                date_add(to_date(col("o_orderdate")), LateOrdersSlackDays)).as("late"))
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+           min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+            col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val waitSuppliersOracle: String =
+    s"""WITH li AS (
+       |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+       |         CAST(l.l_shipdate AS DATE) >
+       |           CAST(o.o_orderdate AS DATE) + INTERVAL $LateOrdersSlackDays DAY AS late
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.ok) AS numwait
+       |FROM li l1 JOIN supplier s ON l1.sk = s.s_suppkey
+       |WHERE l1.late
+       |  AND EXISTS (SELECT 1 FROM li l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM li l3
+       |    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+       |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin
 }

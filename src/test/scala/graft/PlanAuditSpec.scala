@@ -789,4 +789,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("ship priority: segment gate is a LeftSemi, top-10 is TakeOrdered — no global sort, no cartesian") {
+    val plan = planOf(ops.Relational.shipPriority(spark, dir))
+    assert(plan.contains("LeftSemi"), s"segment gate not a semi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 materialized a global sort:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("local volume: only the fixed region→nation chain broadcasts by hint; locality is a join residual") {
+    val df = ops.Relational.localVolume(spark, dir)
+    // the residual s_nationkey = c_nationkey must live INSIDE the supplier
+    // join, not as a post-join filter over a wider fan-out
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("(s_nationkey"), s"locality residual missing from the join:\n$optimized")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"region/nation chain not broadcast:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert("(?i)cartesian|BroadcastNestedLoop".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("cust order dist: the zero bucket rides a LEFT OUTER join; both aggs map-side combined") {
+    val plan = planOf(ops.Relational.custOrderDist(spark, dir))
+    assert(plan.contains("LeftOuter"), s"zero bucket lost — no outer join:\n$plan")
+    assert("partial_count".r.findAllIn(plan).length >= 2,
+           s"both aggregation levels must partial-combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("big orders: the quantity gate aggregates BELOW both joins — only the tail is joined") {
+    val df = ops.Relational.bigOrders(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // in the optimized tree the first Aggregate (the HAVING gate) must sit
+    // under every Join node: the last textual Join appears before the last
+    // Aggregate when printed top-down
+    val lastJoin = optimized.lastIndexOf("Join")
+    val gate = optimized.lastIndexOf("Aggregate")
+    assert(lastJoin >= 0 && gate > lastJoin,
+           s"quantity gate not below the joins:\n$optimized")
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 materialized a global sort:\n$plan")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("wait suppliers: the double-EXISTS collapses to two agg levels — no Expand, no fact self-join") {
+    val plan = planOf(ops.Relational.waitSuppliers(spark, dir))
+    assert(!plan.contains("Expand"), s"count-distinct Expand leaked in:\n$plan")
+    // exactly two joins: lineitem⋈orders and winners⋈supplier — the
+    // textbook form would add two more correlated semi/anti fact joins
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins <= 4, s"expected the 2-join plan (≤4 textual mentions), got $joins:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -200,4 +200,172 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cust")).sum ==
       graft.Tables.customer(spark, sf0001).count())
   }
+
+  test("shipPriority: segment/date gates — on-the-day shipments and post-cutoff orders are out") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("shipprio").toFile.getAbsolutePath
+    Seq((1L, "BUILDING"), (2L, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // order 1: qualifies; order 2: placed after the as-of date; order 3:
+    // wrong segment; order 4: its only line ships exactly ON the as-of
+    // day (strict > → on-time, out)
+    Seq((1L, 1L, "1998-01-01"), (2L, 1L, "1998-07-01"),
+        (3L, 2L, "1998-01-01"), (4L, 1L, "1998-01-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // order 1 also has a pre-cutoff line that must NOT contribute
+    Seq((1L, "1998-07-01", 10.0, 0.0), (1L, "1998-05-01", 99.0, 0.0),
+        (2L, "1998-08-01", 50.0, 0.0), (3L, "1998-07-02", 50.0, 0.0),
+        (4L, "1998-06-15", 50.0, 0.0))
+      .toDF("l_orderkey", "d", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.shipPriority(spark, tmp)
+      .withColumn("o_orderdate", col("o_orderdate").cast("string")).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[String]("o_orderdate"),
+                 r.getAs[Double]("revenue")))
+    assert(out.toSeq == Seq((1L, "1998-01-01", 10.0)), out.mkString(","))
+  }
+
+  test("localVolume: only in-region customers supplied from their OWN nation count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("localvol").toFile.getAbsolutePath
+    Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    Seq((0, "NATION_A", 0), (1, "NATION_B", 0), (2, "NATION_C", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq((1L, 0), (2L, 2)).toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    // order 100 in-window; 101 out-of-window; 102 belongs to the
+    // out-of-region customer
+    Seq((100L, 1L, "1997-06-01"), (101L, 1L, "1998-06-01"),
+        (102L, 2L, "1997-06-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // line 2 of order 100 is supplied from a DIFFERENT nation → non-local
+    Seq((100L, 10L, 10.0, 0.0), (100L, 11L, 99.0, 0.0),
+        (101L, 10L, 50.0, 0.0), (102L, 10L, 50.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.localVolume(spark, tmp).collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("n_items"),
+                 r.getAs[Double]("revenue")))
+    assert(out.toSeq == Seq(("NATION_A", 1L, 10.0)), out.mkString(","))
+  }
+
+  test("returnedRevenue: only R lines on in-quarter orders; revenue ties break toward the smaller custkey") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("retrev").toFile.getAbsolutePath
+    Seq((0, "NATION_A")).toDF("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq((1L, "C1", 5.5, 0), (2L, "C2", 1.0, 0))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((100L, 1L, "1998-02-01"), (101L, 1L, "1998-05-01"),
+        (102L, 2L, "1998-02-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // cust 1 and cust 2 both return exactly 10.0 → deterministic tie
+    Seq((100L, "R", 10.0, 0.0), (100L, "N", 99.0, 0.0),
+        (101L, "R", 50.0, 0.0),
+        (102L, "R", 7.0, 0.0), (102L, "R", 3.0, 0.0))
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.returnedRevenue(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+                 r.getAs[Double]("revenue")))
+    assert(out.toSeq == Seq((1L, "C1", 10.0), (2L, "C2", 10.0)), out.mkString(","))
+  }
+
+  test("custOrderDist: the zero bucket exists and excluded-status orders don't count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("custdist").toFile.getAbsolutePath
+    Seq(1L, 2L, 3L).toDF("c_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // cust 1: two counted orders plus one pending (excluded); cust 2:
+    // none at all; cust 3: one counted
+    Seq((10L, 1L, "O"), (11L, 1L, "F"), (12L, 1L, "P"), (13L, 3L, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.custOrderDist(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    assert(out.toSeq == Seq((2L, 1L), (1L, 1L), (0L, 1L)), out.mkString(","))
+  }
+
+  test("promoShare: all-promo month is 100, promo-free month is 0, mixed month is exact") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("promoshare").toFile.getAbsolutePath
+    Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    // Jan: 10 promo / 40 total → 25%; Feb: all promo → 100; Mar: none →
+    // 0; the 1997 line is outside the ship-date window
+    Seq((1L, "1998-01-10", 10.0, 0.0), (2L, "1998-01-20", 30.0, 0.0),
+        (1L, "1998-02-10", 5.0, 0.0),
+        (2L, "1998-03-10", 5.0, 0.0),
+        (1L, "1997-06-01", 999.0, 0.0))
+      .toDF("l_partkey", "d", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.promoShare(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("ship_month"), r.getAs[Double]("promo_share"),
+                 r.getAs[Double]("promo_revenue"), r.getAs[Double]("total_revenue")))
+    assert(out.toSeq == Seq((1L, 25.0, 10.0, 40.0), (2L, 100.0, 5.0, 5.0),
+                            (3L, 0.0, 0.0, 5.0)), out.mkString(","))
+  }
+
+  test("bigOrders: the quantity gate is strict and the sum is the exact integer") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("bigord").toFile.getAbsolutePath
+    Seq((1L, "C1")).toDF("c_custkey", "c_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((1L, 1L, "1997-01-01", 1000.0), (2L, 1L, "1997-01-02", 2000.0),
+        (3L, 1L, "1997-01-03", 3000.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // order 1: 301 (in); order 2: exactly 300 (strict > → out); order 3: 50
+    Seq((1L, 200.0), (1L, 101.0), (2L, 300.0), (3L, 50.0))
+      .toDF("l_orderkey", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.bigOrders(spark, tmp)
+      .withColumn("o_orderdate", col("o_orderdate").cast("string")).collect()
+      .map(r => (r.getAs[String]("c_name"), r.getAs[Long]("o_orderkey"),
+                 r.getAs[String]("o_orderdate"), r.getAs[Double]("o_totalprice"),
+                 r.getAs[Long]("sum_qty")))
+    assert(out.toSeq == Seq(("C1", 1L, "1997-01-01", 1000.0, 301L)),
+           out.mkString(","))
+  }
+
+  test("waitSuppliers: only the UNIQUE late supplier of a multi-supplier order counts, once per order") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("waitsupp").toFile.getAbsolutePath
+    Seq((10L, "S10"), (11L, "S11")).toDF("s_suppkey", "s_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    Seq((1L, "1997-01-01"), (2L, "1997-01-01"),
+        (3L, "1997-01-01"), (4L, "1997-01-01"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // order 1: supp 10 late TWICE (counts once), supp 11 on-time → supp 10
+    // waits; order 2: single-supplier → out; order 3: BOTH late → out;
+    // order 4: supp 11 is the unique late one
+    Seq((1L, 10L, "1997-03-01"), (1L, 10L, "1997-04-01"), (1L, 11L, "1997-01-15"),
+        (2L, 10L, "1997-03-01"),
+        (3L, 10L, "1997-03-01"), (3L, 11L, "1997-03-01"),
+        (4L, 11L, "1997-03-01"), (4L, 10L, "1997-01-15"))
+      .toDF("l_orderkey", "l_suppkey", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.waitSuppliers(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"),
+                 r.getAs[Long]("numwait")))
+    assert(out.toSeq == Seq((10L, "S10", 1L), (11L, "S11", 1L)), out.mkString(","))
+  }
 }
