@@ -213,4 +213,189 @@ object Stats {
       |       END AS gini_ppm,
       |       CAST(CAST(sx AS DOUBLE) / 100 AS DOUBLE) AS total_rev
       |FROM agg ORDER BY 1""".stripMargin
+
+  /** The two populations compared by [[ksTest]] and [[mannWhitney]]:
+    * returned (R) vs delivered-and-kept (N) line prices — the
+    * did-returns-shift-the-price-distribution drift monitor. */
+  val TwoSampleA = "R"
+  val TwoSampleB = "N"
+
+  /** Shared per-value counts relation for the two-sample rank statistics:
+    * one map-side-combined pass collapses the fact table to
+    * (price-cent value, count in A, count in B) — the ONLY relation the
+    * rank machinery ever touches, bounded by the price domain rather
+    * than the row count. */
+  private def twoSampleCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin(TwoSampleA, TwoSampleB))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"),
+              (col("l_returnflag") === TwoSampleA).as("is_a"))
+      .groupBy("v")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+           sum(when(col("is_a"), 0L).otherwise(1L)).as("c2"))
+
+  /** q_ks_test: EXACT two-sample Kolmogorov–Smirnov distance between the
+    * returned-line and kept-line price distributions — the
+    * distribution-drift monitor (the exact-statistic sibling of the
+    * sketch-based q_quality_drift/q_embed_drift family; a curation
+    * pipeline runs the same statistic between two snapshots or sources).
+    *
+    * D = max over the merged support of |F₁(v) − F₂(v)| is computed
+    * without ANY division until the last line: the deviation is the
+    * cross-multiplied integer |n₂·C₁(v) − n₁·C₂(v)| over inclusive
+    * cumulative counts, its max is an exactly-agreed BIGINT, and
+    * `d_num / (n₁·n₂)` is one shared-text IEEE division. Exact while
+    * n₁·n₂ < 2⁶³ — samples up to ~3·10⁹ rows each; past that the
+    * deviation must move to DECIMAL(38,0) (same bound class as the
+    * documented stream long-sum ceiling).
+    *
+    * Scale shape: the fact collapses to the per-value counts relation in
+    * one map-side-combined pass; the cumulatives come from TWO passes of
+    * the two-phase [[graft.plans.PrefixSum]] scaffold over that counts
+    * relation (value-bucketed, full shuffle-width parallelism — never an
+    * unpartitioned window over the support, which at 100 TB is millions
+    * of distinct cents); the readout is a 1-row max.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    // pinned under the retained-cache convention (see chi2): each
+    // PrefixSum pass makes three jobs over its input (quantile probe,
+    // offsets, main) — without the pin every one re-runs the fact
+    // collapse; the harness's per-query clearCache releases it
+    val pts = twoSampleCounts(spark, dir).withColumn("_g", lit(0)).persist()
+    val cum = graft.plans.PrefixSum.exclusiveRunningSum(
+      graft.plans.PrefixSum.exclusiveRunningSum(
+        pts, col("c1"), Seq("_g"), Seq("v"), out = "p1"),
+      col("c2"), Seq("_g"), Seq("v"), out = "p2")
+      .withColumn("cc1", col("p1") + col("c1"))
+      .withColumn("cc2", col("p2") + col("c2"))
+    val tot = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+              abs(col("n2") * col("cc1") - col("n1") * col("cc2")).as("dev"))
+      .groupBy("n1", "n2")
+      .agg(max("dev").as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+              (col("d_num").cast("double") /
+                (col("n1").cast("double") * col("n2").cast("double")))
+                .as("ks_d"))
+  }
+
+  val ksTestOracle: String =
+    s"""WITH pts AS (
+       |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+       |         SUM(CASE WHEN l_returnflag = '$TwoSampleA' THEN 1 ELSE 0 END) AS c1,
+       |         SUM(CASE WHEN l_returnflag = '$TwoSampleB' THEN 1 ELSE 0 END) AS c2
+       |  FROM lineitem WHERE l_returnflag IN ('$TwoSampleA', '$TwoSampleB')
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT v, SUM(c1) OVER (ORDER BY v) AS cc1,
+       |         SUM(c2) OVER (ORDER BY v) AS cc2
+       |  FROM pts),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |               CAST(SUM(c2) AS BIGINT) AS n2 FROM pts)
+       |SELECT n1, n2, CAST(MAX(ABS(n2*cc1 - n1*cc2)) AS BIGINT) AS d_num,
+       |       CAST(MAX(ABS(n2*cc1 - n1*cc2)) AS DOUBLE) /
+       |         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+       |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin
+
+  /** q_mann_whitney: EXACT Mann–Whitney U (Wilcoxon rank-sum) between
+    * the same two populations as [[ksTest]] — the nonparametric
+    * did-the-median-shift monitor. Ties get textbook midranks, kept
+    * integral by working in DOUBLED rank units: a value group with
+    * counts (c₁, c₂) and P predecessors contributes c₁·(2P + t + 1) to
+    * 2·R₁ (t = c₁+c₂; midrank = P + (t+1)/2), so 2R₁ and
+    * 2U₁ = 2R₁ − n₁(n₁+1) are exactly-agreed BIGINTs and the AUC
+    * readout U₁/(n₁n₂) is one shared-text IEEE division. The ORACLE
+    * derives 2R₁ through a genuinely different formulation — per-ROW
+    * min-ranks via RANK() plus the per-value tie count (2·midrank =
+    * 2·rank + cnt − 1) — so the value-group arithmetic and the row-rank
+    * window differentially check each other.
+    *
+    * Scale shape: same counts-relation collapse as [[ksTest]], ONE
+    * PrefixSum pass (over t), a 1-row rollup. 2R₁ ≤ 2N² bounds
+    * exactness to the same ~3·10⁹-row class documented there.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    // pinned for the same multi-pass reason as in ksTest
+    val pts = twoSampleCounts(spark, dir).withColumn("_g", lit(0)).persist()
+    val cum = graft.plans.PrefixSum.exclusiveRunningSum(
+      pts, col("c1") + col("c2"), Seq("_g"), Seq("v"), out = "p")
+    val tot = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum
+      .select((col("c1") * (lit(2) * col("p") + col("c1") + col("c2") + lit(1)))
+        .as("contrib"))
+      .agg(sum("contrib").as("r1_x2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("r1_x2"),
+              (col("r1_x2") - col("n1") * (col("n1") + lit(1))).as("u1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"), col("u1_x2"),
+              (col("u1_x2").cast("double") /
+                (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+                .as("auc"))
+  }
+
+  val mannWhitneyOracle: String =
+    s"""WITH b AS (
+       |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+       |         l_returnflag = '$TwoSampleA' AS s1
+       |  FROM lineitem WHERE l_returnflag IN ('$TwoSampleA', '$TwoSampleB')),
+       |r AS (
+       |  SELECT s1, RANK() OVER (ORDER BY v) AS rk,
+       |         COUNT(*) OVER (PARTITION BY v) AS cnt
+       |  FROM b),
+       |tot AS (SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |               CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+       |        FROM b)
+       |SELECT n1, n2,
+       |       CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END) AS BIGINT)
+       |         AS r1_x2,
+       |       CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END)
+       |              - n1*(n1+1) AS BIGINT) AS u1_x2,
+       |       CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END)
+       |              - n1*(n1+1) AS DOUBLE) /
+       |         (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+       |FROM r CROSS JOIN tot GROUP BY 1, 2""".stripMargin
+
+  /** q_cramers_v: Cramér's V effect size over the [[chi2]] contingency
+    * table — the is-the-dependence-MATERIAL summary the per-cell χ² terms
+    * don't answer on their own. Aggregates the chi2 relation itself
+    * (χ²·10⁶ = Σ term_ppm — a sum of exactly-agreed integers, so the ppm
+    * quantization of the per-cell floor division is inherited, never
+    * re-divided), then V = √(χ²_ppm / (10⁶ · n · min(r−1, c−1))) as one
+    * shared-text IEEE expression. A degenerate 1×c / r×1 table is
+    * guarded to NULL (never a 0/0).
+    *
+    * Scale shape: everything downstream of the single fact pass inside
+    * [[chi2]] operates on the |flags|×|statuses| cell relation; the two
+    * COUNT(DISTINCT dim) run on those few rows, not the fact.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    chi2(spark, dir)
+      .agg(sum("n_obs").as("n"),
+           countDistinct("returnflag").as("r"),
+           countDistinct("linestatus").as("c"),
+           sum("term_ppm").as("chi2_ppm"))
+      .select(col("n"), least(col("r") - 1, col("c") - 1).as("df_min"),
+              col("chi2_ppm"))
+      .select(col("n"), col("df_min"), col("chi2_ppm"),
+              when(col("df_min") === 0, lit(null).cast("double"))
+                .otherwise(sqrt(col("chi2_ppm").cast("double") /
+                  (lit(1000000.0) * col("n").cast("double") *
+                    col("df_min").cast("double"))))
+                .as("cramers_v"))
+
+  val cramersVOracle: String =
+    s"""WITH chi AS (${chi2Oracle.replace("ORDER BY 1, 2", "")}),
+       |agg AS (
+       |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+       |         LEAST(COUNT(DISTINCT returnflag) - 1,
+       |               COUNT(DISTINCT linestatus) - 1) AS df_min,
+       |         CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm
+       |  FROM chi)
+       |SELECT n, df_min, chi2_ppm,
+       |       CASE WHEN df_min = 0 THEN NULL
+       |            ELSE SQRT(CAST(chi2_ppm AS DOUBLE) /
+       |                   (1000000.0 * CAST(n AS DOUBLE) *
+       |                    CAST(df_min AS DOUBLE))) END AS cramers_v
+       |FROM agg""".stripMargin
 }

@@ -833,6 +833,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("ks test + mann whitney: rank machinery is window-free (PrefixSum over the counts relation)") {
+    for (q <- Seq(ops.Stats.ksTest(spark, dir), ops.Stats.mannWhitney(spark, dir))) {
+      q.collect()
+      val plan = planOf(q)
+      // the naive form is SUM() OVER (ORDER BY v) — an unpartitioned
+      // window over the merged support (millions of distinct cents at
+      // 100 TB); the scaffold must keep every pass window-free
+      assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("cramers v: everything downstream of the single fact pass reads the pinned cell relation") {
+    val df = ops.Stats.cramersV(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("wait suppliers: the double-EXISTS collapses to two agg levels — no Expand, no fact self-join") {
     val plan = planOf(ops.Relational.waitSuppliers(spark, dir))
     assert(!plan.contains("Expand"), s"count-distinct Expand leaked in:\n$plan")

@@ -201,6 +201,66 @@ class StatsSpec extends SparkSpec {
       graft.Tables.customer(spark, sf0001).count())
   }
 
+  test("ksTest: hand-computed exact D on a tied merged support; other flags excluded") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("kstest").toFile.getAbsolutePath
+    // A(R) = {1.00, 2.00, 3.00}, B(N) = {2.00, 4.00} → over the merged
+    // support the cross-multiplied deviation |n2·C1 − n1·C2| runs
+    // 2, 1, 3, 0 → D = 3/6 = 0.5. The 'A'-flag row must not count.
+    Seq(("R", 1.00), ("R", 2.00), ("R", 3.00),
+        ("N", 2.00), ("N", 4.00), ("A", 9.99))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Stats.ksTest(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                 r.getAs[Long]("d_num"), r.getAs[Double]("ks_d")))
+    assert(out.toSeq == Seq((3L, 2L, 3L, 0.5)), out.mkString(","))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("mannWhitney: midrank tie handling in doubled units matches the pairwise count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("mwu").toFile.getAbsolutePath
+    // same samples as the KS test: sorted 1(A) 2(A) 2(B) 3(A) 4(B) —
+    // midranks 1, 2.5, 2.5, 4, 5 → R1 = 7.5 (2R1 = 15),
+    // 2U1 = 15 − 3·4 = 3 → U1 = 1.5, which pairwise counting confirms
+    // (200>200 tie 0.5, 300>200 win 1) → AUC = 1.5/6 = 0.25
+    Seq(("R", 1.00), ("R", 2.00), ("R", 3.00),
+        ("N", 2.00), ("N", 4.00), ("A", 9.99))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Stats.mannWhitney(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                 r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
+                 r.getAs[Double]("auc")))
+    assert(out.toSeq == Seq((3L, 2L, 15L, 3L, 0.25)), out.mkString(","))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("cramersV: symmetric 2×2 skew gives exactly 0.5; a single-column table guards to NULL") {
+    import spark.implicits._
+    def run(cells: Seq[(String, String, Int)]): (Long, Long, Long, Option[Double]) = {
+      val tmp = Files.createTempDirectory("cramers").toFile.getAbsolutePath
+      cells.flatMap { case (rf, ls, n) => Seq.fill(n)((rf, ls)) }
+        .toDF("l_returnflag", "l_linestatus")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val r = Stats.cramersV(spark, tmp).collect().head
+      val v = (r.getAs[Long]("n"), r.getAs[Long]("df_min"),
+               r.getAs[Long]("chi2_ppm"),
+               Option(r.getAs[java.lang.Double]("cramers_v")).map(_.toDouble))
+      spark.sharedState.cacheManager.clearCache()
+      v
+    }
+    // the chi2 spec's symmetric skew: four terms of exactly 5·10⁶ ppm →
+    // χ² = 20, N = 80, df_min = 1 → V = √(20/80) = 0.5 exactly
+    val skew = run(Seq(("A", "F", 30), ("A", "O", 10),
+                       ("B", "F", 10), ("B", "O", 30)))
+    assert(skew == ((80L, 1L, 20000000L, Some(0.5))), skew.toString)
+    // one distinct linestatus → df_min 0 → NULL, never a 0/0
+    val degen = run(Seq(("A", "F", 5), ("B", "F", 5)))
+    assert(degen._2 == 0L && degen._4.isEmpty, degen.toString)
+  }
+
   test("shipPriority: segment/date gates — on-the-day shipments and post-cutoff orders are out") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("shipprio").toFile.getAbsolutePath
