@@ -166,15 +166,21 @@ object Stats {
     * the wide sort entirely. At fixture scales the direct rank is both
     * exact and the faster plan, and the formula is identical.
     */
-  def gini(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d38 = DecimalType(38, 0)
-    val rev = Tables.customer(spark, dir)
+  /** Per-customer lifetime revenue in exact cents (order-less customers
+    * kept at 0 via the left join) — the shared input of the concentration
+    * monitors [[gini]] and [[hhi]]. */
+  private def customerRevenueCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir),
             col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"), col("c_nationkey"))
       .agg(coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L))
         .as("cents"))
+
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val rev = customerRevenueCents(spark, dir)
     val i = row_number().over(
       Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey"))
     rev.withColumn("i", i.cast("long"))
@@ -214,6 +220,53 @@ object Stats {
       |       CAST(CAST(sx AS DOUBLE) / 100 AS DOUBLE) AS total_rev
       |FROM agg ORDER BY 1""".stripMargin
 
+  /** q_hhi: per-nation Herfindahl–Hirschman concentration of customer
+    * lifetime revenue — the squared-share sibling of [[gini]] (the same
+    * statistic a curation run uses to flag sources where a few documents
+    * carry most of the tokens; HHI is the one antitrust reviewers quote).
+    * Computed WITHOUT per-share division: HHI·10⁶ = (Σx²·10⁶) div (Σx)²
+    * — one floor division of exactly-agreed DECIMAL(38,0)/HUGEINT
+    * integers (x² reaches ~10²⁶ for 100 TB lifetime-cents, far past 2⁶³
+    * but 12 digits inside the 38-digit ceiling). All-zero nations are
+    * guarded to 0, never a 0/0.
+    *
+    * Scale shape: strictly better than gini — two map-side-combined
+    * aggregation levels (custkey → nation), no window, no rank, nothing
+    * collected. The 25-group output is SF-invariant.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    customerRevenueCents(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents").cast(d38)).as("sx"),
+           sum((col("cents").cast(d38) * col("cents")).cast(d38)).as("sxx"))
+      .select(col("nationkey"), col("n").as("n_cust"),
+              when(col("sx") === 0, lit(0L))
+                .otherwise(expr("(sxx * 1000000) div (sx * sx)"))
+                .as("hhi_ppm"),
+              (col("sx").cast("double") / 100).cast("double").as("total_rev"))
+      .orderBy("nationkey")
+  }
+
+  val hhiOracle: String =
+    """WITH rev AS (
+      |  SELECT c.c_custkey, c.c_nationkey,
+      |         COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+      |                       AS BIGINT), 0) AS cents
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS sx,
+      |         SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+      |  FROM rev GROUP BY 1)
+      |SELECT c_nationkey AS nationkey, CAST(n AS BIGINT) AS n_cust,
+      |       CASE WHEN sx = 0 THEN 0
+      |            ELSE CAST((sxx * 1000000) // (sx * sx) AS BIGINT)
+      |       END AS hhi_ppm,
+      |       CAST(CAST(sx AS DOUBLE) / 100 AS DOUBLE) AS total_rev
+      |FROM agg ORDER BY 1""".stripMargin
+
   /** The two populations compared by [[ksTest]] and [[mannWhitney]]:
     * returned (R) vs delivered-and-kept (N) line prices — the
     * did-returns-shift-the-price-distribution drift monitor. */
@@ -225,14 +278,17 @@ object Stats {
     * (price-cent value, count in A, count in B) — the ONLY relation the
     * rank machinery ever touches, bounded by the price domain rather
     * than the row count. */
-  private def twoSampleCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def twoSampleCountsOf(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_returnflag").isin(TwoSampleA, TwoSampleB))
       .select(round(col("l_extendedprice") * 100).cast("long").as("v"),
               (col("l_returnflag") === TwoSampleA).as("is_a"))
       .groupBy("v")
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
            sum(when(col("is_a"), 0L).otherwise(1L)).as("c2"))
+
+  private def twoSampleCounts(spark: SparkSession, dir: String): DataFrame =
+    twoSampleCountsOf(Tables.lineitem(spark, dir))
 
   /** q_ks_test: EXACT two-sample Kolmogorov–Smirnov distance between the
     * returned-line and kept-line price distributions — the
@@ -256,12 +312,18 @@ object Stats {
     * unpartitioned window over the support, which at 100 TB is millions
     * of distinct cents); the readout is a 1-row max.
     */
-  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksOfCounts(twoSampleCounts(spark, dir))
+
+  /** The KS readout over an arbitrary (v, c1, c2) counts relation — shared
+    * by the batch [[ksTest]] and the streaming face (which drains the same
+    * counts as its complete-mode aggregation). */
+  def ksOfCounts(counts: DataFrame): DataFrame = {
     // pinned under the retained-cache convention (see chi2): each
     // PrefixSum pass makes three jobs over its input (quantile probe,
     // offsets, main) — without the pin every one re-runs the fact
     // collapse; the harness's per-query clearCache releases it
-    val pts = twoSampleCounts(spark, dir).withColumn("_g", lit(0)).persist()
+    val pts = counts.withColumn("_g", lit(0)).persist()
     val cum = graft.plans.PrefixSum.exclusiveRunningSum(
       graft.plans.PrefixSum.exclusiveRunningSum(
         pts, col("c1"), Seq("_g"), Seq("v"), out = "p1"),

@@ -447,6 +447,34 @@ object StreamingQueries {
       .orderBy("digit")
   }
 
+  /** q_stream_ks: the exact two-sample KS drift monitor as a stream — the
+    * streaming face of q_ks_test (is the returned-line price distribution
+    * drifting from the kept-line one AS DATA ARRIVES). The per-cent-value
+    * (v, c1, c2) counts relation is the complete-mode streaming
+    * aggregation (counting is associative → micro-batch-split invariant);
+    * the rank machinery — the PrefixSum cumulatives and the
+    * cross-multiplied integer deviation — runs batch-side on the drained
+    * counts through the SAME readout as the batch query
+    * ([[graft.ops.Stats.ksOfCounts]]), so the result rides
+    * q_ks_test's oracle verbatim and StreamingSpec proves file-split
+    * invariance.
+    */
+  def streamKs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_ks"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val rawSchema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
+      (r, n) => r.option("maxFilesPerTrigger", n.toString)
+    }
+    val counts = graft.ops.Stats.twoSampleCountsOf(
+      reader.parquet(s"$dir/lineitem.parque*"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Stats.ksOfCounts(spark.table(name))
+  }
+
   /** q_stream_markov: the Markov transition matrix as a stream — the
     * sequence-analytics face of the stateful family: `mapGroupsWithState`
     * keyed by user carries each user's full (ts, event_id, type) history,

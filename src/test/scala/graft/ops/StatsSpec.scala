@@ -201,6 +201,27 @@ class StatsSpec extends SparkSpec {
       graft.Tables.customer(spark, sf0001).count())
   }
 
+  test("hhi: equal split halves, a monopolist saturates, all-zero nations guard to 0") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hhi").toFile.getAbsolutePath
+    // nation 0: two equal customers → HHI = 1/2 = 500000 ppm; nation 1:
+    // one customer owns everything → 10⁶ ppm; nation 2: zero revenue →
+    // guarded 0, never 0/0
+    Seq((11L, 0), (12L, 0), (21L, 1), (31L, 2))
+      .toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((11L, 1.00), (12L, 1.00), (21L, 3.00))
+      .toDF("o_custkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Stats.hhi(spark, tmp).collect()
+      .map(r => r.getAs[Int]("nationkey") ->
+        ((r.getAs[Long]("n_cust"), r.getAs[Long]("hhi_ppm"),
+          r.getAs[Double]("total_rev")))).toMap
+    assert(out(0) == ((2L, 500000L, 2.0)), out.toString)
+    assert(out(1) == ((1L, 1000000L, 3.0)), out.toString)
+    assert(out(2) == ((1L, 0L, 0.0)), out.toString)
+  }
+
   test("ksTest: hand-computed exact D on a tied merged support; other flags excluded") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("kstest").toFile.getAbsolutePath

@@ -338,6 +338,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("streaming KS drift equals the batch statistic and is micro-batch-split invariant") {
+    // the drained (v, c1, c2) counts are pure associative sums, and the
+    // rank readout is SHARED with the batch query (Stats.ksOfCounts), so
+    // the exact D must be identical under a forced 3-file split
+    val dir = tmpDir("stream_ks")
+    spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val streamed = StreamingQueries.streamKs(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.Stats.ksTest(spark, dir)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("streaming session_window summary equals the batch lag-form summary") {
     val streamed = StreamingQueries.streamUserSessions(spark, sf0001).head()
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
