@@ -507,20 +507,31 @@ object Relational {
     * combined aggregation, the 1-row total as a broadcast cross join —
     * nothing wider than 9 rows ever shuffles.
     */
-  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    val digits = Tables.lineitem(spark, dir)
-      .select(substring(round(col("l_extendedprice") * 100).cast("long")
-        .cast("string"), 1, 1).cast("bigint").as("digit"))
-    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_values"))
-    val total = digits.agg(count(lit(1)).as("total"))
-    counts.crossJoin(broadcast(total))
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordOfCounts(
+      benfordDigitsOf(Tables.lineitem(spark, dir))
+        .groupBy("digit").agg(count(lit(1)).as("n_values")))
+
+  /** The shared first-significant-digit projection — ONE definition for
+    * the batch audit and the streaming face, so the two can never
+    * silently desynchronize from the oracle they both ride. */
+  def benfordDigitsOf(lineitem: DataFrame): DataFrame =
+    lineitem.select(substring(round(col("l_extendedprice") * 100).cast("long")
+      .cast("string"), 1, 1).cast("bigint").as("digit"))
+
+  /** The ppm readout over a (digit, n_values) counts relation — shared by
+    * the batch [[benfordAudit]] and the streaming face. The total is
+    * re-derived as Σ n_values (every row lands in exactly one digit
+    * bucket, so the sum IS the row count — no second pass over the
+    * source). */
+  def benfordOfCounts(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum("n_values").as("total"))))
       .withColumn("observed_ppm", expr("(1000000 * n_values) div total"))
       .withColumn("expected_ppm", expr(benfordExpectedSql))
       .select(col("digit"), col("n_values"), col("observed_ppm"),
               col("expected_ppm"),
               (col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
       .orderBy("digit")
-  }
 
   val benfordAuditOracle: String =
     s"""WITH d AS (
@@ -1695,22 +1706,24 @@ object Relational {
 
   /** Integer Poisson(1) CDF cutoffs on the 13-hex-digit hash grain
     * (0 .. 16¹³ = 2⁵²): weight k iff u13 lands in [cutoff(k−1), cutoff(k)).
-    * Quantized ONCE here and interpolated as identical literals into both
+    * Quantized ONCE and interpolated as identical literals into both
     * engines' SQL, so the resample weight is a pure integer comparison
     * everywhere — no float CDF evaluation can diverge. Weights are capped
     * at 8 (tail mass ~1e-6, deterministic on both engines).
+    *
+    * HARDCODED literals (the [[benfordExpectedSql]] discipline), i.e.
+    * ⌊CDF_Poisson(1)(k)·2⁵²⌋ evaluated at 60-digit decimal precision —
+    * NOT computed at runtime: `java.lang.Math.exp` is platform-dependent
+    * (only required to be within 1 ulp, and the measured double-precision
+    * evaluation really does land +1 off the exact floor in 5 of the 8
+    * cutoffs), so a runtime derivation could shift a boundary by one and
+    * flip a resample weight across JVMs. Pinning the integers makes the
+    * bootstrap bit-reproducible on every host.
     */
-  private val PoissonCutoffs: Seq[Long] = {
-    val scale = 4503599627370496L // 16^13 = 2^52, the 13-hex-digit span
-    var p = math.exp(-1.0)
-    var c = p
-    (0 until 8).map { k =>
-      val cut = math.floor(c * scale).toLong
-      p = p / (k + 1)
-      c += p
-      cut
-    }
-  }
+  private val PoissonCutoffs: Seq[Long] = Seq(
+    1656781714176973L, 3313563428353947L, 4141954285442434L,
+    4418084571138597L, 4487117142562637L, 4500923656847445L,
+    4503224742561580L, 4503553469092171L)
 
   /** Shared CASE text mapping a 13-hex uniform to a Poisson(1) weight. */
   private def poissonWeightSql(u: String): String =

@@ -345,8 +345,11 @@ object Stats {
       .groupBy("n1", "n2")
       .agg(max("dev").as("d_num"))
       .select(col("n1"), col("n2"), col("d_num"),
-              (col("d_num").cast("double") /
-                (col("n1").cast("double") * col("n2").cast("double")))
+              // an empty population → D undefined → NULL, never a
+              // cross-engine 0/0 (the corrAudit guard discipline)
+              when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+                .otherwise(col("d_num").cast("double") /
+                  (col("n1").cast("double") * col("n2").cast("double")))
                 .as("ks_d"))
   }
 
@@ -364,8 +367,9 @@ object Stats {
        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
        |               CAST(SUM(c2) AS BIGINT) AS n2 FROM pts)
        |SELECT n1, n2, CAST(MAX(ABS(n2*cc1 - n1*cc2)) AS BIGINT) AS d_num,
-       |       CAST(MAX(ABS(n2*cc1 - n1*cc2)) AS DOUBLE) /
-       |         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+       |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |            ELSE CAST(MAX(ABS(n2*cc1 - n1*cc2)) AS DOUBLE) /
+       |                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS ks_d
        |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin
 
   /** q_mann_whitney: EXACT Mann–Whitney U (Wilcoxon rank-sum) between
@@ -391,16 +395,25 @@ object Stats {
     val cum = graft.plans.PrefixSum.exclusiveRunningSum(
       pts, col("c1") + col("c2"), Seq("_g"), Seq("v"), out = "p")
     val tot = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    cum
-      .select((col("c1") * (lit(2) * col("p") + col("c1") + col("c2") + lit(1)))
+    // grouped by the broadcast (n1, n2) scalars — NOT a global agg — so an
+    // empty counts relation yields ZERO rows exactly like the oracle's
+    // grouped form (a global .agg would emit one all-null row and the
+    // one-empty-population AUC would divide to NaN); ksOfCounts has the
+    // same shape for the same reason
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+              (col("c1") * (lit(2) * col("p") + col("c1") + col("c2") + lit(1)))
         .as("contrib"))
+      .groupBy("n1", "n2")
       .agg(sum("contrib").as("r1_x2"))
-      .crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"), col("r1_x2"),
               (col("r1_x2") - col("n1") * (col("n1") + lit(1))).as("u1_x2"))
       .select(col("n1"), col("n2"), col("r1_x2"), col("u1_x2"),
-              (col("u1_x2").cast("double") /
-                (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+              // an empty population → AUC undefined → NULL (same guard
+              // discipline as ks_d/corr)
+              when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+                .otherwise(col("u1_x2").cast("double") /
+                  (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
                 .as("auc"))
   }
 
@@ -421,9 +434,11 @@ object Stats {
        |         AS r1_x2,
        |       CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END)
        |              - n1*(n1+1) AS BIGINT) AS u1_x2,
-       |       CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END)
-       |              - n1*(n1+1) AS DOUBLE) /
-       |         (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+       |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |            ELSE CAST(SUM(CASE WHEN s1 THEN 2*rk + cnt - 1 ELSE 0 END)
+       |                        - n1*(n1+1) AS DOUBLE) /
+       |                 (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       |       END AS auc
        |FROM r CROSS JOIN tot GROUP BY 1, 2""".stripMargin
 
   /** q_cramers_v: Cramér's V effect size over the [[chi2]] contingency

@@ -412,15 +412,16 @@ object StreamingQueries {
   }
 
   /** q_stream_benford: the Benford forensic audit as a stream — the
-    * monitoring face of the audit family. The digit projection and the
-    * 9-group count are the streaming aggregation (complete mode,
-    * AvailableNow drain); the ppm arithmetic and the expected-frequency
-    * literals run batch-side on the drained 9-row table, with the total
-    * re-derived as Σ n_values (every row lands in exactly one digit
-    * bucket, so the sum IS the row count — no second pass over the
-    * stream). Counting is associative, so the drained result is
-    * micro-batch-split invariant and rides the batch query's oracle
-    * verbatim (graft.ops.Relational.benfordAuditOracle).
+    * monitoring face of the audit family. The digit projection
+    * ([[graft.ops.Relational.benfordDigitsOf]], SHARED with the batch
+    * audit) and the 9-group count are the streaming aggregation (complete
+    * mode, AvailableNow drain); the ppm readout on the drained 9-row
+    * table is the batch audit's own
+    * [[graft.ops.Relational.benfordOfCounts]] — one definition for both
+    * faces, so neither can silently desynchronize from the oracle.
+    * Counting is associative, so the drained result is micro-batch-split
+    * invariant and rides the batch query's oracle verbatim
+    * (graft.ops.Relational.benfordAuditOracle).
     */
   def streamBenford(spark: SparkSession, dir: String,
                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -430,21 +431,13 @@ object StreamingQueries {
     val reader = maxFilesPerTrigger.foldLeft(spark.readStream.schema(rawSchema)) {
       (r, n) => r.option("maxFilesPerTrigger", n.toString)
     }
-    val counts = reader.parquet(s"$dir/lineitem.parque*")
-      .select(substring(round(col("l_extendedprice") * 100).cast("long")
-        .cast("string"), 1, 1).cast("bigint").as("digit"))
+    val counts = graft.ops.Relational.benfordDigitsOf(
+        reader.parquet(s"$dir/lineitem.parque*"))
       .groupBy("digit").agg(count(lit(1)).as("n_values"))
     val q = counts.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val cells = spark.table(name)
-    cells.crossJoin(broadcast(cells.agg(sum("n_values").as("total"))))
-      .withColumn("observed_ppm", expr("(1000000 * n_values) div total"))
-      .withColumn("expected_ppm", expr(graft.ops.Relational.benfordExpectedSql))
-      .select(col("digit"), col("n_values"), col("observed_ppm"),
-              col("expected_ppm"),
-              (col("observed_ppm") - col("expected_ppm")).as("dev_ppm"))
-      .orderBy("digit")
+    graft.ops.Relational.benfordOfCounts(spark.table(name))
   }
 
   /** q_stream_ks: the exact two-sample KS drift monitor as a stream — the

@@ -258,6 +258,36 @@ class StatsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ksTest/mannWhitney degenerate inputs: empty → zero rows (like the oracle); one empty population → NULL statistic") {
+    import spark.implicits._
+    def write(rows: Seq[(String, Double)]): String = {
+      val tmp = Files.createTempDirectory("twosample").toFile.getAbsolutePath
+      rows.toDF("l_returnflag", "l_extendedprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      tmp
+    }
+    // only R rows: statistics undefined → NULL, counts still exact
+    val oneSided = write(Seq(("R", 1.00), ("R", 2.00), ("A", 9.99)))
+    val ks = Stats.ksTest(spark, oneSided).collect()
+    assert(ks.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                        r.getAs[Long]("d_num"),
+                        Option(r.getAs[java.lang.Double]("ks_d")))).toSeq ==
+           Seq((2L, 0L, 0L, None)), ks.mkString(","))
+    val mw = Stats.mannWhitney(spark, oneSided).collect()
+    // r1_x2 degenerates to n1(n1+1); u1_x2 to 0
+    assert(mw.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                        r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
+                        Option(r.getAs[java.lang.Double]("auc")))).toSeq ==
+           Seq((2L, 0L, 6L, 0L, None)), mw.mkString(","))
+    spark.sharedState.cacheManager.clearCache()
+    // NO qualifying rows at all: both emit ZERO rows, exactly like the
+    // oracle's grouped form (a global agg would emit one all-null row)
+    val empty = write(Seq(("A", 9.99)))
+    assert(Stats.ksTest(spark, empty).collect().isEmpty)
+    assert(Stats.mannWhitney(spark, empty).collect().isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("cramersV: symmetric 2×2 skew gives exactly 0.5; a single-column table guards to NULL") {
     import spark.implicits._
     def run(cells: Seq[(String, String, Int)]): (Long, Long, Long, Option[Double]) = {
