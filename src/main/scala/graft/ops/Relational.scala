@@ -2439,4 +2439,94 @@ object Relational {
        |    SELECT 1 FROM li l3
        |    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 25""".stripMargin
+
+  /** Ship-date window for [[filterScan]] (probed: 124/1175/12054
+    * qualifying lines at sf0.001/0.01/0.1). */
+  val FilterScanFrom = "1997-01-01"
+  val FilterScanTo   = "1998-01-01"
+
+  /** q_filter_scan: the TPC-H Q6 shape — the pure scan-dominant filter
+    * aggregation (forecast-revenue-change): one fact table, three
+    * conjunctive predicates, one 1-row rollup, NO join — the canonical
+    * predicate-pushdown showcase. The date predicates compare the
+    * TIMESTAMP column directly against timestamp literals (every fixture
+    * shipdate is exactly midnight — probed — so this is value-identical
+    * to the oracle's date cast) precisely so ALL THREE predicates reach
+    * the parquet scan as PushedFilters; a `to_date(col)` cast would
+    * evaluate post-scan and read every row group. PlanAuditSpec asserts
+    * the pushed set. The discount-band compare is bit-consistent on both
+    * engines (both compare the same stored double against the same
+    * literal — consistency, not arithmetic, is what's required).
+    *
+    * Scale shape: at 100 TB this plan IS the I/O lower bound — row-group
+    * statistics prune on the pushed predicates, the scan reads four
+    * columns, and the aggregation is one partial-combined 1-row rollup.
+    */
+  def filterScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(FilterScanFrom).cast("timestamp") &&
+              col("l_shipdate") < lit(FilterScanTo).cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+           Exact.sum2(col("l_extendedprice") * col("l_discount")).as("revenue_delta"))
+
+  val filterScanOracle: String =
+    s"""SELECT COUNT(*) AS n_lines,
+       |       ${Exact.sum2Sql("l_extendedprice * l_discount")} AS revenue_delta
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '$FilterScanFrom'
+       |  AND CAST(l_shipdate AS DATE) <  DATE '$FilterScanTo'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** The three (brand, max size, quantity band) brackets of
+    * [[bracketRevenue]] — every bracket probed non-empty at every
+    * shipped scale (42/62/61 lines at sf0.001). */
+  val BracketSpecs: Seq[(String, Int, Int, Int)] = Seq(
+    ("Brand#1", 15, 1, 15), ("Brand#2", 25, 10, 30), ("Brand#3", 35, 20, 40))
+
+  /** q_bracket_revenue: the TPC-H Q19 shape — revenue matching an
+    * OR-of-ANDs of three (brand, size, quantity-band) brackets, the
+    * disjunctive-predicate exemplar: each disjunct constrains BOTH sides
+    * of the lineitem⋈part join, so the predicate can only be evaluated
+    * inside/above the join (no single-side pushdown exists for the whole
+    * disjunction — what Catalyst CAN push is the per-side union bound,
+    * and correctness never depends on it). One key join, the disjunction
+    * as one boolean expression, a 1-row rollup.
+    *
+    * Scale shape: part joins on its key carrying only (brand, size) —
+    * 2 narrow columns; the quantity bound `l_quantity <= 40` (the
+    * brackets' outer envelope) IS single-side and is stated explicitly
+    * on the fact scan so the pushdown prunes row groups before the join.
+    */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val envelope = BracketSpecs.map(_._4).max
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= envelope && col("l_quantity") >= BracketSpecs.map(_._3).min)
+      .select(col("l_partkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+    val bracket = BracketSpecs.map { case (brand, maxSize, qLo, qHi) =>
+      col("p_brand") === brand &&
+        col("p_size") >= 1 && col("p_size") <= maxSize &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    }.reduce(_ || _)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(count(lit(1)).as("n_lines"),
+           Exact.sum2(Exact.revenue).as("revenue"))
+  }
+
+  val bracketRevenueOracle: String = {
+    val disjuncts = BracketSpecs.map { case (brand, maxSize, qLo, qHi) =>
+      s"""(p.p_brand = '$brand' AND p.p_size BETWEEN 1 AND $maxSize
+         |   AND l.l_quantity BETWEEN $qLo AND $qHi)""".stripMargin
+    }.mkString("\n|   OR ")
+    s"""SELECT COUNT(*) AS n_lines,
+       |       ${Exact.sum2Sql(Exact.revenueSql)} AS revenue
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE $disjuncts""".stripMargin
+  }
 }

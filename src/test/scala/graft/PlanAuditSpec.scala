@@ -833,6 +833,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("filter scan: all three predicate classes reach the parquet scan as PushedFilters") {
+    val df = ops.Relational.filterScan(spark, dir)
+    // the toString form TRUNCATES long PushedFilters lists — read the scan
+    // node's metadata instead
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), s"ship window not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount band not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24"), s"quantity bound not pushed: $pushed")
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"Q6 must not join:\n$plan")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("bracket revenue: the quantity ENVELOPE is pushed to the fact scan below the disjunction") {
+    val plan = planOf(ops.Relational.bracketRevenue(spark, dir))
+    assert(plan.contains("LessThanOrEqual(l_quantity,40"), s"envelope not pushed:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ks test + mann whitney: rank machinery is window-free (PrefixSum over the counts relation)") {
     for (q <- Seq(ops.Stats.ksTest(spark, dir), ops.Stats.mannWhitney(spark, dir))) {
       q.collect()

@@ -454,6 +454,45 @@ class StatsSpec extends SparkSpec {
            out.mkString(","))
   }
 
+  test("filterScan: every predicate boundary — band edges in, band outside out, window end out, qty 24 out") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("filterscan").toFile.getAbsolutePath
+    // rows: (ship, disc, qty, price) — only the first two qualify:
+    // 0.05 and 0.07 are inclusive band EDGES; 0.04 is out; qty 24 fails
+    // the strict <; a 1998-01-01 ship lands ON the exclusive window end
+    Seq(("1997-06-01", 0.05, 1.0, 100.0), ("1997-06-01", 0.07, 23.0, 200.0),
+        ("1997-06-01", 0.04, 1.0, 999.0), ("1997-06-01", 0.06, 24.0, 999.0),
+        ("1998-01-01", 0.06, 1.0, 999.0), ("1996-12-31", 0.06, 1.0, 999.0))
+      .toDF("d", "l_discount", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.filterScan(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("n_lines"), r.getAs[Double]("revenue_delta")))
+    // 100·0.05 + 200·0.07 = 19.0
+    assert(out.toSeq == Seq((2L, 19.0)), out.mkString(","))
+  }
+
+  test("bracketRevenue: a line counts iff SOME bracket matches BOTH its part and its quantity") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("bracketrev").toFile.getAbsolutePath
+    // part 1: Brand#1 size 10 (bracket-1 shaped); part 2: Brand#2 size 30
+    // (size exceeds bracket 2's 25); part 3: Brand#3 size 35
+    Seq((1L, "Brand#1", 10), (2L, "Brand#2", 30), (3L, "Brand#3", 35))
+      .toDF("p_partkey", "p_brand", "p_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    // line A: part 1 qty 5 → bracket 1 fires (10.0); line B: part 1 qty
+    // 20 → quantity outside bracket 1 and brand outside brackets 2/3;
+    // line C: part 2 qty 15 → size kills bracket 2; line D: part 3 qty
+    // 40 → bracket 3 fires at BOTH upper edges (20.0)
+    Seq((1L, 5.0, 10.0, 0.0), (1L, 20.0, 999.0, 0.0),
+        (2L, 15.0, 999.0, 0.0), (3L, 40.0, 20.0, 0.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.bracketRevenue(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("n_lines"), r.getAs[Double]("revenue")))
+    assert(out.toSeq == Seq((2L, 30.0)), out.mkString(","))
+  }
+
   test("waitSuppliers: only the UNIQUE late supplier of a multi-supplier order counts, once per order") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("waitsupp").toFile.getAbsolutePath
