@@ -267,6 +267,86 @@ object Stats {
       |       CAST(CAST(sx AS DOUBLE) / 100 AS DOUBLE) AS total_rev
       |FROM agg ORDER BY 1""".stripMargin
 
+  /** Bucket count for [[decileGains]]. */
+  val GainsBuckets = 10
+
+  /** q_decile_gains: the cumulative-gains (lift) table — THE model/score
+    * evaluation readout: customers ranked best-first by lifetime revenue,
+    * split into [[GainsBuckets]] NTILE buckets, each bucket's exact
+    * revenue and the CUMULATIVE revenue share in ppm ("the top decile
+    * holds X% of the value"). The same table a curation run reads over
+    * quality scores to choose a selection cutoff.
+    *
+    * Scale shape: ranks come from the two-phase
+    * [[graft.plans.PrefixSum]] scaffold with value = 1 (the packScalable
+    * usage — a GLOBAL row number at full shuffle width; the naive form is
+    * `ntile(10) OVER (ORDER BY ...)`, an unpartitioned window over
+    * corpus-cardinality customers, the exact q_rfm scale-sin this suite
+    * rewrote away). The NTILE bucket is then derived from the rank in
+    * CLOSED FORM (first n%b buckets get ⌈n/b⌉ rows — pure integer
+    * arithmetic, exact on both engines without shared text), while the
+    * ORACLE uses DuckDB's native NTILE — two genuinely different
+    * derivations differentially checking each other. The only window is
+    * the cumulative sum over the ≤10-row decile rollup (bucket-count
+    * bounded by construction). Ranking is made a total order by the
+    * (−cents, custkey) tiebreak, which NTILE bucket COUNTS don't depend
+    * on but bucket CONTENTS do.
+    */
+  def decileGains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    // pinned under the retained-cache convention: the PrefixSum pass makes
+    // three jobs over this rollup and the (n, Σ) totals a fourth
+    val rev = customerRevenueCents(spark, dir)
+      .withColumn("neg", -col("cents")).withColumn("_g", lit(0))
+      .persist()
+    val ranked = graft.plans.PrefixSum.exclusiveRunningSum(
+        rev, lit(1L), Seq("_g"), Seq("neg", "c_custkey"), out = "rk0")
+      .withColumn("rk", col("rk0") + 1)
+    val tot = rev.agg(count(lit(1)).as("n"),
+                      sum(col("cents").cast(d38)).as("tot_cents"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(
+        s"""CASE WHEN rk <= (n % $GainsBuckets) * ((n div $GainsBuckets) + 1)
+           |THEN ((rk - 1) div ((n div $GainsBuckets) + 1)) + 1
+           |ELSE (n % $GainsBuckets) +
+           |     ((rk - 1 - (n % $GainsBuckets) * ((n div $GainsBuckets) + 1))
+           |       div (n div $GainsBuckets)) + 1 END""".stripMargin))
+      .groupBy(col("decile"), col("tot_cents"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents").cast(d38)).as("dc"))
+      .withColumn("cum", sum("dc").over(w))
+      .select(col("decile"), col("n_cust"),
+              (col("dc").cast("double") / 100).cast("double").as("decile_rev"),
+              when(col("tot_cents") === 0, lit(0L))
+                .otherwise(expr("(cum * 1000000) div tot_cents"))
+                .as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val decileGainsOracle: String =
+    s"""WITH rev AS (
+       |  SELECT c.c_custkey,
+       |         COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+       |                       AS BIGINT), 0) AS cents
+       |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS tot FROM rev),
+       |rk AS (SELECT cents,
+       |              NTILE($GainsBuckets) OVER (ORDER BY -cents, c_custkey) AS decile
+       |       FROM rev),
+       |d AS (SELECT decile, COUNT(*) AS n_cust,
+       |             CAST(SUM(cents) AS HUGEINT) AS dc
+       |      FROM rk GROUP BY 1),
+       |c AS (SELECT decile, n_cust, dc,
+       |             SUM(dc) OVER (ORDER BY decile) AS cum FROM d)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_cust,
+       |       CAST(CAST(dc AS DOUBLE) / 100 AS DOUBLE) AS decile_rev,
+       |       CAST(CASE WHEN tot = 0 THEN 0
+       |                 ELSE (cum * 1000000) // tot END AS BIGINT) AS cum_share_ppm
+       |FROM c CROSS JOIN t ORDER BY 1""".stripMargin
+
   /** The two populations compared by [[ksTest]] and [[mannWhitney]]:
     * returned (R) vs delivered-and-kept (N) line prices — the
     * did-returns-shift-the-price-distribution drift monitor. */

@@ -856,6 +856,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("decile gains: ranks are window-free; the ONLY window is the 10-row cumulative readout") {
+    val df = ops.Stats.decileGains(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the naive form is ntile() over an unpartitioned customer-cardinality
+    // window (the q_rfm scale-sin); ranks must ride the PrefixSum scaffold,
+    // leaving only the cumulative sum over ≤10 decile rows (the AQE plan
+    // string prints the same operator twice, so assert on the window's
+    // ordering column, not the textual count)
+    val specs = "windowspecdefinition\\(\\w+#".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("decile#")),
+           s"expected only the decile-rollup window, got $specs:\n$plan")
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ks test + mann whitney: rank machinery is window-free (PrefixSum over the counts relation)") {
     for (q <- Seq(ops.Stats.ksTest(spark, dir), ops.Stats.mannWhitney(spark, dir))) {
       q.collect()

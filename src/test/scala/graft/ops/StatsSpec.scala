@@ -222,6 +222,36 @@ class StatsSpec extends SparkSpec {
     assert(out(2) == ((1L, 0L, 0.0)), out.toString)
   }
 
+  test("decileGains: hand-computed exact gains table; n < buckets degenerates to one row per tile") {
+    import spark.implicits._
+    def run(custs: Seq[Long], orders: Seq[(Long, Double)]): Seq[(Long, Long, Double, Long)] = {
+      val tmp = Files.createTempDirectory("gains").toFile.getAbsolutePath
+      custs.map(c => (c, 0)).toDF("c_custkey", "c_nationkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+      orders.toDF("o_custkey", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val out = Stats.decileGains(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_cust"),
+                   r.getAs[Double]("decile_rev"), r.getAs[Long]("cum_share_ppm")))
+      spark.sharedState.cacheManager.clearCache()
+      out.toSeq
+    }
+    // 10 customers, revenues 0.10..0.01 → exactly one per decile, ranked
+    // best-first; cumulative ppm = floor(cum·10⁶/55) at every row and
+    // EXACTLY 10⁶ at the last
+    val ten = run((1L to 10L),
+                  (1L to 10L).map(c => (c, (11 - c).toDouble / 100)))
+    assert(ten == Seq(
+      (1L, 1L, 0.10, 181818L), (2L, 1L, 0.09, 345454L), (3L, 1L, 0.08, 490909L),
+      (4L, 1L, 0.07, 618181L), (5L, 1L, 0.06, 727272L), (6L, 1L, 0.05, 818181L),
+      (7L, 1L, 0.04, 890909L), (8L, 1L, 0.03, 945454L), (9L, 1L, 0.02, 981818L),
+      (10L, 1L, 0.01, 1000000L)), ten.mkString(","))
+    // n = 3 < buckets: NTILE semantics give each row its own tile 1..3
+    val three = run(Seq(1L, 2L, 3L), Seq((1L, 0.03), (2L, 0.02), (3L, 0.01)))
+    assert(three.map(t => (t._1, t._2)) == Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+           three.mkString(","))
+  }
+
   test("ksTest: hand-computed exact D on a tied merged support; other flags excluded") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("kstest").toFile.getAbsolutePath

@@ -33,6 +33,7 @@ BOUNDED = {
     "q_tokenize_ids": "vocabulary id assignment over the frequency-ranked vocab (vocab cardinality; production tokenizers cap the vocab)",
     "q_zipf_fit": "OLS fit over the top token ranks (rank-limited input)",
     "q_rolling_distinct": "running delta sum over the calendar-day spine (bounded by elapsed days, not data volume)",
+    "q_decile_gains": "cumulative share over the decile rollup (bucket-count bounded: <= 10 rows; the per-customer ranks themselves come from the window-free PrefixSum scaffold)",
 }
 
 
