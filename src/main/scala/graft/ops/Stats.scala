@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -119,8 +119,14 @@ object Stats {
     cell.join(broadcast(rowT), "returnflag")
       .join(broadcast(colT), "linestatus")
       .crossJoin(broadcast(tot))
-      .withColumn("dev", (col("n_obs") * col("n") - col("rt") * col("ct"))
-        .cast(DecimalType(38, 0)))
+      // widen BEFORE the multiply: O·N and R·C individually pass 2⁶³ near
+      // ~10⁹ fact rows (long math would wrap silently with ANSI off while
+      // the oracle's HUGEINT errors — divergent failure modes); in
+      // DECIMAL(38,0) both products and their difference stay exact to the
+      // same 38-digit ceiling the squared term already documents
+      .withColumn("dev",
+        col("n_obs").cast(DecimalType(38, 0)) * col("n") -
+        col("rt").cast(DecimalType(38, 0)) * col("ct"))
       .select(col("returnflag"), col("linestatus"), col("n_obs"),
               expr("(dev * dev * 1000000) div (CAST(rt AS DECIMAL(38,0)) * ct * n)")
                 .as("term_ppm"))
@@ -134,15 +140,18 @@ object Stats {
       |  FROM lineitem GROUP BY 1, 2),
       |r AS (SELECT returnflag, SUM(n_obs) AS rt FROM cell GROUP BY 1),
       |c AS (SELECT linestatus, SUM(n_obs) AS ct FROM cell GROUP BY 1),
-      |t AS (SELECT SUM(n_obs) AS n FROM cell)
-      |SELECT cell.returnflag, cell.linestatus, cell.n_obs,
-      |       CAST((CAST(cell.n_obs * t.n - r.rt * c.ct AS HUGEINT) *
-      |             CAST(cell.n_obs * t.n - r.rt * c.ct AS HUGEINT) * 1000000)
-      |            // CAST(r.rt * c.ct * t.n AS HUGEINT) AS BIGINT) AS term_ppm
-      |FROM cell
-      |JOIN r ON cell.returnflag = r.returnflag
-      |JOIN c ON cell.linestatus = c.linestatus
-      |CROSS JOIN t
+      |t AS (SELECT SUM(n_obs) AS n FROM cell),
+      |d AS (
+      |  SELECT cell.returnflag, cell.linestatus, cell.n_obs,
+      |         CAST(cell.n_obs AS HUGEINT) * t.n - CAST(r.rt AS HUGEINT) * c.ct AS dev,
+      |         CAST(r.rt AS HUGEINT) * c.ct * t.n AS den
+      |  FROM cell
+      |  JOIN r ON cell.returnflag = r.returnflag
+      |  JOIN c ON cell.linestatus = c.linestatus
+      |  CROSS JOIN t)
+      |SELECT returnflag, linestatus, n_obs,
+      |       CAST((dev * dev * 1000000) // den AS BIGINT) AS term_ppm
+      |FROM d
       |ORDER BY 1, 2""".stripMargin
 
   /** q_gini: per-nation Gini coefficient of customer lifetime revenue —
@@ -406,7 +415,16 @@ object Stats {
 
   /** The KS readout over an arbitrary (v, c1, c2) counts relation — shared
     * by the batch [[ksTest]] and the streaming face (which drains the same
-    * counts as its complete-mode aggregation). */
+    * counts as its complete-mode aggregation).
+    *
+    * The [[PackBase]] exactness ceiling is GUARDED, not just documented:
+    * a cumulative count reaching 2³¹ would carry into the packed c₁ field
+    * and corrupt both cumulatives silently — so the totals (which bound
+    * every cumulative) are asserted in-plan and the query FAILS with a
+    * named error past ~2·10⁹ rows per sample instead of emitting wrong
+    * values. The guard rides the 1-row totals aggregate (evaluated once,
+    * zero hot-path cost) and is a no-op below the ceiling.
+    */
   def ksOfCounts(counts: DataFrame): DataFrame = {
     // pinned under the retained-cache convention (see chi2): the PrefixSum
     // pass makes three jobs over its input (quantile probe, offsets,
@@ -418,7 +436,16 @@ object Stats {
       .withColumn("_inc", col("p") + col("c1") * lit(PackBase) + col("c2"))
       .withColumn("cc1", expr(s"_inc div ${PackBase}L"))
       .withColumn("cc2", col("_inc") % lit(PackBase))
+    // the ceiling guard: every cumulative is bounded by its total, so
+    // checking (n1, n2) once here covers every packed row downstream
+    def ceilGuard(c: Column, name: String): Column =
+      when(c >= lit(PackBase), raise_error(concat(
+        lit(s"ksOfCounts: $name >= 2^31 — packed (c1,c2) prefix sum would " +
+          "carry across fields; split the pass (see PackBase scaladoc): "),
+        c.cast("string")))).otherwise(c)
     val tot = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      .select(ceilGuard(col("n1"), "n1").as("n1"),
+              ceilGuard(col("n2"), "n2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
               abs(col("n2") * col("cc1") - col("n1") * col("cc2")).as("dev"))

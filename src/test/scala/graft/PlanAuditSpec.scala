@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // withClearCache (pinned-relation hygiene) comes from SparkSpec
+
   test("predicate pushdown: parquet scan carries PushedFilters") {
     val df = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 40 && col("l_partkey") === 7)
@@ -533,15 +535,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("kmeans: centroids broadcast into the final assignment, aggregation-form argmin, partial audit agg") {
-    val plan = planOf(ops.Similarity.kmeans(spark, dir))
-    // assignment is the max_by aggregation, never a window over N×C rows
-    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
-           s"assignment not map-side combined:\n$plan")
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
-           s"centroids not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
-    assert(!plan.contains("WindowExec"), s"window over scored rows:\n$plan")
-    spark.catalog.clearCache() // kmeans persists vecs + final centroids
+    withClearCache { // kmeans persists vecs + final centroids
+      val plan = planOf(ops.Similarity.kmeans(spark, dir))
+      // assignment is the max_by aggregation, never a window over N×C rows
+      assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+             s"assignment not map-side combined:\n$plan")
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+             s"centroids not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"all-pairs fallback:\n$plan")
+      assert(!plan.contains("WindowExec"), s"window over scored rows:\n$plan")
+    }
   }
 
   test("source overlap: hash-keyed self-join (no cartesian), distinct+count partial-aggregated") {
@@ -559,11 +562,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("incremental minhash: batch side broadcasts into the history-index probe") {
-    val plan = planOf(ops.Dedup.minhashIncremental(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"),
-           s"batch bands not broadcast into the index probe:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian in the probe:\n$plan")
-    spark.catalog.clearCache() // minhashIncremental pins band/candidate relations
+    withClearCache { // minhashIncremental pins band/candidate relations
+      val plan = planOf(ops.Dedup.minhashIncremental(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"),
+             s"batch bands not broadcast into the index probe:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in the probe:\n$plan")
+    }
   }
 
   test("embed decontamination: per-vector max is partial-aggregated, eval side broadcast") {
@@ -771,15 +775,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("chi2: totals re-aggregate the pinned cell relation — a single fact scan feeds all four branches") {
-    val df = ops.Stats.chi2(spark, dir)
-    df.collect() // materialize so InMemoryTableScan reuse is visible
-    val plan = planOf(df)
-    // the InMemoryRelation node re-PRINTS its provenance FileScan, so the
-    // textual scan count over-reports; the real assertion is that every
-    // totals branch reads the pinned cells, not parquet
-    val cached = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val df = ops.Stats.chi2(spark, dir)
+      df.collect() // materialize so InMemoryTableScan reuse is visible
+      val plan = planOf(df)
+      // the InMemoryRelation node re-PRINTS its provenance FileScan, so the
+      // textual scan count over-reports; the real assertion is that every
+      // totals branch reads the pinned cells, not parquet
+      val cached = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
+    }
   }
 
   test("gini: rank window partitions by nation (never a global sort); rollup partial-aggregated") {
@@ -857,42 +862,45 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("decile gains: ranks are window-free; the ONLY window is the 10-row cumulative readout") {
-    val df = ops.Stats.decileGains(spark, dir)
-    df.collect()
-    val plan = planOf(df)
-    // the naive form is ntile() over an unpartitioned customer-cardinality
-    // window (the q_rfm scale-sin); ranks must ride the PrefixSum scaffold,
-    // leaving only the cumulative sum over ≤10 decile rows (the AQE plan
-    // string prints the same operator twice, so assert on the window's
-    // ordering column, not the textual count)
-    val specs = "windowspecdefinition\\(\\w+#".r.findAllIn(plan).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("decile#")),
-           s"expected only the decile-rollup window, got $specs:\n$plan")
-    assert(plan.contains("partial_"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val df = ops.Stats.decileGains(spark, dir)
+      df.collect()
+      val plan = planOf(df)
+      // the naive form is ntile() over an unpartitioned customer-cardinality
+      // window (the q_rfm scale-sin); ranks must ride the PrefixSum scaffold,
+      // leaving only the cumulative sum over ≤10 decile rows (the AQE plan
+      // string prints the same operator twice, so assert on the window's
+      // ordering column, not the textual count)
+      val specs = "windowspecdefinition\\(\\w+#".r.findAllIn(plan).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains("decile#")),
+             s"expected only the decile-rollup window, got $specs:\n$plan")
+      assert(plan.contains("partial_"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
   }
 
   test("ks test + mann whitney: rank machinery is window-free (PrefixSum over the counts relation)") {
     for (q <- Seq(ops.Stats.ksTest(spark, dir), ops.Stats.mannWhitney(spark, dir))) {
-      q.collect()
-      val plan = planOf(q)
-      // the naive form is SUM() OVER (ORDER BY v) — an unpartitioned
-      // window over the merged support (millions of distinct cents at
-      // 100 TB); the scaffold must keep every pass window-free
-      assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
-      assert(!plan.contains("CartesianProduct"), plan)
-      spark.sharedState.cacheManager.clearCache()
+      withClearCache {
+        q.collect()
+        val plan = planOf(q)
+        // the naive form is SUM() OVER (ORDER BY v) — an unpartitioned
+        // window over the merged support (millions of distinct cents at
+        // 100 TB); the scaffold must keep every pass window-free
+        assert(!plan.contains("Window"), s"unexpected window operator:\n$plan")
+        assert(!plan.contains("CartesianProduct"), plan)
+      }
     }
   }
 
   test("cramers v: everything downstream of the single fact pass reads the pinned cell relation") {
-    val df = ops.Stats.cramersV(spark, dir)
-    df.collect()
-    val plan = planOf(df)
-    val cached = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val df = ops.Stats.cramersV(spark, dir)
+      df.collect()
+      val plan = planOf(df)
+      val cached = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(cached >= 3, s"expected ≥3 pinned-cell readers, saw $cached:\n$plan")
+    }
   }
 
   test("wait suppliers: the double-EXISTS collapses to two agg levels — no Expand, no fact self-join") {

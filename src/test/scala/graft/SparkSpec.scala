@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf0001 = "/root/testdata/sf0.001"
+
+  /** Pinned-relation hygiene (r10 advice): a test that materializes
+    * persisted relations must release them even when an assertion FAILS —
+    * a success-path-only clearCache leaks the pins into every later test
+    * in the suite, turning one red row into cascading cache-dependent
+    * flakes. Wrap the assertion body; the cache clears on both paths.
+    */
+  def withClearCache[A](body: => A): A =
+    try body finally spark.sharedState.cacheManager.clearCache()
 }
 
 object SparkSpec {

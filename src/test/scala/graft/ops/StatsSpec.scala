@@ -230,10 +230,11 @@ class StatsSpec extends SparkSpec {
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
       orders.toDF("o_custkey", "o_totalprice")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
-      val out = Stats.decileGains(spark, tmp).collect()
-        .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_cust"),
-                   r.getAs[Double]("decile_rev"), r.getAs[Long]("cum_share_ppm")))
-      spark.sharedState.cacheManager.clearCache()
+      val out = withClearCache {
+        Stats.decileGains(spark, tmp).collect()
+          .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_cust"),
+                     r.getAs[Double]("decile_rev"), r.getAs[Long]("cum_share_ppm")))
+      }
       out.toSeq
     }
     // 10 customers, revenues 0.10..0.01 → exactly one per decile, ranked
@@ -262,11 +263,12 @@ class StatsSpec extends SparkSpec {
         ("N", 2.00), ("N", 4.00), ("A", 9.99))
       .toDF("l_returnflag", "l_extendedprice")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val out = Stats.ksTest(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
-                 r.getAs[Long]("d_num"), r.getAs[Double]("ks_d")))
-    assert(out.toSeq == Seq((3L, 2L, 3L, 0.5)), out.mkString(","))
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val out = Stats.ksTest(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                   r.getAs[Long]("d_num"), r.getAs[Double]("ks_d")))
+      assert(out.toSeq == Seq((3L, 2L, 3L, 0.5)), out.mkString(","))
+    }
   }
 
   test("mannWhitney: midrank tie handling in doubled units matches the pairwise count") {
@@ -280,12 +282,13 @@ class StatsSpec extends SparkSpec {
         ("N", 2.00), ("N", 4.00), ("A", 9.99))
       .toDF("l_returnflag", "l_extendedprice")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val out = Stats.mannWhitney(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
-                 r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
-                 r.getAs[Double]("auc")))
-    assert(out.toSeq == Seq((3L, 2L, 15L, 3L, 0.25)), out.mkString(","))
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val out = Stats.mannWhitney(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                   r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
+                   r.getAs[Double]("auc")))
+      assert(out.toSeq == Seq((3L, 2L, 15L, 3L, 0.25)), out.mkString(","))
+    }
   }
 
   test("ksTest/mannWhitney degenerate inputs: empty → zero rows (like the oracle); one empty population → NULL statistic") {
@@ -298,24 +301,26 @@ class StatsSpec extends SparkSpec {
     }
     // only R rows: statistics undefined → NULL, counts still exact
     val oneSided = write(Seq(("R", 1.00), ("R", 2.00), ("A", 9.99)))
-    val ks = Stats.ksTest(spark, oneSided).collect()
-    assert(ks.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
-                        r.getAs[Long]("d_num"),
-                        Option(r.getAs[java.lang.Double]("ks_d")))).toSeq ==
-           Seq((2L, 0L, 0L, None)), ks.mkString(","))
-    val mw = Stats.mannWhitney(spark, oneSided).collect()
-    // r1_x2 degenerates to n1(n1+1); u1_x2 to 0
-    assert(mw.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
-                        r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
-                        Option(r.getAs[java.lang.Double]("auc")))).toSeq ==
-           Seq((2L, 0L, 6L, 0L, None)), mw.mkString(","))
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      val ks = Stats.ksTest(spark, oneSided).collect()
+      assert(ks.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                          r.getAs[Long]("d_num"),
+                          Option(r.getAs[java.lang.Double]("ks_d")))).toSeq ==
+             Seq((2L, 0L, 0L, None)), ks.mkString(","))
+      val mw = Stats.mannWhitney(spark, oneSided).collect()
+      // r1_x2 degenerates to n1(n1+1); u1_x2 to 0
+      assert(mw.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+                          r.getAs[Long]("r1_x2"), r.getAs[Long]("u1_x2"),
+                          Option(r.getAs[java.lang.Double]("auc")))).toSeq ==
+             Seq((2L, 0L, 6L, 0L, None)), mw.mkString(","))
+    }
     // NO qualifying rows at all: both emit ZERO rows, exactly like the
     // oracle's grouped form (a global agg would emit one all-null row)
     val empty = write(Seq(("A", 9.99)))
-    assert(Stats.ksTest(spark, empty).collect().isEmpty)
-    assert(Stats.mannWhitney(spark, empty).collect().isEmpty)
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      assert(Stats.ksTest(spark, empty).collect().isEmpty)
+      assert(Stats.mannWhitney(spark, empty).collect().isEmpty)
+    }
   }
 
   test("cramersV: symmetric 2×2 skew gives exactly 0.5; a single-column table guards to NULL") {
@@ -325,12 +330,12 @@ class StatsSpec extends SparkSpec {
       cells.flatMap { case (rf, ls, n) => Seq.fill(n)((rf, ls)) }
         .toDF("l_returnflag", "l_linestatus")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-      val r = Stats.cramersV(spark, tmp).collect().head
-      val v = (r.getAs[Long]("n"), r.getAs[Long]("df_min"),
-               r.getAs[Long]("chi2_ppm"),
-               Option(r.getAs[java.lang.Double]("cramers_v")).map(_.toDouble))
-      spark.sharedState.cacheManager.clearCache()
-      v
+      withClearCache {
+        val r = Stats.cramersV(spark, tmp).collect().head
+        (r.getAs[Long]("n"), r.getAs[Long]("df_min"),
+         r.getAs[Long]("chi2_ppm"),
+         Option(r.getAs[java.lang.Double]("cramers_v")).map(_.toDouble))
+      }
     }
     // the chi2 spec's symmetric skew: four terms of exactly 5·10⁶ ppm →
     // χ² = 20, N = 80, df_min = 1 → V = √(20/80) = 0.5 exactly

@@ -347,8 +347,9 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val streamed = StreamingQueries.streamKs(spark, dir, maxFilesPerTrigger = Some(1))
     val batch = graft.ops.Stats.ksTest(spark, dir)
-    assert(streamed.collect().toSeq == batch.collect().toSeq)
-    spark.sharedState.cacheManager.clearCache()
+    withClearCache {
+      assert(streamed.collect().toSeq == batch.collect().toSeq)
+    }
   }
 
   test("streaming session_window summary equals the batch lag-form summary") {
