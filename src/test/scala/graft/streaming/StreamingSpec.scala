@@ -357,4 +357,34 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.ops.Temporal.userSessions(spark, sf0001).head()
     assert(streamed == batch)
   }
+
+  test("complete-mode drains are value-domain bounded (never corpus-bounded)") {
+    // the KS and Benford faces drain their FULL aggregation support through
+    // a driver-resident memory sink; that shape is only scale-legitimate
+    // while the support cardinality is bounded by the VALUE DOMAIN, not the
+    // corpus. Lock both bounds (r10 verdict watch item): Benford at exactly
+    // ≤9 digit rows, KS at ≤ the observed price spread in cents + 1 — a
+    // bound that is corpus-size invariant because new rows revisit cents.
+    withClearCache {
+      StreamingQueries.streamBenford(spark, sf0001).collect()
+      val benfordSupport = spark.table("stream_benford").count()
+      assert(benfordSupport <= 9L,
+        s"Benford drain support $benfordSupport > 9 digit rows")
+
+      StreamingQueries.streamKs(spark, sf0001).collect()
+      val ksSupport = spark.table("stream_ks").count()
+      val Array(spread, distinctCents) = spark.read
+        .parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_returnflag").isin(
+          graft.ops.Stats.TwoSampleA, graft.ops.Stats.TwoSampleB))
+        .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .agg((max("v") - min("v") + 1).as("spread"),
+             count_distinct(col("v")).as("d"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(ksSupport == distinctCents,
+        s"KS drain support $ksSupport != batch distinct cents $distinctCents")
+      assert(ksSupport <= spread,
+        s"KS drain support $ksSupport exceeds the cents spread bound $spread")
+    }
+  }
 }
