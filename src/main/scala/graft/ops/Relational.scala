@@ -801,24 +801,28 @@ object Relational {
     * strength; the PMI shape of [[graft.ops.Corpus.pmiPairs]] on baskets
     * instead of token windows).
     *
-    * Scale shape: the pair generator is a self-join of the DISTINCT
-    * (orderkey, partkey) relation keyed on orderkey — fan-out bounded at
-    * lines-per-order² per order, never catalog²; pair counts collapse
-    * map-side; the leaderboard prunes to K rows (TakeOrderedAndProject)
-    * BEFORE the per-part support joins, so nothing catalog-sized shuffles
-    * after the two count aggregations; N rides a 1-row broadcast.
+    * Scale shape: the pair supports come off the STAGED co-purchase
+    * artifact ([[graft.ops.Graph.stageCopurchaseEdges]] — its `u < v`
+    * half IS the pair-count relation; build-once/consume-many, with
+    * [[graft.ops.Graph.pageRank]] keeping the live pair build timed per
+    * the StagedArtifactsSpec twin policy). The per-part supports and the
+    * basket count still need the (orderkey, partkey) relation (singleton
+    * orders never reach the pair relation) — one scan, two map-side
+    * combined counts, no self-join. The leaderboard prunes to K rows
+    * (TakeOrderedAndProject) BEFORE the per-part support joins, so nothing
+    * catalog-sized shuffles after the count aggregations; N rides a 1-row
+    * broadcast.
     */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     val k = BasketTopK
+    val cab = spark.table(Graph.stageCopurchaseEdges(spark, dir))
+      .filter(col("u") < col("v"))
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("w").as("c_ab"))
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
       .persist()
-    items.count() // feeds both self-join sides + the support counts
-    val cab = items.as("a").join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
-      .agg(count(lit(1)).as("c_ab"))
+    items.count() // feeds the per-part supports + the basket count
     val ca = items.groupBy(col("part")).agg(count(lit(1)).as("c"))
     val n = items.select("okey").distinct().agg(count(lit(1)).cast("double").as("n"))
     val top = cab.orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(k)

@@ -31,15 +31,17 @@ class StagedArtifactsSpec extends SparkSpec {
     * are never warmup-staged performance artifacts.
     */
   private val policy: Map[String, (Seq[String], Seq[String])] = Map(
-    "stageBucketedTables" -> ((Seq("q_bucketed_join"), Seq("q_sales_daily"))),
-    "stageIvfIndex"       -> ((Seq("q_knn_ivf_staged"), Seq("q_knn_ivf"))),
-    "stageKmeansCells"    -> ((Seq("q_cluster_mix", "q_cluster_sample"), Seq("q_kmeans"))),
-    "stageZip"            -> ((Seq("q_zip_ingest"), Seq.empty)))
+    "stageBucketedTables"  -> ((Seq("q_bucketed_join"), Seq("q_sales_daily"))),
+    "stageIvfIndex"        -> ((Seq("q_knn_ivf_staged"), Seq("q_knn_ivf"))),
+    "stageKmeansCells"     -> ((Seq("q_cluster_mix", "q_cluster_sample"), Seq("q_kmeans"))),
+    "stageCopurchaseEdges" -> ((Seq("q_pagerank_staged", "q_bfs_hops", "q_basket_pairs"),
+                                Seq("q_pagerank"))),
+    "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)))
 
   test("every stage* function in ops is declared in the staged-artifact policy") {
     val objs = Seq(ops.Relational, ops.Similarity, ops.Ingestion, ops.Dedup,
       ops.Curation, ops.Corpus, ops.TextAnalysis, ops.Temporal, ops.Multimodal,
-      ops.SeqPack, ops.Skew)
+      ops.SeqPack, ops.Skew, ops.Graph, ops.Stats, ops.Layout)
     val found = objs.flatMap(_.getClass.getDeclaredMethods.toSeq.map(_.getName))
       .filter(n => n.startsWith("stage") && !n.contains("$")).toSet
     assert(found == policy.keySet,
@@ -87,6 +89,39 @@ class StagedArtifactsSpec extends SparkSpec {
     val live = ops.Similarity.knnIvf(spark, dir).collect().toSeq
     val staged = ops.Similarity.knnIvfStaged(spark, dir).collect().toSeq
     assert(staged == live, "knnIvfStaged result differs from the live knnIvf")
+  }
+
+  test("co-purchase edges: staged PageRank is bit-identical to live and shares its oracle") {
+    assert(SparkEntry.oracleSql("q_pagerank") == SparkEntry.oracleSql("q_pagerank_staged"),
+      "the staged PageRank must be held to the live query's oracle")
+    withClearCache {
+      val live = ops.Graph.pageRank(spark, dir).collect().toSeq
+      val staged = ops.Graph.pageRankStaged(spark, dir).collect().toSeq
+      assert(staged == live, "pageRankStaged result differs from the live pageRank")
+    }
+  }
+
+  test("co-purchase edges: consumers read the staged bucketed table") {
+    val t = ops.Graph.copurchaseTable(dir)
+    ops.Graph.stageCopurchaseEdges(spark, dir)
+    // basketPairs' pair supports must come off the artifact, not a self-join
+    val bp = ops.Relational.basketPairs(spark, dir)
+    assert(bp.queryExecution.optimizedPlan.toString.contains(t),
+      s"basketPairs should read table $t")
+    withClearCache { bp.collect() }
+    // the artifact itself must be the doubled weighted graph with a
+    // consistent degree column (s = Σw per source, constant per u)
+    val eds = spark.table(t)
+    val badDeg = eds.groupBy("u")
+      .agg(sum("w").as("ws"), min("s").as("lo"), max("s").as("hi"))
+      .filter(col("ws") =!= col("lo") || col("lo") =!= col("hi"))
+      .count()
+    assert(badDeg == 0L, s"$badDeg nodes with inconsistent staged degree")
+    // undirected: every edge appears in both directions with equal weight
+    val asym = eds.select(col("u"), col("v"), col("w"))
+      .except(eds.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .count()
+    assert(asym == 0L, s"$asym asymmetric edges in the staged graph")
   }
 
   test("bucketed join: staged layout is a pure materialization of the plain join") {

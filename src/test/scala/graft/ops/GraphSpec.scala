@@ -70,13 +70,19 @@ class GraphSpec extends SparkSpec {
         (13L, 4L), (13L, 5L), (14L, 8L), (14L, 9L))
       .toDF("l_orderkey", "l_partkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val out = Graph.bfsHops(spark, tmp).collect()
-      .map(r => r.getAs[Long]("hop") ->
-        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_node"),
-          r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))).toMap
-    assert(out == Map(
-      0L -> ((1L, 2L, 2L, 2L)), 1L -> ((2L, 4L, 1L, 3L)),
-      2L -> ((1L, 4L, 4L, 4L)), 3L -> ((1L, 5L, 5L, 5L))), out.toString)
+    try {
+      val out = Graph.bfsHops(spark, tmp).collect()
+        .map(r => r.getAs[Long]("hop") ->
+          ((r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_node"),
+            r.getAs[Long]("min_node"), r.getAs[Long]("max_node")))).toMap
+      assert(out == Map(
+        0L -> ((1L, 2L, 2L, 2L)), 1L -> ((2L, 4L, 1L, 3L)),
+        2L -> ((1L, 4L, 4L, 4L)), 3L -> ((1L, 5L, 5L, 5L))), out.toString)
+    } finally {
+      // bfsHops consumes the staged edge artifact; tmp-dir-named tables
+      // would otherwise accumulate in the test warehouse across runs
+      spark.sql(s"DROP TABLE IF EXISTS ${Graph.copurchaseTable(tmp)}")
+    }
   }
 
   test("bfsHops: fixture levels — single source, bounded hops, conserved stats, reproducible") {

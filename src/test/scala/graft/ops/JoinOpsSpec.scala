@@ -164,13 +164,19 @@ class JoinOpsSpec extends SparkSpec {
       .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_suppkey",
             "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val out = Relational.basketPairs(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
-    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
-    assert(out((1L, 2L)).getAs[Long]("c_ab") == 2) // duplicate line counted once
-    assert(out((1L, 2L)).getAs[Double]("lift") == 2.0 * 4 / 9)
-    assert(out((1L, 3L)).getAs[Long]("c_ab") == 1)
-    assert(out((1L, 3L)).getAs[Double]("lift") == 4.0 / 3)
+    try {
+      val out = Relational.basketPairs(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r).toMap
+      assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+      assert(out((1L, 2L)).getAs[Long]("c_ab") == 2) // duplicate line counted once
+      assert(out((1L, 2L)).getAs[Double]("lift") == 2.0 * 4 / 9)
+      assert(out((1L, 3L)).getAs[Long]("c_ab") == 1)
+      assert(out((1L, 3L)).getAs[Double]("lift") == 4.0 / 3)
+    } finally {
+      // basketPairs consumes the staged edge artifact; tmp-dir-named tables
+      // would otherwise accumulate in the test warehouse across runs
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.ops.Graph.copurchaseTable(tmp)}")
+    }
   }
 
   test("basketTriples: lifetime customer baskets union across orders; only support-2 triple survives") {
