@@ -1831,14 +1831,19 @@ object Similarity {
   }
 
   /** ANN-path projection width and coarse shortlist for [[knnRp]]. Chosen
-    * on the fixture's recall surface (measured at sf0.01, truth = exact
-    * top-5): 16 planes / shortlist 25 → 0.30, 32/50 → 0.66, 32/100 →
-    * 0.80 — the synthetic embeddings have weak cosine structure, so the
-    * training-free path needs width; PQ/SQ (trained on the data) sit at
-    * 0.96+. The honest trade is documented in [[knnRp]].
+    * on the fixture's recall surface (truth = exact top-5; measured by
+    * `graft.tools.RpSweep` at BOTH fixture scales — the r10 32/100 point
+    * sat at 0.80): at sf0.1, 32/200 → 0.74, 48/200 → 0.87, 48/250 → 0.91,
+    * 48/300 → 0.94 (sf0.01: 1.00); 64+ planes would score higher still but
+    * stop being a compressed domain at all on 64-d embeddings (the coarse
+    * scan would cost brute force). 48/300 keeps the projection 25% narrower
+    * than full width, the shortlist a per-query constant (corpus-invariant
+    * re-rank cost), and recall ≥0.90 at both scales with headroom —
+    * training-free, so the right trade when the corpus distribution drifts
+    * daily; PQ/SQ (trained on the data) sit at 0.96+.
     */
-  val KnnRpDim = 32
-  val RpShortlist = 100
+  val KnnRpDim = 48
+  val RpShortlist = 300
 
   /** q_knn_rp: coarse-to-fine ANN through the random projection — score
     * every corpus vector against each query in the [[KnnRpDim]]-d PROJECTED
@@ -1855,9 +1860,10 @@ object Similarity {
     * (WindowGroupLimit) per query; the exact stage touches only Q×shortlist
     * rows joined back to full vectors.
     */
-  def knnRp(spark: SparkSession, dir: String): DataFrame = {
+  def knnRp(spark: SparkSession, dir: String,
+            planes: Int = KnnRpDim, shortlist: Int = RpShortlist): DataFrame = {
     val vecs = vectors(spark, dir)
-      .withColumn("pv", rpProject(col("v"), KnnRpDim))
+      .withColumn("pv", rpProject(col("v"), planes))
       .withColumn("np", norm(col("pv")))
       .persist()
     vecs.count() // feeds the coarse scan AND the re-rank join
@@ -1868,10 +1874,10 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               pairSim(col("qp"), col("pv"), col("nqp"), col("np")).as("psim"))
     val ws = Window.partitionBy("query_id").orderBy(col("psim").desc, col("neighbor_id"))
-    val shortlist = coarse.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= RpShortlist)
+    val sl = coarse.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
-    val exact = shortlist
+    val exact = sl
       .join(vecs.select(col("vec_id").as("neighbor_id"),
                         col("v").as("cv"), col("nv").as("nc")), "neighbor_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"), col("nq"))), "query_id")
@@ -1907,9 +1913,11 @@ object Similarity {
   /** q_knn_rp_recall: [[knnRp]] vs brute-force ground truth — recall@k for
     * the training-free compressed-domain path ([[knnSqRecall]] discipline).
     */
-  def knnRpRecall(spark: SparkSession, dir: String): DataFrame = {
+  def knnRpRecall(spark: SparkSession, dir: String,
+                  planes: Int = KnnRpDim, shortlist: Int = RpShortlist): DataFrame = {
     val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    val rp = knnRp(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
+    val rp = knnRp(spark, dir, planes, shortlist)
+      .select(col("query_id"), col("neighbor_id")).persist()
     bf.count(); rp.count()
     val hits = bf.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy().agg(count(lit(1)).as("n_hits"))
