@@ -485,6 +485,134 @@ object StreamingQueries {
     graft.ops.Stats.ksOfCounts(spark.table(name))
   }
 
+  /** Planted-late-row modulus for [[streamLate]]: `event_id % LateMod == 0`
+    * rows are held back to the SECOND micro-batch, arriving after the
+    * watermark has passed every real window — the oracle's on-time
+    * predicate is `event_id % LateMod <> 0`, shared text.
+    */
+  val LateMod = 11L
+
+  /** Horizon advance (days past the fixture's max event time) for
+    * [[streamLate]]'s watermark-driver row: one synthetic `__horizon` row
+    * in the FIRST batch pushes the watermark past every real window before
+    * the late batch arrives; its own window never finalizes, so it never
+    * reaches the output.
+    */
+  private val LateHorizonDays = 40
+
+  /** Four-file staged input for [[streamLate]] — the input-fixture class
+    * of staging (the stageZip discipline: synthesizes the INPUT the query
+    * ingests, runs inside the consumer, never a warmup performance
+    * artifact). File b0 = the on-time rows; b1 = ONE far-future horizon
+    * "clock tick" row; b2 = a ZERO-ROW spacer; b3 = the planted late
+    * subset; modification times 60 s apart so the file source's
+    * oldest-first ordering is unambiguous.
+    *
+    * Why the tick needs a batch of its own AND a spacer after it: since
+    * Spark 3.4 a stateful operator filters late input with the watermark
+    * of the PREVIOUS micro-batch and evicts state with the CURRENT one
+    * (the two-version rule that keeps chained stateful operators
+    * lossless), and the "previous" value itself lags the tick by one more
+    * batch — batch N's filter watermark is the value current DURING batch
+    * N−1, which was computed from batch N−2's data. Measured on the
+    * fixture's 91 planted rows: late-after-bulk MERGED all 91 into the
+    * still-open windows (wrong output); late directly after the tick still
+    * merged the last day's rows (its window was ahead of the bulk-derived
+    * filter watermark, and eviction ran in the same batch). With the
+    * spacer, every on-time window is evicted and emitted in the spacer
+    * batch, and the late batch excludes all 91 (73 at the pre-shuffle
+    * filter, the rest at the state operator, both below the horizon
+    * watermark) — drained output equals the on-time aggregation exactly.
+    */
+  private[graft] def lateEventsInput(spark: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val outDir = new java.io.File(s"target/tmp/late_$safe")
+    val f0 = new java.io.File(outDir, "b0_ontime.parquet")
+    val f1 = new java.io.File(outDir, "b1_horizon.parquet")
+    val f2 = new java.io.File(outDir, "b2_spacer.parquet")
+    val f3 = new java.io.File(outDir, "b3_late.parquet")
+    if (!(f0.exists() && f1.exists() && f2.exists() && f3.exists())) {
+      outDir.mkdirs()
+      val ev = graft.Tables.events(spark, dir)
+      val horizon = ev.agg(max("ts").as("m"))
+        .select(lit(-1L).as("event_id"),
+                (col("m") + expr(s"INTERVAL $LateHorizonDays DAYS")).as("ts"),
+                lit(-1L).as("user_id"), lit("__horizon").as("event_type"),
+                lit(0.0).as("value"), lit("").as("props"))
+      def writeOne(df: DataFrame, target: java.io.File, mod: Long): Unit = {
+        val tmp = new java.io.File(outDir, s"_tmp_${target.getName}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        target.setLastModified(mod)
+      }
+      val t = System.currentTimeMillis()
+      writeOne(ev.filter(col("event_id") % LateMod =!= 0), f0, t - 180000L)
+      writeOne(horizon, f1, t - 120000L)
+      writeOne(ev.limit(0), f2, t - 60000L)
+      writeOne(ev.filter(col("event_id") % LateMod === 0), f3, t)
+    }
+    outDir.getAbsolutePath
+  }
+
+  /** q_stream_late: the watermark/late-data exemplar — an event-time daily
+    * window aggregation in APPEND mode whose watermark PROVABLY drops a
+    * planted late subset (the one §2.7 streaming face the suite had not
+    * exercised; every other streaming query deliberately avoids watermarks
+    * via complete mode, the arrival-order nondeterminism documented on
+    * [[streamEventsHourly]]).
+    *
+    * Determinism is engineered, not assumed: the input is a staged
+    * FOUR-FILE source consumed with `maxFilesPerTrigger=1`, so arrival
+    * order is part of the query definition. Batch 0 carries the on-time
+    * rows; batch 1 carries one far-future horizon "clock tick" whose
+    * watermark (horizon − 1 h) exceeds every real window's end; batch 2 is
+    * a zero-row spacer that lets the tick's watermark become the FILTER
+    * watermark (the lagged two-version rule, see [[lateEventsInput]]);
+    * batch 3 carries the late subset, which the engine drops wholesale
+    * while finalizing and emitting exactly the on-time windows. The horizon row's own window never finalizes and
+    * never appears. The drained table therefore equals the batch
+    * aggregation over the on-time subset — the oracle, in shared predicate
+    * text.
+    *
+    * Driver-residency bound (the complete-drain convention): the append
+    * sink accumulates only FINALIZED (day × event_type) windows —
+    * value-domain bounded, never corpus-bounded.
+    */
+  def streamLate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_late"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val in = lateEventsInput(spark, dir)
+    val schema = spark.read.parquet(s"$in/b0_ontime.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // late file arrives AFTER the watermark moved
+      .parquet(s"$in/*.parquet")
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+              col("n_events"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day", "event_type")
+  }
+
+  /** Oracle for [[streamLate]]: the batch aggregation over the on-time
+    * subset — the late predicate in shared text with the staging split.
+    */
+  val streamLateOracle: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |       COUNT(*) AS n_events
+       |FROM events
+       |WHERE event_id % $LateMod <> 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q_stream_markov: the Markov transition matrix as a stream — the
     * sequence-analytics face of the stateful family: `mapGroupsWithState`
     * keyed by user carries each user's full (ts, event_id, type) history,

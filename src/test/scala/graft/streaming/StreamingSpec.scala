@@ -358,6 +358,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark late-data exemplar: planted late subset provably dropped, on-time windows exact") {
+    val streamed = StreamingQueries.streamLate(spark, sf0001).collect().toSeq
+    def batchAgg(onTimeOnly: Boolean) = {
+      val ev = graft.Tables.events(spark, sf0001)
+      (if (onTimeOnly) ev.filter(col("event_id") % StreamingQueries.LateMod =!= 0)
+       else ev)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("day", "event_type")
+        .collect().toSeq
+    }
+    // non-vacuous: the planted late subset must exist and change the counts
+    val late = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % StreamingQueries.LateMod === 0).count()
+    assert(late > 0, "fixture has no planted late rows — the exemplar is vacuous")
+    assert(batchAgg(onTimeOnly = false) != batchAgg(onTimeOnly = true),
+      "late rows do not change the aggregation — the drop would be unobservable")
+    // deterministic: drained result == batch over the on-time subset, twice
+    assert(streamed == batchAgg(onTimeOnly = true),
+      "watermark did not drop exactly the planted late subset")
+    val again = StreamingQueries.streamLate(spark, sf0001).collect().toSeq
+    assert(again == streamed, "late-drop result not deterministic across runs")
+    // the horizon watermark-driver row must never surface
+    assert(!streamed.exists(_.getAs[String]("event_type") == "__horizon"))
+  }
+
   test("complete-mode drains are value-domain bounded (never corpus-bounded)") {
     // the KS and Benford faces drain their FULL aggregation support through
     // a driver-resident memory sink; that shape is only scale-legitimate
