@@ -814,25 +814,65 @@ object Similarity {
        |       unnest(vcur) AS loading
        |FROM v_$PcaIters ORDER BY idx""".stripMargin
 
-  /** q_knn_recall: self-measured ANN quality — IVF results joined against
-    * the brute-force ground truth, recall@k per corpus. Both inputs are
-    * deterministic, so even the quality metric is oracle-checkable.
+  // --- staged ground-truth artifact ------------------------------------------
+
+  /** Warehouse table name for the staged exact-kNN ground truth of `dir`
+    * (the top-k depth and query stride are part of the on-disk contract,
+    * so part of the name).
     */
-  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: each side feeds two consumers (semi-join + totals); the
-    // results are Q×k id pairs, but their lineage is the full O(N×Q)
-    // brute-force / IVF pipeline — recomputing THAT is what made this
-    // query 10× its parts before the persist. MATERIALIZED eagerly
-    // (count) before composing: inside one final action, the two
-    // consumers' subtrees race to compute the not-yet-cached plan
-    // CONCURRENTLY, duplicating the full pipeline under core contention
-    // (observed 5 s → 24 s run-to-run flapping in the suite); the two
-    // tiny extra jobs pin the cache first, so the final action only reads
-    // Q×k cached rows
-    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    val ivf = knnIvf(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    bf.count(); ivf.count()
-    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+  def knnTruthTable(dir: String): String =
+    s"knn_truth${TopK}q$QueryStride" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Stage the exact brute-force top-[[TopK]] as a WRITE-ONCE artifact —
+    * the ground-truth relation every ANN recall audit compares against.
+    * Before staging, each of the four recall queries recomputed the
+    * O(N×Q) brute-force scan just to rebuild this Q×k-row relation (the
+    * r10 verdict's ANN-flap class: that recompute dominated the sub-3 s
+    * recall queries' time AND allocation churn). The live scan stays
+    * TIMED as q_knn_bruteforce (StagedArtifactsSpec twin policy), and the
+    * artifact is a pure materialization — (bigint, bigint, int, double)
+    * survives the parquet roundtrip bit-exactly, so every consumer rides
+    * its original oracle. Same crash-recovery contract as the other
+    * staged tables.
+    */
+  def stageKnnTruth(spark: SparkSession, dir: String): String = {
+    val t = knnTruthTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        spark.sql(
+          s"""CREATE TABLE $t (query_id BIGINT, neighbor_id BIGINT,
+             |rank INT, sim DOUBLE) USING PARQUET LOCATION '$loc'""".stripMargin)
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        knnBruteForce(spark, dir).write.mode("overwrite").saveAsTable(t)
+      }
+    }
+    t
+  }
+
+  /** Shared recall@k audit: `approx` vs the STAGED ground truth — one
+    * definition for all four recall queries so the metric cannot drift
+    * between them.
+    *
+    * Both sides are persisted AND materialized eagerly (count) before
+    * composing: each feeds two consumers (semi-join + totals), and inside
+    * one final action the two consumers' subtrees race to compute a
+    * not-yet-cached plan CONCURRENTLY, duplicating the approximate
+    * pipeline under core contention (observed 5 s → 24 s run-to-run
+    * flapping before the pin); the two tiny extra jobs pin the caches
+    * first, so the final action only reads Q×k cached rows.
+    */
+  private def recallVsTruth(spark: SparkSession, dir: String,
+                            approx: DataFrame): DataFrame = {
+    val bf = spark.table(stageKnnTruth(spark, dir))
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val ap = approx.select(col("query_id"), col("neighbor_id")).persist()
+    bf.count(); ap.count()
+    val hits = bf.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy().agg(count(lit(1)).as("n_hits"))
     val truth = bf.groupBy().agg(
       count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
@@ -840,6 +880,14 @@ object Similarity {
       .select(col("n_queries"), col("n_truth"), col("n_hits"),
               (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
   }
+
+  /** q_knn_recall: self-measured ANN quality — IVF results joined against
+    * the brute-force ground truth (STAGED — see [[stageKnnTruth]]),
+    * recall@k per corpus. Both inputs are deterministic, so even the
+    * quality metric is oracle-checkable.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsTruth(spark, dir, knnIvf(spark, dir))
 
   val knnRecallOracle: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
@@ -1160,20 +1208,11 @@ object Similarity {
   }
 
   /** q_knn_pq_recall: PQ quality audit — recall@k of the PQ pipeline
-    * against the brute-force ground truth, same shape as [[knnRecall]].
+    * against the STAGED brute-force ground truth, same shape as
+    * [[knnRecall]].
     */
-  def knnPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    val pq = knnPq(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    bf.count(); pq.count() // pin caches before the multi-consumer composition (see knnRecall)
-    val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy().agg(count(lit(1)).as("n_hits"))
-    val truth = bf.groupBy().agg(
-      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
-    truth.crossJoin(hits)
-      .select(col("n_queries"), col("n_truth"), col("n_hits"),
-              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
-  }
+  def knnPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsTruth(spark, dir, knnPq(spark, dir))
 
   val knnPqRecallOracle: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),
@@ -1433,22 +1472,10 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   /** q_knn_sq_recall: SQ quality audit — [[knnSq]] joined against the
-    * [[knnBruteForce]] ground truth, recall@k. Same persist-then-
-    * materialize discipline as [[knnRecall]] (both sides' lineage is a full
-    * O(N×Q) scan; racing consumers would recompute it concurrently).
+    * STAGED brute-force ground truth, recall@k ([[recallVsTruth]]).
     */
-  def knnSqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    val sq = knnSq(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    bf.count(); sq.count()
-    val hits = bf.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy().agg(count(lit(1)).as("n_hits"))
-    val truth = bf.groupBy().agg(
-      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
-    truth.crossJoin(hits)
-      .select(col("n_queries"), col("n_truth"), col("n_hits"),
-              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
-  }
+  def knnSqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsTruth(spark, dir, knnSq(spark, dir))
 
   /** q_embed_outliers: per-label centroid-distance audit — the standard
     * "find mislabeled / contaminated vectors" curation pass: each label's
@@ -1914,19 +1941,8 @@ object Similarity {
     * the training-free compressed-domain path ([[knnSqRecall]] discipline).
     */
   def knnRpRecall(spark: SparkSession, dir: String,
-                  planes: Int = KnnRpDim, shortlist: Int = RpShortlist): DataFrame = {
-    val bf = knnBruteForce(spark, dir).select(col("query_id"), col("neighbor_id")).persist()
-    val rp = knnRp(spark, dir, planes, shortlist)
-      .select(col("query_id"), col("neighbor_id")).persist()
-    bf.count(); rp.count()
-    val hits = bf.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy().agg(count(lit(1)).as("n_hits"))
-    val truth = bf.groupBy().agg(
-      count(lit(1)).as("n_truth"), countDistinct("query_id").as("n_queries"))
-    truth.crossJoin(hits)
-      .select(col("n_queries"), col("n_truth"), col("n_hits"),
-              (col("n_hits").cast("double") / col("n_truth")).as("recall_at_k"))
-  }
+                  planes: Int = KnnRpDim, shortlist: Int = RpShortlist): DataFrame =
+    recallVsTruth(spark, dir, knnRp(spark, dir, planes, shortlist))
 
   val knnRpRecallOracle: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceOracle) t),

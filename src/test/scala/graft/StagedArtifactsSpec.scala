@@ -36,6 +36,8 @@ class StagedArtifactsSpec extends SparkSpec {
     "stageKmeansCells"     -> ((Seq("q_cluster_mix", "q_cluster_sample"), Seq("q_kmeans"))),
     "stageCopurchaseEdges" -> ((Seq("q_pagerank_staged", "q_bfs_hops", "q_basket_pairs"),
                                 Seq("q_pagerank"))),
+    "stageKnnTruth"        -> ((Seq("q_knn_recall", "q_knn_pq_recall", "q_knn_sq_recall",
+                                    "q_knn_rp_recall"), Seq("q_knn_bruteforce"))),
     "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)))
 
   test("every stage* function in ops is declared in the staged-artifact policy") {
@@ -122,6 +124,21 @@ class StagedArtifactsSpec extends SparkSpec {
       .except(eds.select(col("v").as("u"), col("u").as("v"), col("w")))
       .count()
     assert(asym == 0L, s"$asym asymmetric edges in the staged graph")
+  }
+
+  test("knn truth: staged ground truth is bit-identical to the live brute force") {
+    withClearCache {
+      val live = ops.Similarity.knnBruteForce(spark, dir).collect().toSeq
+      ops.Similarity.stageKnnTruth(spark, dir)
+      val staged = spark.table(ops.Similarity.knnTruthTable(dir))
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(staged == live, "staged kNN truth differs from the live brute force")
+      // and the recall audits read the table, not a recomputed scan
+      val rc = ops.Similarity.knnRecall(spark, dir)
+      assert(rc.queryExecution.optimizedPlan.toString
+               .contains(ops.Similarity.knnTruthTable(dir)),
+        "knnRecall should read the staged truth table")
+    }
   }
 
   test("bucketed join: staged layout is a pure materialization of the plain join") {
