@@ -495,11 +495,17 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-  /** The fully-lazy candidate plan (no pins, rank pass re-executes per
-    * join side) — the plan-audit surface mirroring what
-    * [[jaccardPrefixCandidates]] materializes.
+  /** The fully-lazy candidate plan — identical candidate set to
+    * [[jaccardPrefixCandidates]] with NO persists: no pin outlives the
+    * call, the rank pass re-executes per join side, and every consumer
+    * pays its own recompute. PUBLIC (r10 advice follow-through, symmetric
+    * with the scoped prefix-index pin): library consumers that fold the
+    * candidates into a single action, or that manage caching themselves,
+    * opt out of the retained `cand` pin the eager variant holds under the
+    * harness's per-query clearCache convention. Also the plan-audit
+    * surface mirroring what the eager variant materializes.
     */
-  private[graft] def jaccardPrefixCandidatesLazy(sh: DataFrame, t: Double): DataFrame =
+  def jaccardPrefixCandidatesLazy(sh: DataFrame, t: Double): DataFrame =
     jaccardPrefixSelfJoin(jaccardPrefixIndex(sh, t), t)
 
   /** Threshold for the prefix-filtered operator: the dedup-typical 0.8,
