@@ -42,7 +42,8 @@ object Plans {
     "q_embed_drift", "q_quality_drift", "q_ab_lift", "q_rfm",
     "q_basket_pairs", "q_zipf_fit",
     "q_sales_grouping_sets", "q_dq_checks", "q_epoch_shuffle",
-    "q_zorder_layout", "q_pagerank", "q_join_size_sketch", "q_skyline",
+    "q_zorder_layout", "q_pagerank", "q_pagerank_staged", "q_join_size_sketch",
+    "q_skyline",
     "q_fuzzy_match", "q_audio_energy",
     "q_triangles", "q_markov_next", "q_mad_outliers", "q_bm25_topk",
     "q_rrf_fusion", "q_knn_hubness", "q_dedup_canonical", "q_dedup_containment",
@@ -278,6 +279,14 @@ object Plans {
        "generation; each power iteration executed eagerly at construction " +
        "under the generational persist discipline (edges built once with " +
        "degrees, ranks shuffle, edges stay put — see Graph.pageRank)."),
+    "q_pagerank_staged" ->
+      ("same bit-identical iterations as q_pagerank, served off the " +
+       "write-once bucketed copurchase_edges artifact: the edge relation " +
+       "is one staged table read persisted across iterations, the degree " +
+       "relation re-derives zero-exchange off the bucketed layout, and " +
+       "the dimension-bounded rank relation BROADCASTS into each " +
+       "iteration's join — edges never shuffle at any scale. The visible " +
+       "plan is the final leaderboard join."),
     "q_triangles" ->
       ("prune-before-fan-out: the hub top-k and its broadcast semi-join " +
        "shrink the lineitem relation BEFORE the quadratic per-order pair " +
