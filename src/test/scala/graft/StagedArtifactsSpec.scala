@@ -34,10 +34,11 @@ class StagedArtifactsSpec extends SparkSpec {
     "stageBucketedTables"  -> ((Seq("q_bucketed_join"), Seq("q_sales_daily"))),
     "stageIvfIndex"        -> ((Seq("q_knn_ivf_staged"), Seq("q_knn_ivf"))),
     "stageKmeansCells"     -> ((Seq("q_cluster_mix", "q_cluster_sample"), Seq("q_kmeans"))),
-    "stageCopurchaseEdges" -> ((Seq("q_pagerank_staged", "q_bfs_hops", "q_basket_pairs"),
-                                Seq("q_pagerank"))),
+    "stageCopurchaseEdges" -> ((Seq("q_pagerank_staged", "q_bfs_hops", "q_basket_pairs",
+                                    "q_triangles"), Seq("q_pagerank"))),
     "stageKnnTruth"        -> ((Seq("q_knn_recall", "q_knn_pq_recall", "q_knn_sq_recall",
                                     "q_knn_rp_recall"), Seq("q_knn_bruteforce"))),
+    "stageCustomerBaskets" -> ((Seq("q_basket_triples"), Seq("q_recs_itemcf"))),
     "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)))
 
   test("every stage* function in ops is declared in the staged-artifact policy") {
@@ -124,6 +125,26 @@ class StagedArtifactsSpec extends SparkSpec {
       .except(eds.select(col("v").as("u"), col("u").as("v"), col("w")))
       .count()
     assert(asym == 0L, s"$asym asymmetric edges in the staged graph")
+  }
+
+  test("customer baskets: staged relation is bit-identical to the live lineitem-orders build") {
+    withClearCache {
+      val live = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck")), "okey")
+        .select("ck", "part").distinct()
+        .orderBy("ck", "part").collect().toSeq
+      ops.Relational.stageCustomerBaskets(spark, dir)
+      val staged = spark.table(ops.Relational.customerBasketsTable(dir))
+        .orderBy("ck", "part").collect().toSeq
+      assert(staged == live, "staged customer baskets differ from the live build")
+      val bt = ops.Relational.basketTriples(spark, dir)
+      assert(bt.queryExecution.optimizedPlan.toString
+               .contains(ops.Relational.customerBasketsTable(dir)),
+        "basketTriples should read the staged basket table")
+      bt.collect()
+    }
   }
 
   test("knn truth: staged ground truth is bit-identical to the live brute force") {

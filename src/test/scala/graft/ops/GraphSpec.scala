@@ -53,11 +53,17 @@ class GraphSpec extends SparkSpec {
     (Seq(10L -> 1L, 10L -> 2L, 10L -> 3L, 10L -> 4L) ++ Seq(11L -> 5L, 11L -> 6L))
       .toDF("l_orderkey", "l_partkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
-    val out = Graph.triangles(spark, tmp).collect()
-      .map(r => r.getAs[Long]("partkey") ->
-        (r.getAs[Long]("n_tri"), r.getAs[Long]("degree"))).toMap
-    assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
-    out.values.foreach(v => assert(v == ((3L, 3L)), out.toString))
+    try {
+      val out = Graph.triangles(spark, tmp).collect()
+        .map(r => r.getAs[Long]("partkey") ->
+          (r.getAs[Long]("n_tri"), r.getAs[Long]("degree"))).toMap
+      assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
+      out.values.foreach(v => assert(v == ((3L, 3L)), out.toString))
+    } finally {
+      // triangles consumes the staged edge artifact; tmp-dir-named tables
+      // would otherwise accumulate in the test warehouse across runs
+      spark.sql(s"DROP TABLE IF EXISTS ${Graph.copurchaseTable(tmp)}")
+    }
   }
 
   test("bfsHops: planted path — exact per-level census, disconnected component unreached") {

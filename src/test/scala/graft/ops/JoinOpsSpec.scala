@@ -194,12 +194,18 @@ class JoinOpsSpec extends SparkSpec {
     Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L), (14L, 4L))
       .toDF("o_orderkey", "o_custkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
-    val out = Relational.basketTriples(spark, tmp).collect()
-    assert(out.length == 1, out.mkString(";"))
-    val r = out.head
-    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
-            r.getAs[Long]("part_c"), r.getAs[Long]("support"))
-           == ((1L, 2L, 3L, 2L)), r.toString)
+    try {
+      val out = Relational.basketTriples(spark, tmp).collect()
+      assert(out.length == 1, out.mkString(";"))
+      val r = out.head
+      assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+              r.getAs[Long]("part_c"), r.getAs[Long]("support"))
+             == ((1L, 2L, 3L, 2L)), r.toString)
+    } finally {
+      // basketTriples consumes the staged basket artifact; tmp-dir-named
+      // tables would otherwise accumulate in the test warehouse
+      spark.sql(s"DROP TABLE IF EXISTS ${Relational.customerBasketsTable(tmp)}")
+    }
   }
 
   test("basketTriples: fixture leaderboard — ordered keys, support floor, deterministic") {
