@@ -244,6 +244,97 @@ object Multimodal {
        |GROUP BY 1, 2 HAVING SUM(cnt) > 0 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- resize (block-average downscale) ---------------------------------------
+
+  /** Resize target: every raster downscales to a [[ResizeGrid]]² cell
+    * grid. */
+  val ResizeGrid = 4
+
+  /** q_media_resize: the RESIZE stage of an image pipeline — true PNG
+    * decode (inflate + de-filter), then an EXACT block-average downscale
+    * of every raster to a [[ResizeGrid]]×[[ResizeGrid]] grid: pixel
+    * (r, c) of a w×h raster lands in cell (r·G div h, c·G div w) —
+    * integer boundaries, every pixel in exactly one cell, no
+    * interpolation float anywhere — audited as the per-cell corpus rollup
+    * (pixel count, exact value sum, ppm-quantized mean). Completes the
+    * decode / feature-extract / resize / frame-sample quartet as a
+    * first-class oracle-gated query (the thumbnail field in
+    * [[mediaFeatures]] is the 1-D cousin; this is the 2-D geometry).
+    *
+    * Exactness: for the ASCII fixture the oracle re-derives every decoded
+    * pixel from the text (byte == code point, zero pads for the raster's
+    * rectangle fill) and replays the same integer cell mapping, so a
+    * decoder that drops a filter pass, or a resize that mis-buckets a
+    * boundary row, moves exact integer cell mass and fails the hash gate.
+    * The mean is quantized through DECIMAL/HUGEINT (sum·10⁶ passes 2⁶³
+    * near ~10¹³ corpus pixels — the chi2 widening rule).
+    *
+    * Scale: decode + cell accumulation is embarrassingly parallel per
+    * item (G² scratch cells per image); only G² partial rows per task
+    * reach the final aggregation.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = ResizeGrid
+    val items = mediaTable(spark, dir)
+      .where(col("meta.format") === "png").as[MediaItem]
+    items.flatMap { m =>
+      val (w, h, p) = MediaCodec.decodePngGray8(m.content)
+      val cnt = new Array[Long](g * g)
+      val sums = new Array[Long](g * g)
+      var i = 0
+      while (i < p.length) {
+        val cell = (i / w * g / h) * g + (i % w * g / w)
+        cnt(cell) += 1
+        sums(cell) += p(i)
+        i += 1
+      }
+      (0 until g * g).iterator
+        .filter(cell => cnt(cell) > 0)
+        .map(cell => (cell / g, cell % g, cnt(cell), sums(cell)))
+    }.toDF("cell_y", "cell_x", "n_px", "sum_vals")
+      .groupBy("cell_y", "cell_x")
+      .agg(sum("n_px").as("n_px"), sum("sum_vals").as("sum_vals"))
+      .select(col("cell_y"), col("cell_x"),
+              col("n_px").cast("long").as("n_px"),
+              col("sum_vals").cast("long").as("sum_vals"),
+              expr("(CAST(sum_vals AS DECIMAL(38,0)) * 1000000) div n_px")
+                .as("mean_ppm"))
+      .orderBy("cell_y", "cell_x")
+  }
+
+  /** Oracle: pixels re-derived from the ASCII text + zero pads, the same
+    * integer cell mapping replayed in SQL (pads sit at the tail indexes,
+    * exactly where the raster fill puts them).
+    */
+  val mediaResizeOracle: String = {
+    val g = ResizeGrid
+    s"""WITH m AS (
+       |  SELECT doc_id, text, length(text)::BIGINT AS nt,
+       |         greatest($PngWidth,
+       |                  (length(text) + ${PngWidth - 1}) // $PngWidth * $PngWidth)::BIGINT AS px_len
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |ix AS (
+       |  SELECT unnest(range(1, m.px_len + 1)) AS i, m.text, m.nt,
+       |         m.px_len // $PngWidth AS h
+       |  FROM m),
+       |px AS (
+       |  SELECT i - 1 AS idx,
+       |         CASE WHEN i <= nt THEN unicode(substr(text, i::INT, 1))
+       |              ELSE 0 END AS v,
+       |         h
+       |  FROM ix),
+       |cells AS (
+       |  SELECT (idx // $PngWidth) * $g // h AS cell_y,
+       |         (idx % $PngWidth) * $g // $PngWidth AS cell_x,
+       |         COUNT(*)::BIGINT AS n_px, SUM(v)::BIGINT AS sum_vals
+       |  FROM px GROUP BY 1, 2)
+       |SELECT CAST(cell_y AS INT) AS cell_y, CAST(cell_x AS INT) AS cell_x,
+       |       n_px, sum_vals,
+       |       CAST((CAST(sum_vals AS HUGEINT) * 1000000) // n_px AS BIGINT) AS mean_ppm
+       |FROM cells ORDER BY 1, 2""".stripMargin
+  }
+
   // --- header parsing across formats -----------------------------------------
 
   /** q_media_headers: synthesize per-doc container bytes in five real

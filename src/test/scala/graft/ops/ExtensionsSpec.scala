@@ -722,6 +722,40 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(("jpeg", 2)).getAs[Long]("sum_vals") == 98L * 22)
   }
 
+  test("mediaResize: hand-computed block-average cells; flat raster maps to sparse cell rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("media-resize").toFile.getAbsolutePath
+    // doc 4 → png. text "A".."P" → ONE 16-px row (h = 1): every pixel has
+    // r = 0 → cell_y = 0·4/1 = 0; cell_x = c·4/16 = c/4 → four cells of
+    // four ascending byte values each. Rows for cell_y ≥ 1 must be ABSENT
+    // (the integer mapping emits no empty cells).
+    val t4 = ('A' to 'P').mkString // 65..80
+    // doc 8 → png. 20 chars of 'z' (122) → px_len 32, h = 2: row 0 full
+    // text, row 1 = 4 chars + 12 zero pads; r = 0 → cell_y 0, r = 1 →
+    // cell_y 1·4/2 = 2 (h < grid skips odd cell rows — locked here).
+    val t8 = "z" * 20
+    Seq((4L, t4, "en", "src0", t4.length), (8L, t8, "en", "src0", t8.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.mediaResize(spark, tmp).collect()
+      .map(r => (r.getAs[Int]("cell_y"), r.getAs[Int]("cell_x")) ->
+        ((r.getAs[Long]("n_px"), r.getAs[Long]("sum_vals"), r.getAs[Long]("mean_ppm"))))
+      .toMap
+    assert(out.keySet ==
+      (0 to 3).map(x => (0, x)).toSet ++ (0 to 3).map(x => (2, x)).toSet, out.toString)
+    // cell_y 0 merges doc 4's row (65+66+67+68 … ascending quads) with
+    // doc 8's row 0 (4 × 122 per cell)
+    val quad = Seq(65 + 66 + 67 + 68, 69 + 70 + 71 + 72, 73 + 74 + 75 + 76, 77 + 78 + 79 + 80)
+    (0 to 3).foreach { x =>
+      val (n, s, m) = out((0, x))
+      assert(n == 8L && s == quad(x) + 4L * 122, s"cell (0,$x): $n/$s")
+      assert(m == s * 1000000L / 8, s"cell (0,$x) mean: $m")
+    }
+    // cell_y 2 is doc 8's row 1: 4 'z' chars then 12 zero pads
+    assert(out((2, 0)) == ((4L, 4L * 122, 122000000L)), out((2, 0)).toString)
+    (1 to 3).foreach(x => assert(out((2, x)) == ((4L, 0L, 0L)), out((2, x)).toString))
+  }
+
   test("dfIndexMerge: planted grams land in carried/updated/inserted with exact df math") {
     import spark.implicits._
     // history: "alpha beta" ×2 docs, "beta gamma" ×1 → grams {alpha beta: 2, beta gamma: 1}
