@@ -162,6 +162,57 @@ class StagedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("staged layouts: per-key aggregations read buckets with ZERO exchange") {
+    // the write-once clustering's whole point: a HashPartitioning(key, B)
+    // scan satisfies ClusteredDistribution(key), so per-key aggregation
+    // plans no shuffle at ANY bucket/partition-count combination — the
+    // "edges stay put" / "baskets stay put" claim as a plan fact
+    ops.Graph.stageCopurchaseEdges(spark, dir)
+    val deg = spark.table(ops.Graph.copurchaseTable(dir))
+      .groupBy("u").agg(sum("w").as("s"))
+    deg.collect()
+    val degPlan = deg.queryExecution.executedPlan.toString
+    assert(!degPlan.contains("Exchange"),
+      s"edge-degree aggregation shuffled the bucketed edge table:\n$degPlan")
+    ops.Relational.stageCustomerBaskets(spark, dir)
+    val widths = spark.table(ops.Relational.customerBasketsTable(dir))
+      .groupBy("ck").agg(count(lit(1)).as("n"))
+    widths.collect()
+    val widthsPlan = widths.queryExecution.executedPlan.toString
+    assert(!widthsPlan.contains("Exchange"),
+      s"basket-width aggregation shuffled the bucketed basket table:\n$widthsPlan")
+  }
+
+  test("staged artifact recovery: a fresh catalog re-registers finished on-disk stages") {
+    // the crash-recovery contract: warehouse data outlives the in-memory
+    // catalog; a finished stage (_SUCCESS present) must be re-registered
+    // as an external table, never re-paid. Simulate the fresh-catalog
+    // state by moving the finished files aside across a DROP, restoring
+    // them, and re-staging.
+    val t = ops.Graph.copurchaseTable(dir)
+    ops.Graph.stageCopurchaseEdges(spark, dir)
+    val before = spark.table(t).orderBy("u", "v").collect().toSeq
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+    val bak = new org.apache.hadoop.fs.Path(warehouse, t + "_bak")
+    assert(fs.rename(loc, bak), "could not move staged files aside")
+    spark.sql(s"DROP TABLE $t") // catalog entry gone; real files are safe in bak
+    assert(fs.rename(bak, loc), "could not restore staged files")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+    ops.Graph.stageCopurchaseEdges(spark, dir) // must take the re-register branch
+    assert(spark.catalog.tableExists(t), "recovery did not re-register the table")
+    val after = spark.table(t).orderBy("u", "v").collect().toSeq
+    assert(after == before, "re-registered artifact differs from the original stage")
+    // and the re-registered table still carries the bucket spec (zero-
+    // exchange aggregation is the layout's contract, not a lucky default)
+    val deg = spark.table(t).groupBy("u").agg(sum("w").as("s"))
+    deg.collect()
+    assert(!deg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "re-registered table lost its bucket spec")
+  }
+
   test("bucketed join: staged layout is a pure materialization of the plain join") {
     val plain = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
