@@ -282,11 +282,13 @@ object Plans {
     "q_pagerank_staged" ->
       ("same bit-identical iterations as q_pagerank, served off the " +
        "write-once bucketed copurchase_edges artifact: the edge relation " +
-       "is one staged table read persisted across iterations, the degree " +
-       "relation re-derives zero-exchange off the bucketed layout, and " +
-       "the dimension-bounded rank relation BROADCASTS into each " +
-       "iteration's join — edges never shuffle at any scale. The visible " +
-       "plan is the final leaderboard join."),
+       "is one staged table read persisted across iterations (the cached " +
+       "scan keeps the bucket HashPartitioning), the degree relation " +
+       "re-derives zero-exchange off the layout, and each iteration " +
+       "exchanges ONLY the rank relation into the edges' bucketing " +
+       "(plan-asserted; the planner may broadcast the tiny fixture rank, " +
+       "but the node set scales with the corpus, so the code never " +
+       "forces it). The visible plan is the final leaderboard join."),
     "q_triangles" ->
       ("prune-before-fan-out: the hub top-k and its broadcast semi-join " +
        "shrink the lineitem relation BEFORE the quadratic per-order pair " +

@@ -207,14 +207,18 @@ object Graph {
     * exactly analogous to [[graft.ops.Similarity.knnIvfStaged]] for ANN.
     * The iterations are [[pageRank]]'s own integer update rule verbatim;
     * what changes is the physical shape: the edge relation is one bucketed
-    * artifact read (persisted across iterations), the degree relation
-    * re-derives zero-exchange off the bucketed layout (`s` is constant per
-    * `u`), and the rank relation BROADCASTS into each iteration's join —
-    * legitimate because the node set is the part catalog
-    * (dimension-bounded, corpus-size invariant), so edges never shuffle at
-    * any scale. Integer arithmetic makes the result bit-identical to
-    * [[pageRank]], so it rides the SAME oracle (StagedArtifactsSpec locks
-    * both the equality and the oracle sharing).
+    * artifact read (persisted across iterations — the cached scan KEEPS
+    * the bucket layout's HashPartitioning), the degree relation re-derives
+    * zero-exchange off that layout (`s` is constant per `u`), and each
+    * iteration's join exchanges ONLY the node-cardinality rank relation
+    * into the edges' bucketing — "ranks shuffle, edges stay put" as a plan
+    * fact (StagedArtifactsSpec asserts the single-exchange join). The rank
+    * relation is deliberately NOT broadcast: the node set is the part
+    * catalog, which SCALES WITH THE CORPUS in TPC-H-shaped data — at
+    * 100 TB it is billions of rows, so the scalable join is the shuffled
+    * one, and the layout makes it half-price. Integer arithmetic makes the
+    * result bit-identical to [[pageRank]], so it rides the SAME oracle
+    * (StagedArtifactsSpec locks both the equality and the oracle sharing).
     */
   def pageRankStaged(spark: SparkSession, dir: String): DataFrame = {
     val eds = spark.table(stageCopurchaseEdges(spark, dir)).persist()
@@ -225,7 +229,7 @@ object Graph {
     var rank = deg.select(col("u").as("node"), lit(PrScale).as("rank")).persist()
     rank.count()
     for (_ <- 1 to PrIters) {
-      val next = eds.join(broadcast(rank), eds("u") === rank("node"))
+      val next = eds.join(rank, eds("u") === rank("node"))
         .select(col("v"), expr("(rank * w) div s").as("c"))
         .groupBy("v")
         .agg(sum("c").as("sc"))
@@ -237,7 +241,7 @@ object Graph {
       rank = next
     }
     // deg stays pinned for the readout's lifetime (the pageRank convention)
-    val out = rank.join(broadcast(deg), rank("node") === deg("u"))
+    val out = rank.join(deg, rank("node") === deg("u"))
       .select(col("node").as("partkey"), col("rank").as("pr_rank"),
               col("s").as("degree_w"))
       .orderBy(col("pr_rank").desc, col("partkey"))

@@ -183,6 +183,36 @@ class StagedArtifactsSpec extends SparkSpec {
       s"basket-width aggregation shuffled the bucketed basket table:\n$widthsPlan")
   }
 
+  test("staged pagerank iteration: ONLY the rank relation exchanges — edges stay put") {
+    // emulate one power-iteration join exactly as pageRankStaged plans it:
+    // the rank side arrives partitioned by the PREVIOUS iteration's
+    // destination key (a foreign partitioning), the edge side is the
+    // persisted bucketed artifact. With broadcast disabled (at fixture
+    // scale the optimizer happily broadcasts the tiny rank side; at 100 TB
+    // the node set is the part catalog — corpus-scaling, NOT
+    // broadcastable), the scalable plan exchanges rank INTO the edges'
+    // bucketing and never moves an edge byte.
+    ops.Graph.stageCopurchaseEdges(spark, dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      withClearCache {
+        val eds = spark.table(ops.Graph.copurchaseTable(dir)).persist()
+        eds.count()
+        val rank = eds.select(col("v").as("node")).distinct()
+          .select(col("node"), lit(1000000L).as("rank"))
+        val step = eds.join(rank, eds("u") === rank("node"))
+          .select(col("v"), expr("(rank * w) div s").as("c"))
+        step.collect()
+        val plan = step.queryExecution.executedPlan.toString
+        assert(!"Exchange hashpartitioning\\(u#".r.findFirstIn(plan).isDefined,
+          s"the bucketed edge side was shuffled:\n$plan")
+        assert("Exchange hashpartitioning\\(node#".r.findFirstIn(plan).isDefined,
+          s"expected the rank side to exchange into the edge bucketing:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("staged artifact recovery: a fresh catalog re-registers finished on-disk stages") {
     // the crash-recovery contract: warehouse data outlives the in-memory
     // catalog; a finished stage (_SUCCESS present) must be re-registered
