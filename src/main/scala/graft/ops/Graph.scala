@@ -185,13 +185,15 @@ object Graph {
           .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
           .persist()
         edges.count() // feeds deg + the final join
-        // deg is node-cardinality narrow (the part catalog — dimension-
-        // bounded at any corpus size), so it broadcasts back onto edges
+        // deg is node-cardinality narrow but the node set is the part
+        // catalog — it SCALES with the corpus, so no forced broadcast:
+        // the planner broadcasts at fixture scale and key-shuffles at
+        // corpus scale (a one-time cost inside the amortized stage)
         val deg = edges.groupBy("u").agg(sum("w").as("s"))
         // repartition on the bucket column first: the bucket hash and the
         // shuffle hash agree, so each task owns exactly one bucket → one
         // file per bucket instead of tasks × buckets
-        edges.join(broadcast(deg), "u")
+        edges.join(deg, "u")
           .repartition(EdgeBuckets, col("u"))
           .write.bucketBy(EdgeBuckets, "u").sortBy("u")
           .mode("overwrite").saveAsTable(t)
