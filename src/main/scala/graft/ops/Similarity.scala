@@ -37,6 +37,14 @@ object Similarity {
 
   val Dim            = 64
   val TopK           = 5
+  /** Query-set selector: queries = vec_id % 50 == 0 — the fixture's proxy
+    * for "a batch of search queries". Scalability framing for every
+    * `broadcast(queries)` in this module: the broadcast ceiling binds the
+    * QUERY BATCH, not the corpus — production serves queries in bounded
+    * batches (and at 100 TB the corpus side additionally prunes through
+    * the IVF/PQ candidate paths demonstrated here), so the stride is a
+    * workload knob, not a corpus-growth liability like a node catalog.
+    */
   val QueryStride    = 50  // queries = vec_id % 50 == 0
   val CentroidStride = 37  // IVF centroids = vec_id % 37 == 0
   val NProbe         = 3
