@@ -150,6 +150,89 @@ object Ingestion {
                                      LineitemLayout))
   }
 
+  // ---- JSONL source (schema-on-read + corrupt-record audit) -----------------
+
+  /** Corrupt-line modulus for [[stageJsonl]]: every
+    * `doc_id % JsonlCorruptMod == 0` line is written TRUNCATED
+    * (structurally invalid JSON) — the predicate is shared text with the
+    * oracle, so the corrupt audit is exact.
+    */
+  val JsonlCorruptMod = 97L
+
+  /** Deterministic staging of a JSONL corpus drop from `documents` — the
+    * format LLM training corpora actually ship in. Proper lines are
+    * engine-escaped (`to_json`, so embedded quotes/newlines round-trip);
+    * every [[JsonlCorruptMod]]-th doc is cut mid-object — the damaged-
+    * shard case a PERMISSIVE read must survive, not crash on. Input-
+    * fixture staging (the [[stageZip]] class: synthesizes the INPUT the
+    * query ingests, runs inside the consumer).
+    */
+  def stageJsonl(spark: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"target/tmp/jsonl_$safe"
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val line = to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+      Tables.documents(spark, dir)
+        .select(when(col("doc_id") % JsonlCorruptMod === 0, substring(line, 1, 19))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    out
+  }
+
+  /** q_jsonl_ingest: schema-on-read JSONL ingest with a corrupt-record
+    * audit — the missing-from-nothing source format every training-data
+    * pipeline starts at: a declared schema (no inference pass over 100 TB),
+    * `PERMISSIVE` mode so one damaged shard cannot kill the run, malformed
+    * lines captured in `_corrupt_record` and audited as their own
+    * partition next to the per-source rollup (docs, char mass, and an
+    * exact id checksum so a silently null-ed field fails the gate).
+    *
+    * Scale shape: the JSON text source splits by file/line like any text
+    * scan; parsing is per-row codegen (JacksonParser inside the scan); the
+    * only shuffle is the #sources+1-group rollup, map-side combined.
+    */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = stageJsonl(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("__corrupt"))
+          .otherwise(col("source")).as("source"),
+        when(col("_corrupt_record").isNotNull, lit(0L))
+          .otherwise(length(col("text")).cast("long")).as("n_chars"),
+        coalesce(col("doc_id"), lit(0L)).as("id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           sum("id").as("id_checksum"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the good-line rollup and the corrupt partition re-derived
+    * from `documents` with the shared corrupt predicate. A PERMISSIVE
+    * corrupt row carries NO parsed fields, so its chars/checksum are 0 by
+    * construction on both sides.
+    */
+  val jsonlIngestOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       |         CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |  FROM documents WHERE doc_id % $JsonlCorruptMod <> 0 GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__corrupt', COUNT(*), 0, 0
+       |  FROM documents WHERE doc_id % $JsonlCorruptMod = 0
+       |  HAVING COUNT(*) > 0)
+       |ORDER BY source""".stripMargin
+
   // ---- zip source end-to-end (S1/S2/S3/S5 + P3) ----------------------------
 
   /** Deterministic staging of a reference-shaped daily zip from `documents`:

@@ -39,7 +39,8 @@ class StagedArtifactsSpec extends SparkSpec {
     "stageKnnTruth"        -> ((Seq("q_knn_recall", "q_knn_pq_recall", "q_knn_sq_recall",
                                     "q_knn_rp_recall"), Seq("q_knn_bruteforce"))),
     "stageCustomerBaskets" -> ((Seq("q_basket_triples"), Seq("q_recs_itemcf"))),
-    "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)))
+    "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)),
+    "stageJsonl"           -> ((Seq("q_jsonl_ingest"), Seq.empty)))
 
   test("every stage* function in ops is declared in the staged-artifact policy") {
     val objs = Seq(ops.Relational, ops.Similarity, ops.Ingestion, ops.Dedup,

@@ -722,6 +722,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(("jpeg", 2)).getAs[Long]("sum_vals") == 98L * 22)
   }
 
+  test("jsonlIngest: escaped text round-trips, corrupt lines audited, ids checksummed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile.getAbsolutePath
+    // doc 0 → corrupt (0 % 97 == 0); docs 1/2 good, doc 1's text carries a
+    // QUOTE and a NEWLINE — the JSONL escaping round-trip must preserve
+    // the exact char count (5: a, ", \n, b, c)
+    val docs = Seq(
+      (0L, "dead doc", "en", "s1", 8L),
+      (1L, "a\"\nbc", "en", "s1", 5L),
+      (2L, "hello", "de", "s2", 5L))
+    docs.map { case (id, t, l, s, n) => (id, t, l, s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Ingestion.jsonlIngest(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("id_checksum")))).toMap
+    assert(out == Map(
+      "__corrupt" -> ((1L, 0L, 0L)),   // doc 0, truncated line, nothing parsed
+      "s1" -> ((1L, 5L, 1L)),          // the escaped text counts 5 chars
+      "s2" -> ((1L, 5L, 2L))), out.toString)
+  }
+
   test("mediaResize: hand-computed block-average cells; flat raster maps to sparse cell rows") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("media-resize").toFile.getAbsolutePath
