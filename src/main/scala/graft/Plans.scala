@@ -59,7 +59,8 @@ object Plans {
     "q_cust_order_dist", "q_promo_share", "q_big_orders",
     "q_wait_suppliers",
     "q_ks_test", "q_mann_whitney", "q_cramers_v", "q_hhi",
-    "q_filter_scan", "q_bracket_revenue", "q_decile_gains")
+    "q_filter_scan", "q_bracket_revenue", "q_decile_gains",
+    "q_media_resize", "q_jsonl_ingest")
 
   /** Prose context prepended to a query's plan block where the plan alone
     * would mislead.
