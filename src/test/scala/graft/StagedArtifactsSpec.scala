@@ -53,6 +53,22 @@ class StagedArtifactsSpec extends SparkSpec {
         "declare consumers + a timed live sibling for any new staged artifact")
   }
 
+  test("every performance artifact in the policy is staged in Bench's untimed warmup") {
+    // the converse of the check below: a staged artifact declared with a
+    // live twin is a PERFORMANCE artifact — if Bench forgets to warm it,
+    // its first consumer pays the one-time build on its own clock (the
+    // q_bucketed_join 11.3 s lesson from BENCH_r06)
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
+    val warmupStaged =
+      """\bops\.[A-Za-z]+\.(stage[A-Za-z]+)\(""".r.findAllMatchIn(bench).map(_.group(1)).toSet
+    policy.foreach { case (s, (_, twins)) =>
+      if (twins.nonEmpty)
+        assert(warmupStaged.contains(s),
+          s"$s declares a live twin (performance artifact) but Bench never warms it")
+    }
+  }
+
   test("every warmup-staged artifact in Bench has a timed live sibling and registered consumers") {
     val bench = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
