@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Times each query in order. A query that throws must fail LOUDLY,
+    * never silently time as near-zero: correctness is separately gated
+    * (Verify) so a swallow can't hide a wrong answer, but it would flatter
+    * the total. Names collect into the returned failed list (→ the JSON's
+    * `"failed"` array); the trace goes to stderr. BenchSpec forces a throw
+    * to lock the behavior.
+    */
+  private[graft] def timeQueries(
+      queries: Seq[(String, () => Unit)],
+      cleanup: () => Unit = () => ()): (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = queries.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      try run() catch {
+        case scala.util.control.NonFatal(e) =>
+          failed += name
+          System.err.println(s"BENCH FAILED: $name — $e")
+          e.printStackTrace()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> dt
+    }
+    (results, failed.toList)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,29 +77,28 @@ object Bench {
     try ops.Relational.stageCustomerBaskets(spark, sfDir)
     catch { case _: Throwable => () }
     // GC barrier between the untimed staging writes and the FIRST timed
-    // query: the three staging passes churn hundreds of MB of write-side
+    // query: the staging passes above churn hundreds of MB of write-side
     // allocations, and q_allpairs_cosine (the alphabetical head) otherwise
     // starts with that old-gen debt on its clock — the r8 driver-window
     // 13.6 s-vs-3.8 s flap shape.
     spark.catalog.clearCache()
     System.gc()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+    val (results, failed) = timeQueries(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .map { case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () }) },
       // Untimed inter-query cleanup: broadcast blocks from finished joins
       // linger in the block manager until a GC lets the ContextCleaner
       // reclaim them; across 30+ queries in one context they squeeze
       // execution memory and late self-join queries degrade 5-10x.
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
-    }
+      cleanup = () => { spark.catalog.clearCache(); System.gc() })
     // 4-decimal seconds (0.1 ms resolution — far below host-window noise)
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
     def lineOf(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     // Full per-query map (alphabetical) → bench_out.json. The harness
     // captures only a bounded stdout TAIL (~2000 chars, BENCH_r04/r05 both
     // truncated), and the suite has outgrown it at any numeric precision —

@@ -208,7 +208,13 @@ object Ingestion {
           .otherwise(col("source")).as("source"),
         when(col("_corrupt_record").isNotNull, lit(0L))
           .otherwise(length(col("text")).cast("long")).as("n_chars"),
-        coalesce(col("doc_id"), lit(0L)).as("id"))
+        // gated like the other columns, NOT bare coalesce: with
+        // spark.sql.json.enablePartialResults (default since 3.4.1) some
+        // malformed shapes RETAIN fields parsed before the cut — an
+        // ungated doc_id would leak a truncated row's id into the
+        // __corrupt checksum, diverging from the oracle's hardcoded 0
+        when(col("_corrupt_record").isNotNull, lit(0L))
+          .otherwise(coalesce(col("doc_id"), lit(0L))).as("id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_chars").as("sum_chars"),

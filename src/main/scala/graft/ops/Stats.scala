@@ -102,17 +102,25 @@ object Stats {
     * 100 TB the fact pass is the same single shuffle of 6 partial rows
     * per task.
     */
-  def chi2(spark: SparkSession, dir: String): DataFrame = {
+  def chi2(spark: SparkSession, dir: String): DataFrame =
+    chi2OfCells(Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"),
+               col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("n_obs")))
+
+  /** The χ² readout over an arbitrary (returnflag, linestatus, n_obs)
+    * cell relation — split from [[chi2]] (the [[ksOfCounts]] discipline)
+    * so the DECIMAL widening can be proven exact at PLANTED counts whose
+    * products pass 2⁶³, without materializing 10⁹ fact rows (StatsSpec's
+    * "chi2OfCells: deviation products past 2⁶³" test).
+    */
+  def chi2OfCells(cells: DataFrame): DataFrame = {
     // pinned under the retained-cache convention: cell (|flags|×|statuses|
     // rows) feeds FOUR lazy branches of the returned plan — cells, row
     // totals, column totals, grand total — and without the pin each branch
     // would re-scan the fact table; the harness's per-query clearCache
     // releases it
-    val cell = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag").as("returnflag"),
-               col("l_linestatus").as("linestatus"))
-      .agg(count(lit(1)).as("n_obs"))
-      .persist()
+    val cell = cells.persist()
     val rowT = cell.groupBy("returnflag").agg(sum("n_obs").as("rt"))
     val colT = cell.groupBy("linestatus").agg(sum("n_obs").as("ct"))
     val tot = cell.agg(sum("n_obs").as("n"))

@@ -21,6 +21,20 @@ class PlanAuditSpec extends SparkSpec {
 
   // withClearCache (pinned-relation hygiene) comes from SparkSpec
 
+  test("withClearCache releases pinned relations even when the body FAILS") {
+    // the injected-failure check: a success-path-only clearCache would
+    // leak this pin into every later test in the suite, turning one red
+    // row into cascading cache-dependent flakes
+    val pinned = spark.range(100).toDF("x").persist()
+    pinned.count() // materialize the pin
+    assert(!spark.sharedState.cacheManager.isEmpty, "pin did not register")
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      withClearCache { fail("injected assertion failure") }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+           "a failed assertion leaked a persisted relation past withClearCache")
+  }
+
   test("predicate pushdown: parquet scan carries PushedFilters") {
     val df = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 40 && col("l_partkey") === 7)

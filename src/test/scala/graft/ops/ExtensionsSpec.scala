@@ -725,11 +725,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
   test("jsonlIngest: escaped text round-trips, corrupt lines audited, ids checksummed") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile.getAbsolutePath
-    // doc 0 → corrupt (0 % 97 == 0); docs 1/2 good, doc 1's text carries a
-    // QUOTE and a NEWLINE — the JSONL escaping round-trip must preserve
-    // the exact char count (5: a, ", \n, b, c)
+    // docs 0 and 97 → corrupt (id % 97 == 0); docs 1/2 good, doc 1's text
+    // carries a QUOTE and a NEWLINE — the JSONL escaping round-trip must
+    // preserve the exact char count (5: a, ", \n, b, c). Doc 97 is the
+    // partial-results sentinel: its NONZERO doc_id parses completely
+    // before the 19-char cut ({"doc_id":97,"lang…), so if corrupt rows
+    // ever retained already-parsed fields (enablePartialResults), an
+    // ungated id would push 97 into the __corrupt checksum — this test
+    // pins that checksum at 0.
     val docs = Seq(
       (0L, "dead doc", "en", "s1", 8L),
+      (97L, "late casualty", "en", "s1", 13L),
       (1L, "a\"\nbc", "en", "s1", 5L),
       (2L, "hello", "de", "s2", 5L))
     docs.map { case (id, t, l, s, n) => (id, t, l, s, n) }
@@ -740,7 +746,7 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
           r.getAs[Long]("id_checksum")))).toMap
     assert(out == Map(
-      "__corrupt" -> ((1L, 0L, 0L)),   // doc 0, truncated line, nothing parsed
+      "__corrupt" -> ((2L, 0L, 0L)),   // docs 0+97 truncated; ids GATED to 0
       "s1" -> ((1L, 5L, 1L)),          // the escaped text counts 5 chars
       "s2" -> ((1L, 5L, 2L))), out.toString)
   }

@@ -253,6 +253,53 @@ class StatsSpec extends SparkSpec {
            three.mkString(","))
   }
 
+  test("chi2OfCells: deviation products past 2⁶³ stay exact through the DECIMAL widening") {
+    import spark.implicits._
+    // Planted cell counts (the ScaleSpec discipline: force the big-value
+    // branch without big data): every O·N and R·C product is ~2.5·10¹⁹ —
+    // past 2⁶³ ≈ 9.2·10¹⁸, where an un-widened 64-bit multiply wraps —
+    // while dev²·10⁶ (2.5·10³⁷) stays inside the DECIMAL(38,0)/HUGEINT
+    // ceiling the scaladoc documents. BigInt hand computation per cell:
+    //   n = 10¹⁰, every rt = ct = 5·10⁹ → R·C = 2.5·10¹⁹
+    //   dev = ±(5·10⁵)·10¹⁰ = ±5·10¹⁵
+    //   term = (2.5·10³¹ · 10⁶) div (2.5·10¹⁹ · 10¹⁰) = 10⁸ ppm, all cells
+    val hi = 2500500000L
+    val lo = 2499500000L
+    val cells = Seq(("R", "O", hi), ("R", "F", lo), ("N", "O", lo), ("N", "F", hi))
+      .toDF("returnflag", "linestatus", "n_obs")
+    withClearCache {
+      val out = Stats.chi2OfCells(cells).collect()
+        .map(r => (r.getAs[String]("returnflag"), r.getAs[String]("linestatus"),
+                   r.getAs[Long]("n_obs"), r.getAs[Long]("term_ppm")))
+      assert(out.toSeq == Seq(
+        ("N", "F", hi, 100000000L), ("N", "O", lo, 100000000L),
+        ("R", "F", lo, 100000000L), ("R", "O", hi, 100000000L)), out.mkString(","))
+    }
+  }
+
+  test("ksOfCounts: the 2³¹ pack ceiling FAILS LOUDLY instead of corrupting the cumulatives") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // one row past the ceiling: a cumulative count of 2³¹ would carry into
+    // the packed c1 field — the guard must surface the NAMED error
+    val over = Seq((100L, 1L << 31, 1L)).toDF("v", "c1", "c2")
+    withClearCache {
+      val e = intercept[Exception] { Stats.ksOfCounts(over).collect() }
+      assert(messages(e).exists(_.contains("ksOfCounts: n1 >= 2^31")),
+             messages(e).mkString(" | "))
+    }
+    // directly below the ceiling the pack stays carry-free and the readout
+    // completes: D = |1·(2³¹−1) − (2³¹−1)·1| / ((2³¹−1)·1) = 0 on a single
+    // shared value
+    val under = Seq((100L, (1L << 31) - 1, 1L)).toDF("v", "c1", "c2")
+    withClearCache {
+      val r = Stats.ksOfCounts(under).collect()
+      assert(r.length == 1 && r.head.getAs[Double]("ks_d") == 0.0, r.mkString(","))
+    }
+  }
+
   test("ksTest: hand-computed exact D on a tied merged support; other flags excluded") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("kstest").toFile.getAbsolutePath
