@@ -54,7 +54,18 @@ object Bench {
     // first execution (q_triangles measured 13.9 s cold vs 6.7 s warm at
     // sf0.1 in a fresh JVM) that no other query's warmup reaches. The
     // sf0.001 pass compiles the same operator pipelines untimed.
-    Seq("q_triangles", "q_pagerank", "q_bfs_hops", "q_basket_triples").foreach { n =>
+    // q_stream_ks joins the JIT-warm list (r11 verdict item 1): its
+    // pipeline pairs a stateful complete-mode streaming aggregation with
+    // the ksOfCounts readout over a MEMORY-sink relation — codegen no
+    // other query compiles (q_ks_test's readout child is a parquet scan,
+    // so its generated sources differ). Measured at sf0.1 fresh-JVM:
+    // 8.5 s cold vs 3.8-5.2 s after an sf0.001 pass; the driver windows
+    // billed that cold-start to the timed run two rounds straight
+    // (9.8 s r11, 6.8 s r10 vs the 4.2 s quiet anchor). Codegen-only:
+    // nothing staged — the sf0.001 memory table is replaced by the timed
+    // run's own sink.
+    Seq("q_triangles", "q_pagerank", "q_bfs_hops", "q_basket_triples",
+        "q_stream_ks").foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -75,6 +86,10 @@ object Bench {
     try ops.Similarity.stageKnnTruth(spark, sfDir)
     catch { case _: Throwable => () }
     try ops.Relational.stageCustomerBaskets(spark, sfDir)
+    catch { case _: Throwable => () }
+    try ops.Dedup.stageDocShingles(spark, sfDir)
+    catch { case _: Throwable => () }
+    try ops.Dedup.stageDedupPairs(spark, sfDir)
     catch { case _: Throwable => () }
     // GC barrier between the untimed staging writes and the FIRST timed
     // query: the staging passes above churn hundreds of MB of write-side

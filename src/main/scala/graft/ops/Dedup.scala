@@ -110,6 +110,116 @@ object Dedup {
   private val docShinglesSql =
     s"(SELECT doc_id, $shinglesSql AS shingles FROM documents)"
 
+  // --- staged shingle / pair artifacts ---------------------------------------
+
+  /** Bucket count for the staged dedup artifacts — part of the on-disk
+    * layout contract, so part of the staged table name (the
+    * [[graft.ops.Relational.stageBucketedTables]] rule). Matched to the
+    * fixture's width; at 100 TB raise it with the cluster (the shape, not
+    * the constant, is the contract).
+    */
+  val ShingleBuckets = 8
+
+  /** Warehouse table name for the staged (doc_id, shingles) relation of
+    * `dir` (content-addressed by fixture dir, like every staged artifact).
+    */
+  def docShinglesTable(dir: String): String =
+    s"doc_shingles$ShingleBuckets" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Stage the per-doc shingle relation as a WRITE-ONCE artifact —
+    * `(doc_id, shingles)` bucketed and sorted by `doc_id` (r11 verdict
+    * item 5, the text-family analogue of the co-purchase edge staging):
+    * the near-dup family re-tokenizes and re-shingles the corpus per
+    * query, and at 100 TB the shingle projection is a full-corpus regex
+    * pass worth paying once, not eight times. Consumers that probe
+    * per-doc sizes join on the bucket key for free. The live shingle
+    * build stays TIMED in [[ngramJaccard]] (the StagedArtifactsSpec twin
+    * policy), and the artifact is a pure materialization — parquet
+    * round-trips the string arrays exactly, so every consumer is
+    * bit-identical to its from-scratch form and rides its original oracle.
+    *
+    * Same crash-recovery contract as the other staged tables: a fresh
+    * session re-registers a finished on-disk stage (`_SUCCESS` present)
+    * as an external bucketed table; a partial stage is swept and rebuilt.
+    */
+  def stageDocShingles(spark: SparkSession, dir: String): String = {
+    val t = docShinglesTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        spark.sql(
+          s"""CREATE TABLE $t (doc_id BIGINT, shingles ARRAY<STRING>)
+             |USING PARQUET
+             |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $ShingleBuckets BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        docShingles(spark, dir)
+          // repartition on the bucket column first (the EdgeBuckets rule):
+          // the bucket hash and the shuffle hash agree, so each task owns
+          // exactly one bucket → one file per bucket
+          .repartition(ShingleBuckets, col("doc_id"))
+          .write.bucketBy(ShingleBuckets, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(t)
+      }
+    }
+    t
+  }
+
+  /** The staged twin of [[docShingles]] — same rows, read off the bucketed
+    * artifact (self-staging on first use, the [[graft.ops.Graph.pageRankStaged]]
+    * consumer pattern).
+    */
+  def docShinglesStaged(spark: SparkSession, dir: String): DataFrame =
+    spark.table(stageDocShingles(spark, dir))
+
+  /** Warehouse table name for the staged DF-capped verified pair relation
+    * of `dir`. The cap is part of the semantics, so part of the name.
+    */
+  def dedupPairsTable(dir: String): String =
+    s"dedup_pairs_df${MaxShingleDF}_b$ShingleBuckets" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Stage the DF-capped verified near-dup PAIR relation `(doc_a, doc_b)`
+    * — [[jaccardPairsCapped]] at [[MaxShingleDF]], the edge list BOTH
+    * cluster-resolution queries rebuild identically (~2 s apiece at sf0.1
+    * before staging; the co-purchase measurement all over again). In a
+    * production curation run this is exactly the artifact you materialize:
+    * the near-dup graph is built once per corpus snapshot and consumed by
+    * resolution, canonical-pick, audit, and retraining jobs alike. Built
+    * FROM the staged shingle artifact (one warmup chain); bucketed by
+    * `doc_a`. The live pair build stays TIMED in [[ngramJaccardCapped]]
+    * (q_dedup_jaccard_capped); consumers are bit-identical to their
+    * from-scratch forms and ride their original oracles.
+    */
+  def stageDedupPairs(spark: SparkSession, dir: String): String = {
+    val t = dedupPairsTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+        spark.sql(
+          s"""CREATE TABLE $t (doc_a BIGINT, doc_b BIGINT)
+             |USING PARQUET
+             |CLUSTERED BY (doc_a) SORTED BY (doc_a) INTO $ShingleBuckets BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      } else {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        jaccardPairsCapped(docShinglesStaged(spark, dir), MaxShingleDF)
+          .select("doc_a", "doc_b")
+          .repartition(ShingleBuckets, col("doc_a"))
+          .write.bucketBy(ShingleBuckets, "doc_a").sortBy("doc_a")
+          .mode("overwrite").saveAsTable(t)
+      }
+    }
+    t
+  }
+
   // --- exact dedup -----------------------------------------------------------
 
   /** q_dedup_exact: hash-groupBy exact dedup on normalized text. Keeps the
@@ -530,8 +640,9 @@ object Dedup {
     */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     // already persisted + materialized bare id pairs; feeds candIds + both
-    // verify joins
-    val cand = jaccardPrefixCandidates(docShingles(spark, dir), PrefixJaccardThreshold)
+    // verify joins. Shingles come from the staged artifact (the write-once
+    // [[stageDocShingles]] layout; live twin: q_dedup_ngram_jaccard).
+    val cand = jaccardPrefixCandidates(docShinglesStaged(spark, dir), PrefixJaccardThreshold)
     verifyJaccardPairs(spark, dir, cand, PrefixJaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -1124,8 +1235,11 @@ object Dedup {
     // self-join is O(Σ df²) over shingle document frequencies, so one
     // Zipf-head shingle at web scale explodes the pair join. Capping bounds
     // every bucket at cap² at a bounded recall cost — the flagship
-    // resolution path must ride the scale-safe source.
-    val pairs = jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
+    // resolution path must ride the scale-safe source. The relation is the
+    // staged near-dup edge artifact ([[stageDedupPairs]]; live twin:
+    // q_dedup_jaccard_capped) — resolution consumes the graph, it doesn't
+    // rebuild it.
+    val pairs = spark.table(stageDedupPairs(spark, dir))
       .select("doc_a", "doc_b").cache()
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val labels = resolveComponents(pairs, maxDriverEdges)(pairs.sparkSession)
@@ -1264,7 +1378,10 @@ object Dedup {
     * is one map-side combined rollup.
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairsCapped(docShingles(spark, dir), MaxShingleDF)
+    // the staged near-dup edge artifact ([[stageDedupPairs]]; live twin:
+    // q_dedup_jaccard_capped) — same consume-don't-rebuild shape as
+    // [[dedupResolution]]
+    val pairs = spark.table(stageDedupPairs(spark, dir))
       .select("doc_a", "doc_b").cache()
     val labels = resolveComponents(pairs)(spark)
     pairs.unpersist()
@@ -1332,7 +1449,9 @@ object Dedup {
     * an exact integer rule.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
+    // staged shingles (write-once [[stageDocShingles]]; live twin:
+    // q_dedup_ngram_jaccard) — the pin still pays: two consumers explode
+    val sh = docShinglesStaged(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val hot = ex0.groupBy("s").agg(count(lit(1)).as("df"))

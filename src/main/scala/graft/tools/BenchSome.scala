@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * (same session config, same untimed warmup + inter-query cleanup) —
   * the dev loop for single-query optimization without paying a full
   * suite run. Usage: BenchSome <sfDir> <query>... (repeat a name to
-  * measure warm-vs-cold within one JVM).
+  * measure warm-vs-cold within one JVM; suffix a name with `@/other/sf`
+  * to run that one against a different fixture — the warmup-transfer
+  * experiment: `q_x@/root/testdata/sf0.001 q_x` measures q_x at the
+  * default dir after an sf0.001 pass compiled its pipeline).
   */
 object BenchSome {
   def main(args: Array[String]): Unit = {
@@ -20,10 +23,14 @@ object BenchSome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    names.foreach { name =>
+    names.foreach { spec =>
+      val (name, dir) = spec.split("@", 2) match {
+        case Array(n, d) => (n, d)
+        case _           => (spec, sfDir)
+      }
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"== $spec: ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
       spark.catalog.clearCache()
       System.gc()
     }

@@ -39,6 +39,10 @@ class StagedArtifactsSpec extends SparkSpec {
     "stageKnnTruth"        -> ((Seq("q_knn_recall", "q_knn_pq_recall", "q_knn_sq_recall",
                                     "q_knn_rp_recall"), Seq("q_knn_bruteforce"))),
     "stageCustomerBaskets" -> ((Seq("q_basket_triples"), Seq("q_recs_itemcf"))),
+    "stageDocShingles"     -> ((Seq("q_dedup_jaccard_prefix", "q_dedup_containment"),
+                                Seq("q_dedup_ngram_jaccard"))),
+    "stageDedupPairs"      -> ((Seq("q_dedup_resolution", "q_dedup_canonical"),
+                                Seq("q_dedup_jaccard_capped"))),
     "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)),
     "stageJsonl"           -> ((Seq("q_jsonl_ingest"), Seq.empty)))
 
@@ -109,6 +113,46 @@ class StagedArtifactsSpec extends SparkSpec {
     val live = ops.Similarity.knnIvf(spark, dir).collect().toSeq
     val staged = ops.Similarity.knnIvfStaged(spark, dir).collect().toSeq
     assert(staged == live, "knnIvfStaged result differs from the live knnIvf")
+  }
+
+  test("doc shingles: staged artifact is a pure materialization of the live shingle build") {
+    spark.sql(s"DROP TABLE IF EXISTS ${ops.Dedup.docShinglesTable(dir)}")
+    withClearCache {
+      val live = ops.Dedup.docShingles(spark, dir)
+        .orderBy("doc_id").collect().toSeq
+      val staged = ops.Dedup.docShinglesStaged(spark, dir)
+        .select("doc_id", "shingles").orderBy("doc_id").collect().toSeq
+      assert(staged == live, "staged doc_shingles differs from the live shingle build")
+    }
+    // a converted consumer reads the bucketed table, not a re-shingle
+    val t = ops.Dedup.docShinglesTable(dir)
+    val cp = ops.Dedup.containmentPairs(spark, dir)
+    assert(cp.queryExecution.optimizedPlan.toString.contains(t),
+      s"containmentPairs should read table $t")
+    withClearCache { assert(cp.collect().nonEmpty) }
+  }
+
+  test("dedup pairs: staged edge artifact matches the live capped pair build") {
+    spark.sql(s"DROP TABLE IF EXISTS ${ops.Dedup.dedupPairsTable(dir)}")
+    withClearCache {
+      val live = ops.Dedup.jaccardPairsCapped(
+          ops.Dedup.docShingles(spark, dir), ops.Dedup.MaxShingleDF)
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b").collect().toSeq
+      ops.Dedup.stageDedupPairs(spark, dir)
+      val staged = spark.table(ops.Dedup.dedupPairsTable(dir))
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(staged == live, "staged dedup_pairs differs from the live capped build")
+    }
+    // both graph consumers resolve off the artifact and still agree with
+    // each other on the labeled universe (doc counts conserve)
+    withClearCache {
+      val resDocs = ops.Dedup.dedupResolution(spark, dir)
+        .agg(sum("n_docs")).collect().head.getLong(0)
+      val canDocs = ops.Dedup.dedupCanonical(spark, dir)
+        .agg(sum("n_docs")).collect().head.getLong(0)
+      assert(resDocs == canDocs && resDocs > 0,
+        s"resolution/canonical doc universes diverge off the staged pairs: $resDocs vs $canDocs")
+    }
   }
 
   test("co-purchase edges: staged PageRank is bit-identical to live and shares its oracle") {
