@@ -222,6 +222,35 @@ object Ingestion {
       .orderBy("source")
   }
 
+  /** The FAILFAST contrast of [[jsonlIngest]] — strict schema-on-read:
+    * any malformed line ABORTS the scan instead of landing in a corrupt
+    * audit (the S5 strict-decode duality: PERMISSIVE survives and audits a
+    * damaged shard, FAILFAST refuses to emit from one). Same staged input,
+    * same good-line rollup columns, so on a clean corpus the two modes
+    * agree row-for-row; on the planted truncated line this one throws.
+    * Spec-locked in ExtensionsSpec ("jsonlIngestStrict aborts on the
+    * planted corrupt line") rather than oracle-gated: an abort has no
+    * result relation for DuckDB to compare.
+    */
+  def jsonlIngestStrict(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = stageJsonl(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+      .select(col("source"),
+              length(col("text")).cast("long").as("n_chars"),
+              coalesce(col("doc_id"), lit(0L)).as("id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           sum("id").as("id_checksum"))
+      .orderBy("source")
+  }
+
   /** Oracle: the good-line rollup and the corrupt partition re-derived
     * from `documents` with the shared corrupt predicate. A PERMISSIVE
     * corrupt row carries NO parsed fields, so its chars/checksum are 0 by

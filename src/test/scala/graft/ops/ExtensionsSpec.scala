@@ -751,6 +751,38 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       "s2" -> ((1L, 5L, 2L))), out.toString)
   }
 
+  test("jsonlIngestStrict: FAILFAST aborts on the planted corrupt line; clean corpus matches PERMISSIVE") {
+    import spark.implicits._
+    def stage(docs: Seq[(Long, String, String, String, Long)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl-strict").toFile.getAbsolutePath
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // doc 0 → truncated line: strict mode must REFUSE the shard, loudly
+    val damaged = stage(Seq(
+      (0L, "dead doc", "en", "s1", 8L),
+      (1L, "fine", "en", "s1", 4L)))
+    val e = intercept[Exception] {
+      Ingestion.jsonlIngestStrict(spark, damaged).collect()
+    }
+    assert(messages(e).exists(m =>
+        m.contains("FAILFAST") || m.contains("Malformed") || m.contains("MALFORMED")),
+      messages(e).mkString(" | "))
+    // no corrupt ids planted → both modes emit the identical rollup (the
+    // strict face is the SAME query on a clean corpus, not a different one)
+    val clean = stage(Seq(
+      (1L, "a\"\nbc", "en", "s1", 5L),
+      (2L, "hello", "de", "s2", 5L)))
+    val strict = Ingestion.jsonlIngestStrict(spark, clean).collect().toSeq
+    val permissive = Ingestion.jsonlIngest(spark, clean).collect().toSeq
+    assert(strict == permissive,
+      s"clean-corpus modes diverge: strict=$strict permissive=$permissive")
+  }
+
   test("mediaResize: hand-computed block-average cells; flat raster maps to sparse cell rows") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("media-resize").toFile.getAbsolutePath
