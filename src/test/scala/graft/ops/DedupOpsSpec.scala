@@ -10,6 +10,19 @@ import graft.SparkSpec
   */
 class DedupOpsSpec extends SparkSpec {
 
+  /** Planted-fixture scope: the converted consumers self-stage the
+    * doc_shingles/dedup_pairs artifacts for WHATEVER dir they are given, so
+    * a temp-dir fixture would otherwise leave an orphan warehouse table
+    * per test run. Drop the dir-addressed stages on the way out (both
+    * paths — the withClearCache discipline applied to catalog state).
+    */
+  private def withPlantedDir[A](prefix: String)(body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    finally Seq(Dedup.docShinglesTable(tmp), Dedup.dedupPairsTable(tmp))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], dir: String): Unit = {
     import spark.implicits._
     rows.toDF("doc_id", "text", "source")
@@ -20,23 +33,24 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("dedupCanonical: the longest cluster member overrides the min-id representative") {
-    val tmp = java.nio.file.Files.createTempDirectory("canon").toString
-    // cluster {0,1,2}: 0 and 2 are identical 10-token docs, 1 appends a
-    // token (jaccard 8/9 with each) and is the LONGEST → canonical must be
-    // doc 1, overriding min-id label 0. doc 3 is isolated in its own source.
-    val t = (1 to 10).map(i => s"w$i").mkString(" ")
-    writeDocs(Seq(
-      (0L, t, "s"), (1L, t + " zz", "s"), (2L, t, "s"),
-      (3L, (1 to 6).map(i => s"u$i").mkString(" "), "t")), tmp)
-    val out = Dedup.dedupCanonical(spark, tmp).collect()
-      .map(r => r.getAs[String]("source") -> r).toMap
-    val s0 = out("s")
-    assert(s0.getAs[Long]("n_docs") == 3 && s0.getAs[Long]("n_canonical") == 1, s0.toString)
-    assert(s0.getAs[Long]("n_quality_overrides") == 1, s0.toString)
-    assert(s0.getAs[Long]("n_tokens_dropped") == 20, s0.toString) // docs 0 and 2
-    val t0 = out("t")
-    assert(t0.getAs[Long]("n_docs") == 1 && t0.getAs[Long]("n_canonical") == 1)
-    assert(t0.getAs[Long]("n_quality_overrides") == 0 && t0.getAs[Long]("n_tokens_dropped") == 0)
+    withPlantedDir("canon") { tmp =>
+      // cluster {0,1,2}: 0 and 2 are identical 10-token docs, 1 appends a
+      // token (jaccard 8/9 with each) and is the LONGEST → canonical must be
+      // doc 1, overriding min-id label 0. doc 3 is isolated in its own source.
+      val t = (1 to 10).map(i => s"w$i").mkString(" ")
+      writeDocs(Seq(
+        (0L, t, "s"), (1L, t + " zz", "s"), (2L, t, "s"),
+        (3L, (1 to 6).map(i => s"u$i").mkString(" "), "t")), tmp)
+      val out = Dedup.dedupCanonical(spark, tmp).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val s0 = out("s")
+      assert(s0.getAs[Long]("n_docs") == 3 && s0.getAs[Long]("n_canonical") == 1, s0.toString)
+      assert(s0.getAs[Long]("n_quality_overrides") == 1, s0.toString)
+      assert(s0.getAs[Long]("n_tokens_dropped") == 20, s0.toString) // docs 0 and 2
+      val t0 = out("t")
+      assert(t0.getAs[Long]("n_docs") == 1 && t0.getAs[Long]("n_canonical") == 1)
+      assert(t0.getAs[Long]("n_quality_overrides") == 0 && t0.getAs[Long]("n_tokens_dropped") == 0)
+    }
   }
 
   test("dedupCanonical: fixture audit conserves docs and never exceeds cluster counts") {
@@ -61,26 +75,27 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("containmentPairs: a fully quoted short doc flags with containment 1.0, low-overlap pairs do not") {
-    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
-    // A (5 tokens, 3 shingles) is a verbatim prefix of B (25 tokens): every
-    // A-shingle is in B → containment 1.0 while jaccard ≈ 3/23. C shares
-    // only one shingle with A and B (containment 1/4 < 0.8). D and E are
-    // identical (equal sizes → the larger id is the contained one).
-    val a = "a b c d e"
-    val b = a + " " + (1 to 20).map(i => s"f$i").mkString(" ")
-    val c = "x y z a b c"
-    val d = (1 to 7).map(i => s"d$i").mkString(" ")
-    writeDocs(Seq((10L, a, "s"), (11L, b, "s"), (12L, c, "s"),
-                  (13L, d, "s"), (14L, d, "s")), tmp)
-    val out = Dedup.containmentPairs(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) -> r).toMap
-    assert(out.keySet == Set(10L -> 11L, 14L -> 13L), out.keys.toString)
-    val ab = out(10L -> 11L)
-    assert(ab.getAs[Double]("containment") == 1.0 && ab.getAs[Long]("n_contained") == 3, ab.toString)
-    assert(ab.getAs[Long]("n_container") == 23, ab.toString)
-    val de = out(14L -> 13L)
-    assert(de.getAs[Double]("containment") == 1.0, de.toString)
-    assert(de.getAs[Long]("n_contained") == de.getAs[Long]("n_container"), de.toString)
+    withPlantedDir("contain") { tmp =>
+      // A (5 tokens, 3 shingles) is a verbatim prefix of B (25 tokens): every
+      // A-shingle is in B → containment 1.0 while jaccard ≈ 3/23. C shares
+      // only one shingle with A and B (containment 1/4 < 0.8). D and E are
+      // identical (equal sizes → the larger id is the contained one).
+      val a = "a b c d e"
+      val b = a + " " + (1 to 20).map(i => s"f$i").mkString(" ")
+      val c = "x y z a b c"
+      val d = (1 to 7).map(i => s"d$i").mkString(" ")
+      writeDocs(Seq((10L, a, "s"), (11L, b, "s"), (12L, c, "s"),
+                    (13L, d, "s"), (14L, d, "s")), tmp)
+      val out = Dedup.containmentPairs(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) -> r).toMap
+      assert(out.keySet == Set(10L -> 11L, 14L -> 13L), out.keys.toString)
+      val ab = out(10L -> 11L)
+      assert(ab.getAs[Double]("containment") == 1.0 && ab.getAs[Long]("n_contained") == 3, ab.toString)
+      assert(ab.getAs[Long]("n_container") == 23, ab.toString)
+      val de = out(14L -> 13L)
+      assert(de.getAs[Double]("containment") == 1.0, de.toString)
+      assert(de.getAs[Long]("n_contained") == de.getAs[Long]("n_container"), de.toString)
+    }
   }
 
   test("containmentPairs: fixture pairs are direction-consistent and above threshold") {
@@ -117,35 +132,37 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("prefix filter starves the hot-shingle bucket: one shared boilerplate gram, zero candidates") {
-    val tmp = java.nio.file.Files.createTempDirectory("jacpre").toString
-    // 10 docs, each 8 unique tokens + the same 3-token boilerplate tail:
-    // exactly ONE shared shingle per pair (df = 10), jaccard 1/17 << 0.5.
-    // The raw inverted index would emit all 45 pairs into the hot bucket;
-    // here each doc has cnt2 = 1 repeated shingle against a prefix budget
-    // of cnt2 - ceil(0.8*9) + 1 = -6, so the prefix index emits ZERO.
-    writeDocs((0L until 10L).map { i =>
-      val uniq = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
-      (i, s"$uniq common1 common2 common3", "s")
-    }, tmp)
-    val cand = Dedup.jaccardPrefixCandidates(
-      Dedup.docShingles(spark, tmp), Dedup.PrefixJaccardThreshold)
-    assert(cand.count() == 0, "hot shingle leaked into a prefix")
-    // and the end-to-end result still matches the unpruned definition
-    // (both empty: the only shared shingle gives jaccard 1/17)
-    assert(normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp)) ==
-           normalizedPairs(Dedup.ngramJaccard(spark, tmp)))
+    withPlantedDir("jacpre") { tmp =>
+      // 10 docs, each 8 unique tokens + the same 3-token boilerplate tail:
+      // exactly ONE shared shingle per pair (df = 10), jaccard 1/17 << 0.5.
+      // The raw inverted index would emit all 45 pairs into the hot bucket;
+      // here each doc has cnt2 = 1 repeated shingle against a prefix budget
+      // of cnt2 - ceil(0.8*9) + 1 = -6, so the prefix index emits ZERO.
+      writeDocs((0L until 10L).map { i =>
+        val uniq = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
+        (i, s"$uniq common1 common2 common3", "s")
+      }, tmp)
+      val cand = Dedup.jaccardPrefixCandidates(
+        Dedup.docShingles(spark, tmp), Dedup.PrefixJaccardThreshold)
+      assert(cand.count() == 0, "hot shingle leaked into a prefix")
+      // and the end-to-end result still matches the unpruned definition
+      // (both empty: the only shared shingle gives jaccard 1/17)
+      assert(normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp)) ==
+             normalizedPairs(Dedup.ngramJaccard(spark, tmp)))
+    }
   }
 
   test("prefix path finds a planted qualifying pair with exact intersection") {
-    val tmp = java.nio.file.Files.createTempDirectory("jacpre2").toString
-    // doc 0 and doc 1: 12-token base + one appended token on doc 1 →
-    // 10 shared shingles of doc0's 10 and doc1's 11, jaccard 10/11 ≥ 0.5.
-    // doc 2 is disjoint.
-    val base = (1 to 12).map(j => s"w$j").mkString(" ")
-    writeDocs(Seq(
-      (0L, base, "s"), (1L, base + " tail", "s"),
-      (2L, (1 to 12).map(j => s"z$j").mkString(" "), "s")), tmp)
-    val out = normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp))
-    assert(out == Set((0L, 1L, 10L, 10L, 11L, 10.0 / 11.0)), out.toString)
+    withPlantedDir("jacpre2") { tmp =>
+      // doc 0 and doc 1: 12-token base + one appended token on doc 1 →
+      // 10 shared shingles of doc0's 10 and doc1's 11, jaccard 10/11 ≥ 0.5.
+      // doc 2 is disjoint.
+      val base = (1 to 12).map(j => s"w$j").mkString(" ")
+      writeDocs(Seq(
+        (0L, base, "s"), (1L, base + " tail", "s"),
+        (2L, (1 to 12).map(j => s"z$j").mkString(" "), "s")), tmp)
+      val out = normalizedPairs(Dedup.ngramJaccardPrefix(spark, tmp))
+      assert(out == Set((0L, 1L, 10L, 10L, 11L, 10.0 / 11.0)), out.toString)
+    }
   }
 }
