@@ -698,7 +698,8 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = NumHashes / Bands
-    val sh = docShingles(spark, dir).filter(size(col("shingles")) > 0)
+    // staged shingles ([[stageDocShingles]]; live twin: q_dedup_ngram_jaccard)
+    val sh = docShinglesStaged(spark, dir).filter(size(col("shingles")) > 0)
     val sig = sh.select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(graft.util.Exprs.let(col("sig")) { sg =>
@@ -822,7 +823,8 @@ object Dedup {
                 (1 to rows).map(r => element_at(sg, b * rows + r)) :+ b.cast("string"): _*)))
           }).as(Seq("band", "bucket")))
     }
-    val all = docShingles(spark, dir)
+    // staged shingles ([[stageDocShingles]]; live twin: q_dedup_ngram_jaccard)
+    val all = docShinglesStaged(spark, dir)
     val histBands = bandsOf(all.filter(pmod(col("doc_id"), lit(10)) < 8))
     val newBands = bandsOf(all.filter(pmod(col("doc_id"), lit(10)) >= 8))
       // the batch is the small side: Bands rows per new doc — broadcast it
@@ -893,7 +895,8 @@ object Dedup {
     * verified pairs — candidate-bounded, never corpus all-pairs.
     */
   def minhashEstCheck(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).filter(size(col("shingles")) > 0)
+    // staged shingles ([[stageDocShingles]]; live twin: q_dedup_ngram_jaccard)
+    val sh = docShinglesStaged(spark, dir).filter(size(col("shingles")) > 0)
     val sig = sh.select(col("doc_id"), minhashSignature(col("shingles")).as("sig"))
     val pairs = minhashLsh(spark, dir)
     pairs
@@ -1068,7 +1071,8 @@ object Dedup {
     * join is eval-side broadcast (the eval set is always the small side).
     */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
+    // staged shingles ([[stageDocShingles]]; live twin: q_dedup_ngram_jaccard)
+    val sh = docShinglesStaged(spark, dir)
     val evalSh = sh.filter(col("doc_id") % 50 === 0)
       .select(explode(col("shingles")).as("s")).distinct()
     val train = sh.filter(col("doc_id") % 50 =!= 0)

@@ -39,7 +39,9 @@ class StagedArtifactsSpec extends SparkSpec {
     "stageKnnTruth"        -> ((Seq("q_knn_recall", "q_knn_pq_recall", "q_knn_sq_recall",
                                     "q_knn_rp_recall"), Seq("q_knn_bruteforce"))),
     "stageCustomerBaskets" -> ((Seq("q_basket_triples"), Seq("q_recs_itemcf"))),
-    "stageDocShingles"     -> ((Seq("q_dedup_jaccard_prefix", "q_dedup_containment"),
+    "stageDocShingles"     -> ((Seq("q_dedup_jaccard_prefix", "q_dedup_containment",
+                                    "q_dedup_minhash_lsh", "q_dedup_minhash_incremental",
+                                    "q_minhash_est_check", "q_decontamination"),
                                 Seq("q_dedup_ngram_jaccard"))),
     "stageDedupPairs"      -> ((Seq("q_dedup_resolution", "q_dedup_canonical"),
                                 Seq("q_dedup_jaccard_capped"))),
