@@ -144,27 +144,18 @@ object Dedup {
     */
   def stageDocShingles(spark: SparkSession, dir: String): String = {
     val t = docShinglesTable(dir)
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (doc_id BIGINT, shingles ARRAY<STRING>)
-             |USING PARQUET
-             |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $ShingleBuckets BUCKETS
-             |LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        docShingles(spark, dir)
-          // repartition on the bucket column first (the EdgeBuckets rule):
-          // the bucket hash and the shuffle hash agree, so each task owns
-          // exactly one bucket → one file per bucket
-          .repartition(ShingleBuckets, col("doc_id"))
-          .write.bucketBy(ShingleBuckets, "doc_id").sortBy("doc_id")
-          .mode("overwrite").saveAsTable(t)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (doc_id BIGINT, shingles ARRAY<STRING>)
+           |USING PARQUET
+           |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $ShingleBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)) {
+      docShingles(spark, dir)
+        // repartition on the bucket column first (the EdgeBuckets rule):
+        // the bucket hash and the shuffle hash agree, so each task owns
+        // exactly one bucket → one file per bucket
+        .repartition(ShingleBuckets, col("doc_id"))
+        .write.bucketBy(ShingleBuckets, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(t)
     }
     t
   }
@@ -197,25 +188,16 @@ object Dedup {
     */
   def stageDedupPairs(spark: SparkSession, dir: String): String = {
     val t = dedupPairsTable(dir)
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (doc_a BIGINT, doc_b BIGINT)
-             |USING PARQUET
-             |CLUSTERED BY (doc_a) SORTED BY (doc_a) INTO $ShingleBuckets BUCKETS
-             |LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        jaccardPairsCapped(docShinglesStaged(spark, dir), MaxShingleDF)
-          .select("doc_a", "doc_b")
-          .repartition(ShingleBuckets, col("doc_a"))
-          .write.bucketBy(ShingleBuckets, "doc_a").sortBy("doc_a")
-          .mode("overwrite").saveAsTable(t)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (doc_a BIGINT, doc_b BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (doc_a) SORTED BY (doc_a) INTO $ShingleBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)) {
+      jaccardPairsCapped(docShinglesStaged(spark, dir), MaxShingleDF)
+        .select("doc_a", "doc_b")
+        .repartition(ShingleBuckets, col("doc_a"))
+        .write.bucketBy(ShingleBuckets, "doc_a").sortBy("doc_a")
+        .mode("overwrite").saveAsTable(t)
     }
     t
   }

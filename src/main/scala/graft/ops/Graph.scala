@@ -160,46 +160,37 @@ object Graph {
     */
   def stageCopurchaseEdges(spark: SparkSession, dir: String): String = {
     val t = copurchaseTable(dir)
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (u BIGINT, v BIGINT, w BIGINT, s BIGINT)
-             |USING PARQUET
-             |CLUSTERED BY (u) SORTED BY (u) INTO $EdgeBuckets BUCKETS
-             |LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        val li = Tables.lineitem(spark, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .persist()
-        pairs.count() // feeds both union branches (+ deg via the union)
-        val edges = pairs.select("u", "v", "w")
-          .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
-          .persist()
-        edges.count() // feeds deg + the final join
-        // deg is node-cardinality narrow but the node set is the part
-        // catalog — it SCALES with the corpus, so no forced broadcast:
-        // the planner broadcasts at fixture scale and key-shuffles at
-        // corpus scale (a one-time cost inside the amortized stage)
-        val deg = edges.groupBy("u").agg(sum("w").as("s"))
-        // repartition on the bucket column first: the bucket hash and the
-        // shuffle hash agree, so each task owns exactly one bucket → one
-        // file per bucket instead of tasks × buckets
-        edges.join(deg, "u")
-          .repartition(EdgeBuckets, col("u"))
-          .write.bucketBy(EdgeBuckets, "u").sortBy("u")
-          .mode("overwrite").saveAsTable(t)
-        edges.unpersist(blocking = false)
-        pairs.unpersist(blocking = false)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (u BIGINT, v BIGINT, w BIGINT, s BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (u) SORTED BY (u) INTO $EdgeBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)) {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .persist()
+      pairs.count() // feeds both union branches (+ deg via the union)
+      val edges = pairs.select("u", "v", "w")
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .persist()
+      edges.count() // feeds deg + the final join
+      // deg is node-cardinality narrow but the node set is the part
+      // catalog — it SCALES with the corpus, so no forced broadcast:
+      // the planner broadcasts at fixture scale and key-shuffles at
+      // corpus scale (a one-time cost inside the amortized stage)
+      val deg = edges.groupBy("u").agg(sum("w").as("s"))
+      // repartition on the bucket column first: the bucket hash and the
+      // shuffle hash agree, so each task owns exactly one bucket → one
+      // file per bucket instead of tasks × buckets
+      edges.join(deg, "u")
+        .repartition(EdgeBuckets, col("u"))
+        .write.bucketBy(EdgeBuckets, "u").sortBy("u")
+        .mode("overwrite").saveAsTable(t)
+      edges.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
     }
     t
   }

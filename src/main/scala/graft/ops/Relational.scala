@@ -613,26 +613,24 @@ object Relational {
       // data still sits at the default location (saveAsTable would refuse
       // with LOCATION_ALREADY_EXISTS). That surviving data is exactly the
       // write-once/join-many point of bucketing — if it finished (_SUCCESS
-      // present in both dirs), RE-REGISTER it as an external bucketed
-      // table instead of paying the clustering write again; only a partial
-      // (crashed) stage is swept and rewritten.
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def loc(t: String) = new org.apache.hadoop.fs.Path(warehouse, t)
-      def complete(t: String) =
-        fs.exists(new org.apache.hadoop.fs.Path(loc(t), "_SUCCESS"))
-      if (complete(ot) && complete(lt)) {
+      // present in BOTH dirs — the tables stage-or-recover as a pair, so
+      // the single-table graft.util.Staged.needsBuild doesn't fit),
+      // RE-REGISTER it as an external bucketed table instead of paying the
+      // clustering write again; only a partial (crashed) stage is swept
+      // and rewritten. Probe/register/sweep ride the shared scaffold
+      // primitives.
+      import graft.util.Staged
+      if (Staged.isComplete(spark, ot) && Staged.isComplete(spark, lt)) {
         def register(t: String, schema: org.apache.spark.sql.types.StructType,
                      key: String): Unit =
           spark.sql(
             s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
                |CLUSTERED BY ($key) SORTED BY ($key) INTO $JoinBuckets BUCKETS
-               |LOCATION '${loc(t)}'""".stripMargin)
+               |LOCATION '${Staged.locOf(spark, t)}'""".stripMargin)
         register(ot, Tables.orders(spark, dir).schema, "o_orderkey")
         register(lt, Tables.lineitem(spark, dir).schema, "l_orderkey")
       } else {
-        Seq(ot, lt).foreach { t => if (fs.exists(loc(t))) fs.delete(loc(t), true) }
+        Seq(ot, lt).foreach(Staged.sweep(spark, _))
         Tables.orders(spark, dir).write.mode("overwrite")
           .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
         Tables.lineitem(spark, dir).write.mode("overwrite")
@@ -900,23 +898,14 @@ object Relational {
     */
   def stageCustomerBaskets(spark: SparkSession, dir: String): String = {
     val t = customerBasketsTable(dir)
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (ck BIGINT, part BIGINT) USING PARQUET
-             |CLUSTERED BY (ck) SORTED BY (ck) INTO $BasketBuckets BUCKETS
-             |LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        customerBaskets(spark, dir)
-          .repartition(BasketBuckets, col("ck"))
-          .write.bucketBy(BasketBuckets, "ck").sortBy("ck")
-          .mode("overwrite").saveAsTable(t)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (ck BIGINT, part BIGINT) USING PARQUET
+           |CLUSTERED BY (ck) SORTED BY (ck) INTO $BasketBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)) {
+      customerBaskets(spark, dir)
+        .repartition(BasketBuckets, col("ck"))
+        .write.bucketBy(BasketBuckets, "ck").sortBy("ck")
+        .mode("overwrite").saveAsTable(t)
     }
     t
   }

@@ -440,24 +440,21 @@ object Similarity {
     // the centroid derivation is part of the on-disk contract → in the name
     val (cellsT, centsT) = (s"ivf_cells${CentroidStride}$safe", s"ivf_cents${CentroidStride}$safe")
     if (!spark.catalog.tableExists(cellsT)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def loc(t: String) = new org.apache.hadoop.fs.Path(warehouse, t)
-      def complete(t: String) =
-        fs.exists(new org.apache.hadoop.fs.Path(loc(t), "_SUCCESS"))
-      if (complete(cellsT) && complete(centsT)) {
+      // pair-completeness recovery (the stageBucketedTables shape): both
+      // tables stage-or-recover together, riding the shared scaffold
+      // primitives rather than the single-table needsBuild
+      import graft.util.Staged
+      if (Staged.isComplete(spark, cellsT) && Staged.isComplete(spark, centsT)) {
         spark.sql(
           s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
              |USING PARQUET PARTITIONED BY (cell BIGINT)
-             |LOCATION '${loc(cellsT)}'""".stripMargin)
+             |LOCATION '${Staged.locOf(spark, cellsT)}'""".stripMargin)
         spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
         spark.sql(
           s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
-             |USING PARQUET LOCATION '${loc(centsT)}'""".stripMargin)
+             |USING PARQUET LOCATION '${Staged.locOf(spark, centsT)}'""".stripMargin)
       } else {
-        Seq(cellsT, centsT).foreach { t =>
-          if (fs.exists(loc(t))) fs.delete(loc(t), true) }
+        Seq(cellsT, centsT).foreach(Staged.sweep(spark, _))
         val vecs = vectors(spark, dir)
         val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
@@ -845,19 +842,10 @@ object Similarity {
     */
   def stageKnnTruth(spark: SparkSession, dir: String): String = {
     val t = knnTruthTable(dir)
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (query_id BIGINT, neighbor_id BIGINT,
-             |rank INT, sim DOUBLE) USING PARQUET LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        knnBruteForce(spark, dir).write.mode("overwrite").saveAsTable(t)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (query_id BIGINT, neighbor_id BIGINT,
+           |rank INT, sim DOUBLE) USING PARQUET LOCATION '$loc'""".stripMargin)) {
+      knnBruteForce(spark, dir).write.mode("overwrite").saveAsTable(t)
     }
     t
   }
@@ -1738,24 +1726,15 @@ object Similarity {
   def stageKmeansCells(spark: SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     val t = s"kmeans_cells${KmeansIters}_$CentroidStride$safe"
-    if (!spark.catalog.tableExists(t)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-        spark.sql(
-          s"""CREATE TABLE $t (vec_id BIGINT, cell BIGINT)
-             |USING PARQUET LOCATION '$loc'""".stripMargin)
-      } else {
-        if (fs.exists(loc)) fs.delete(loc, true)
-        val vecs = vectors(spark, dir).persist()
-        vecs.count()
-        val cents = lloydCents(vecs, KmeansIters)
-        assignCellsSim(vecs, cents).select(col("vec_id"), col("cell"))
-          .write.mode("overwrite").saveAsTable(t)
-        vecs.unpersist(blocking = false)
-      }
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (vec_id BIGINT, cell BIGINT)
+           |USING PARQUET LOCATION '$loc'""".stripMargin)) {
+      val vecs = vectors(spark, dir).persist()
+      vecs.count()
+      val cents = lloydCents(vecs, KmeansIters)
+      assignCellsSim(vecs, cents).select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").saveAsTable(t)
+      vecs.unpersist(blocking = false)
     }
     t
   }

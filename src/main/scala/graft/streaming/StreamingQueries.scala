@@ -555,15 +555,21 @@ object StreamingQueries {
       writeOne(horizon, f1, t - 120000L)
       writeOne(ev.limit(0), f2, t - 60000L)
       writeOne(ev.filter(col("event_id") % LateMod === 0), f3, t)
-      // the four-batch determinism RIDES the file source's oldest-first
-      // ordering, and setLastModified is allowed to silently no-op on
-      // filesystems that don't support it — verify the staged mtimes are
-      // strictly ascending and fail staging LOUDLY instead of handing the
-      // query an order-ambiguous input
-      val mtimes = Seq(f0, f1, f2, f3).map(f => f.getName -> f.lastModified())
-      require(mtimes.sliding(2).forall { case Seq(a, b) => a._2 < b._2 },
-        s"lateEventsInput: staged batch mtimes not strictly ascending " +
-          s"(setLastModified unsupported here?): $mtimes")
+    }
+    // The four-batch determinism RIDES the file source's oldest-first
+    // ordering, and setLastModified is allowed to silently no-op on
+    // filesystems that don't support it — verify the staged mtimes are
+    // strictly ascending and fail LOUDLY instead of handing the query an
+    // order-ambiguous input. Checked UNCONDITIONALLY (not just on the
+    // staging path): the files are durably written before the check, so a
+    // staging-branch-only guard would pass every later call straight
+    // through the line above it; on failure the staged files are deleted
+    // so the next call re-stages rather than re-reading the bad input.
+    val mtimes = Seq(f0, f1, f2, f3).map(f => f.getName -> f.lastModified())
+    if (!mtimes.sliding(2).forall { case Seq(a, b) => a._2 < b._2 }) {
+      Seq(f0, f1, f2, f3).foreach(_.delete())
+      sys.error(s"lateEventsInput: staged batch mtimes not strictly ascending " +
+        s"(setLastModified unsupported here?): $mtimes — staged files deleted, re-run to re-stage")
     }
     outDir.getAbsolutePath
   }

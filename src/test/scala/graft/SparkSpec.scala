@@ -16,6 +16,14 @@ trait SparkSpec extends AnyFunSuite {
     */
   def withClearCache[A](body: => A): A =
     try body finally spark.sharedState.cacheManager.clearCache()
+
+  /** All messages down a throwable's cause chain — loud-failure tests
+    * (raise_error guards, FAILFAST aborts) assert on the NAMED message,
+    * which Spark wraps in task/job failure layers.
+    */
+  def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
 }
 
 object SparkSpec {

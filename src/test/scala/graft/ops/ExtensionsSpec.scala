@@ -759,9 +759,6 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       tmp
     }
-    def messages(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).toSeq
     // doc 0 → truncated line: strict mode must REFUSE the shard, loudly
     val damaged = stage(Seq(
       (0L, "dead doc", "en", "s1", 8L),
@@ -769,9 +766,9 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception] {
       Ingestion.jsonlIngestStrict(spark, damaged).collect()
     }
-    assert(messages(e).exists(m =>
+    assert(causeMessages(e).exists(m =>
         m.contains("FAILFAST") || m.contains("Malformed") || m.contains("MALFORMED")),
-      messages(e).mkString(" | "))
+      causeMessages(e).mkString(" | "))
     // no corrupt ids planted → both modes emit the identical rollup (the
     // strict face is the SAME query on a clean corpus, not a different one)
     val clean = stage(Seq(

@@ -279,16 +279,13 @@ class StatsSpec extends SparkSpec {
 
   test("ksOfCounts: the 2³¹ pack ceiling FAILS LOUDLY instead of corrupting the cumulatives") {
     import spark.implicits._
-    def messages(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).toSeq
     // one row past the ceiling: a cumulative count of 2³¹ would carry into
     // the packed c1 field — the guard must surface the NAMED error
     val over = Seq((100L, 1L << 31, 1L)).toDF("v", "c1", "c2")
     withClearCache {
       val e = intercept[Exception] { Stats.ksOfCounts(over).collect() }
-      assert(messages(e).exists(_.contains("ksOfCounts: n1 >= 2^31")),
-             messages(e).mkString(" | "))
+      assert(causeMessages(e).exists(_.contains("ksOfCounts: n1 >= 2^31")),
+             causeMessages(e).mkString(" | "))
     }
     // directly below the ceiling the pack stays carry-free and the readout
     // completes: D = |1·(2³¹−1) − (2³¹−1)·1| / ((2³¹−1)·1) = 0 on a single
