@@ -504,12 +504,36 @@ object Stats {
     * PrefixSum pass (over t), a 1-row rollup. 2R₁ ≤ 2N² bounds
     * exactness to the same ~3·10⁹-row class documented there.
     */
-  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOfCounts(twoSampleCounts(spark, dir))
+
+  /** The Mann-Whitney readout over an arbitrary (v, c1, c2) counts
+    * relation — split out (the [[ksOfCounts]] discipline) so the
+    * exactness ceiling can be exercised at planted counts.
+    *
+    * The 2⁶³ ceiling is GUARDED, not just documented: the doubled-unit
+    * rank sum is bounded by n₁·(2N+1) (N = n₁+n₂ — every doubled midrank
+    * is ≤ 2N+1), and past 2⁶³ the BIGINT sum wraps silently (ANSI off)
+    * while the oracle's HUGEINT stays exact — divergent failure modes,
+    * the exact class the chi2/ksOfCounts guards close. The guard rides
+    * the 1-row totals aggregate (overflow-free: an integral `div` bound
+    * test, never the product itself) and is a no-op below ~10⁹ rows per
+    * sample.
+    */
+  def mannWhitneyOfCounts(counts: DataFrame): DataFrame = {
     // pinned for the same multi-pass reason as in ksTest
-    val pts = twoSampleCounts(spark, dir).withColumn("_g", lit(0)).persist()
+    val pts = counts.withColumn("_g", lit(0)).persist()
     val cum = graft.plans.PrefixSum.exclusiveRunningSum(
       pts, col("c1") + col("c2"), Seq("_g"), Seq("v"), out = "p")
     val tot = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      .select(
+        when(col("n1") > expr(s"${Long.MaxValue}L div (2 * (n1 + n2) + 1)"),
+          raise_error(concat(
+            lit("mannWhitney: doubled rank sum n1*(2N+1) would exceed 2^63 — " +
+              "move r1_x2 to DECIMAL(38,0) (see scaladoc): n1="),
+            col("n1").cast("string"), lit(" n2="), col("n2").cast("string"))))
+          .otherwise(col("n1")).as("n1"),
+        col("n2"))
     // grouped by the broadcast (n1, n2) scalars — NOT a global agg — so an
     // empty counts relation yields ZERO rows exactly like the oracle's
     // grouped form (a global .agg would emit one all-null row and the

@@ -297,6 +297,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitneyOfCounts: the 2⁶³ rank-sum ceiling FAILS LOUDLY instead of wrapping") {
+    import spark.implicits._
+    // n1 = n2 = 4·10⁹ → 2N+1 ≈ 1.6·10¹⁰ and Long.Max div (2N+1) ≈ 5.8·10⁸
+    // < n1: the doubled rank sum would pass 2⁶³ — the guard must surface
+    // the NAMED error, never a silently wrapped r1_x2
+    val over = Seq((100L, 4000000000L, 4000000000L)).toDF("v", "c1", "c2")
+    withClearCache {
+      val e = intercept[Exception] { Stats.mannWhitneyOfCounts(over).collect() }
+      assert(causeMessages(e).exists(_.contains("mannWhitney: doubled rank sum")),
+             causeMessages(e).mkString(" | "))
+    }
+    // far below the ceiling the readout is unchanged: the KS fixture's
+    // hand computation (see the midrank test below) still holds
+    val under = Seq((100L, 2L, 1L), (200L, 1L, 0L)).toDF("v", "c1", "c2")
+    withClearCache {
+      val r = Stats.mannWhitneyOfCounts(under).collect()
+      assert(r.length == 1 && r.head.getAs[Long]("n1") == 3L, r.mkString(","))
+    }
+  }
+
   test("ksTest: hand-computed exact D on a tied merged support; other flags excluded") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("kstest").toFile.getAbsolutePath
