@@ -124,6 +124,21 @@ object Stats {
     val rowT = cell.groupBy("returnflag").agg(sum("n_obs").as("rt"))
     val colT = cell.groupBy("linestatus").agg(sum("n_obs").as("ct"))
     val tot = cell.agg(sum("n_obs").as("n"))
+    // The 38-digit ceilings are GUARDED, not just documented (the
+    // ksOfCounts discipline): under ANSI (the Spark 4 session default) a
+    // decimal overflow already errors loudly, but an ANSI-OFF deployment
+    // NULLs silently while the oracle's HUGEINT errors — divergent failure
+    // modes. dev²·10⁶ stays inside DECIMAL(38,0) iff |dev| < 10¹⁶
+    // (reachable near ~10¹² fact rows — the dev guard fires BEFORE any
+    // overflow, in both ANSI modes), and the rt·ct·n denominator overflows
+    // past ~4.6·10¹² rows (ANSI errors / the null-guard fires). Both
+    // checks ride the |flags|×|statuses| cell relation — a handful of
+    // rows, zero hot-path cost. StatsSpec forces both.
+    def ceilGuard(c: Column, what: String, bad: Column): Column =
+      when(bad, raise_error(concat(
+        lit(s"chi2: $what exceeds the DECIMAL(38,0) exactness ceiling " +
+          "(see scaladoc): "),
+        coalesce(c.cast("string"), lit("overflow-null"))))).otherwise(c)
     cell.join(broadcast(rowT), "returnflag")
       .join(broadcast(colT), "linestatus")
       .crossJoin(broadcast(tot))
@@ -132,12 +147,17 @@ object Stats {
       // the oracle's HUGEINT errors — divergent failure modes); in
       // DECIMAL(38,0) both products and their difference stay exact to the
       // same 38-digit ceiling the squared term already documents
-      .withColumn("dev",
+      .withColumn("dev0",
         col("n_obs").cast(DecimalType(38, 0)) * col("n") -
         col("rt").cast(DecimalType(38, 0)) * col("ct"))
+      .withColumn("dev", ceilGuard(col("dev0"), "deviation |O*N - R*C|",
+        col("dev0").isNull ||
+          abs(col("dev0")) >= lit(new java.math.BigDecimal("10000000000000000"))))
+      .withColumn("den0", expr("CAST(rt AS DECIMAL(38,0)) * ct * n"))
+      .withColumn("den", ceilGuard(col("den0"), "denominator rt*ct*n",
+        col("den0").isNull))
       .select(col("returnflag"), col("linestatus"), col("n_obs"),
-              expr("(dev * dev * 1000000) div (CAST(rt AS DECIMAL(38,0)) * ct * n)")
-                .as("term_ppm"))
+              expr("(dev * dev * 1000000) div den").as("term_ppm"))
       .orderBy("returnflag", "linestatus")
   }
 

@@ -277,6 +277,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("chi2OfCells: both DECIMAL(38,0) ceilings FAIL LOUDLY instead of NULLing silently") {
+    import spark.implicits._
+    def run(cells: Seq[(String, String, Long)]): Unit = withClearCache {
+      Stats.chi2OfCells(cells.toDF("returnflag", "linestatus", "n_obs")).collect()
+      ()
+    }
+    // |dev| = 10¹⁶ exactly (delta 10⁶ at n = 10¹⁰): dev²·10⁶ would need 39
+    // digits — the deviation guard must fire the NAMED error
+    val dHi = 2500000000L + 1000000L
+    val dLo = 2500000000L - 1000000L
+    val devOver = intercept[Exception] {
+      run(Seq(("R", "O", dHi), ("R", "F", dLo), ("N", "O", dLo), ("N", "F", dHi)))
+    }
+    assert(causeMessages(devOver).exists(_.contains("chi2: deviation")),
+           causeMessages(devOver).mkString(" | "))
+    // n = 10¹³ with zero deviation: rt·ct·n = 2.5·10³⁸ overflows the
+    // denominator — under ANSI (the Spark 4 session default) the engine
+    // itself errors loudly (NUMERIC_VALUE_OUT_OF_RANGE); with ANSI off the
+    // multiply NULLs and OUR guard fires. Either way the failure is
+    // DETECTABLE, never a silent null/wrong term (dev = 0 passes its gate)
+    val big = 2500000000000L
+    val denOver = intercept[Exception] {
+      run(Seq(("R", "O", big), ("R", "F", big), ("N", "O", big), ("N", "F", big)))
+    }
+    assert(causeMessages(denOver).exists(m =>
+        m.contains("chi2: denominator") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      causeMessages(denOver).mkString(" | "))
+  }
+
   test("ksOfCounts: the 2³¹ pack ceiling FAILS LOUDLY instead of corrupting the cumulatives") {
     import spark.implicits._
     // one row past the ceiling: a cumulative count of 2³¹ would carry into
