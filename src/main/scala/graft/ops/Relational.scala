@@ -607,35 +607,29 @@ object Relational {
     // of the staged name: a JoinBuckets change can never silently re-read
     // files clustered under the old spec
     val (ot, lt) = (s"b_orders${JoinBuckets}$safe", s"b_lineitem${JoinBuckets}$safe")
-    if (!spark.catalog.tableExists(ot)) {
-      // The warehouse DIRECTORY outlives the in-memory catalog: a fresh
-      // session sees tableExists=false while the previous JVM's staged
-      // data still sits at the default location (saveAsTable would refuse
-      // with LOCATION_ALREADY_EXISTS). That surviving data is exactly the
-      // write-once/join-many point of bucketing — if it finished (_SUCCESS
-      // present in BOTH dirs — the tables stage-or-recover as a pair, so
-      // the single-table graft.util.Staged.needsBuild doesn't fit),
-      // RE-REGISTER it as an external bucketed table instead of paying the
-      // clustering write again; only a partial (crashed) stage is swept
-      // and rewritten. Probe/register/sweep ride the shared scaffold
-      // primitives.
-      import graft.util.Staged
-      if (Staged.isComplete(spark, ot) && Staged.isComplete(spark, lt)) {
-        def register(t: String, schema: org.apache.spark.sql.types.StructType,
-                     key: String): Unit =
-          spark.sql(
-            s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO $JoinBuckets BUCKETS
-               |LOCATION '${Staged.locOf(spark, t)}'""".stripMargin)
-        register(ot, Tables.orders(spark, dir).schema, "o_orderkey")
-        register(lt, Tables.lineitem(spark, dir).schema, "l_orderkey")
-      } else {
-        Seq(ot, lt).foreach(Staged.sweep(spark, _))
-        Tables.orders(spark, dir).write.mode("overwrite")
-          .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-        Tables.lineitem(spark, dir).write.mode("overwrite")
-          .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-      }
+    // The warehouse DIRECTORY outlives the in-memory catalog: a fresh
+    // session sees tableExists=false while the previous JVM's staged
+    // data still sits at the default location (saveAsTable would refuse
+    // with LOCATION_ALREADY_EXISTS). That surviving data is exactly the
+    // write-once/join-many point of bucketing — if it finished (_SUCCESS
+    // present in BOTH dirs — the tables stage-or-recover as a PAIR),
+    // re-register both as external bucketed tables instead of paying the
+    // clustering write again; a partial or half-staged pair is swept and
+    // rewritten (graft.util.Staged.needsBuildPair scaladoc).
+    def register(t: String, schema: org.apache.spark.sql.types.StructType,
+                 key: String): Unit =
+      spark.sql(
+        s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $JoinBuckets BUCKETS
+           |LOCATION '${graft.util.Staged.locOf(spark, t)}'""".stripMargin)
+    if (graft.util.Staged.needsBuildPair(spark, ot, lt) {
+          register(ot, Tables.orders(spark, dir).schema, "o_orderkey")
+          register(lt, Tables.lineitem(spark, dir).schema, "l_orderkey")
+        }) {
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(spark, dir).write.mode("overwrite")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     }
     (ot, lt)
   }

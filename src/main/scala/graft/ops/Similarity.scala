@@ -439,32 +439,30 @@ object Similarity {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     // the centroid derivation is part of the on-disk contract → in the name
     val (cellsT, centsT) = (s"ivf_cells${CentroidStride}$safe", s"ivf_cents${CentroidStride}$safe")
-    if (!spark.catalog.tableExists(cellsT)) {
-      // pair-completeness recovery (the stageBucketedTables shape): both
-      // tables stage-or-recover together, riding the shared scaffold
-      // primitives rather than the single-table needsBuild
-      import graft.util.Staged
-      if (Staged.isComplete(spark, cellsT) && Staged.isComplete(spark, centsT)) {
-        spark.sql(
-          s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
-             |USING PARQUET PARTITIONED BY (cell BIGINT)
-             |LOCATION '${Staged.locOf(spark, cellsT)}'""".stripMargin)
-        spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
-        spark.sql(
-          s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
-             |USING PARQUET LOCATION '${Staged.locOf(spark, centsT)}'""".stripMargin)
-      } else {
-        Seq(cellsT, centsT).foreach(Staged.sweep(spark, _))
-        val vecs = vectors(spark, dir)
-        val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
-        val cents = refinedCentroids(vecs, seeds).persist()
-        assignCells(vecs, cents)
-          .select(col("vec_id"), col("v"), col("nv"), col("cell"))
-          .write.partitionBy("cell").mode("overwrite").saveAsTable(cellsT)
-        cents.write.mode("overwrite").saveAsTable(centsT)
-        cents.unpersist(blocking = false)
-      }
+    // pair-completeness recovery (the stageBucketedTables shape): both
+    // tables stage-or-recover TOGETHER through the shared pair scaffold —
+    // a half-staged crash state drops back to disk and rebuilds
+    // (graft.util.Staged.needsBuildPair scaladoc)
+    import graft.util.Staged
+    if (Staged.needsBuildPair(spark, cellsT, centsT) {
+          spark.sql(
+            s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
+               |USING PARQUET PARTITIONED BY (cell BIGINT)
+               |LOCATION '${Staged.locOf(spark, cellsT)}'""".stripMargin)
+          spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
+          spark.sql(
+            s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
+               |USING PARQUET LOCATION '${Staged.locOf(spark, centsT)}'""".stripMargin)
+        }) {
+      val vecs = vectors(spark, dir)
+      val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
+      val cents = refinedCentroids(vecs, seeds).persist()
+      assignCells(vecs, cents)
+        .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+        .write.partitionBy("cell").mode("overwrite").saveAsTable(cellsT)
+      cents.write.mode("overwrite").saveAsTable(centsT)
+      cents.unpersist(blocking = false)
     }
     (cellsT, centsT)
   }

@@ -567,9 +567,16 @@ object StreamingQueries {
     // so the next call re-stages rather than re-reading the bad input.
     val mtimes = Seq(f0, f1, f2, f3).map(f => f.getName -> f.lastModified())
     if (!mtimes.sliding(2).forall { case Seq(a, b) => a._2 < b._2 }) {
-      Seq(f0, f1, f2, f3).foreach(_.delete())
+      // delete() may itself fail on the same filesystem that rejected
+      // setLastModified — report the REAL cleanup outcome, never a false
+      // "deleted" that sends the caller into a re-stage that cannot happen
+      val undeleted = Seq(f0, f1, f2, f3).filter(_.exists()).filterNot(_.delete())
+      val cleanup =
+        if (undeleted.isEmpty) "staged files deleted, re-run to re-stage"
+        else s"could NOT delete ${undeleted.map(_.getName).mkString(",")} — " +
+          s"remove $outDir manually"
       sys.error(s"lateEventsInput: staged batch mtimes not strictly ascending " +
-        s"(setLastModified unsupported here?): $mtimes — staged files deleted, re-run to re-stage")
+        s"(setLastModified unsupported here?): $mtimes — $cleanup")
     }
     outDir.getAbsolutePath
   }

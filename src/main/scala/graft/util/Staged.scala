@@ -56,4 +56,33 @@ object Staged {
       sweep(spark, table)
       true
     }
+
+  /** Pair scaffold for tables that stage-or-recover TOGETHER (the
+    * bucketed-join and IVF pairs). Returns true iff the caller must BUILD
+    * both; `register` re-registers both from finished on-disk stages.
+    *
+    * Closes the half-staged crash hole (r12 review): a crash between the
+    * pair's two writes/registers leaves exactly one table in the catalog,
+    * and a first-table-only probe would short-circuit forever while
+    * consumers die on the missing second table. Here a half-registered
+    * pair is dropped back to disk state and recovery re-evaluated: both
+    * finished on disk → re-register both; anything else → sweep both and
+    * rebuild (a managed-table DROP deletes its files, so the partial pair
+    * correctly fails the completeness probe and rebuilds from scratch).
+    */
+  def needsBuildPair(spark: SparkSession, a: String, b: String)
+                    (register: => Unit): Boolean = {
+    val (ea, eb) = (spark.catalog.tableExists(a), spark.catalog.tableExists(b))
+    if (ea && eb) return false
+    if (ea) spark.sql(s"DROP TABLE $a")
+    if (eb) spark.sql(s"DROP TABLE $b")
+    if (isComplete(spark, a) && isComplete(spark, b)) {
+      register
+      false
+    } else {
+      sweep(spark, a)
+      sweep(spark, b)
+      true
+    }
+  }
 }

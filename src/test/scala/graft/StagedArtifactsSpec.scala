@@ -306,6 +306,20 @@ class StagedArtifactsSpec extends SparkSpec {
       "re-registered table lost its bucket spec")
   }
 
+  test("pair-staged tables self-heal from a half-staged crash state") {
+    // a crash between the pair's two writes leaves exactly one table in
+    // the catalog; a first-table-only probe would short-circuit forever
+    // while consumers die on the missing half (r12 review item) — the
+    // pair scaffold must drop back to disk state and rebuild/re-register
+    val (ot, lt) = ops.Relational.stageBucketedTables(spark, dir)
+    spark.sql(s"DROP TABLE $lt") // simulate the crash-between-writes state
+    assert(spark.catalog.tableExists(ot) && !spark.catalog.tableExists(lt))
+    val (ot2, lt2) = ops.Relational.stageBucketedTables(spark, dir)
+    assert(spark.catalog.tableExists(ot2) && spark.catalog.tableExists(lt2),
+      "half-staged pair did not self-heal")
+    assert(spark.table(ot2).count() > 0 && spark.table(lt2).count() > 0)
+  }
+
   test("staged artifact recovery: doc_shingles re-registers finished on-disk stages too") {
     // same contract as the co-purchase recovery test, exercised on the
     // round-12 artifact: a finished stage (_SUCCESS present) must be

@@ -148,10 +148,8 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception] {
       Curation.cdcChunks(spark, tmp).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(m => m.contains("requires ASCII") && m.contains("doc_id=2")),
-      s"expected the named ASCII-guard error, got: ${messages(e).mkString(" | ")}")
+    assert(causeMessages(e).exists(m => m.contains("requires ASCII") && m.contains("doc_id=2")),
+      s"expected the named ASCII-guard error, got: ${causeMessages(e).mkString(" | ")}")
   }
 
   test("epochShuffle: shards tile positions exactly, membership conserves, hash order mixes sources") {
