@@ -14,8 +14,13 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = queries.map { case (name, run) =>
       val t0 = System.nanoTime()
+      // Throwable, not NonFatal: a late-suite OOM (the historical old-gen
+      // flap class) must not abort the run and discard ~190 completed
+      // timings before bench_out.json is written — partial timings plus a
+      // loud failed entry beat total loss, and correctness is separately
+      // gated so nothing wrong can hide here.
       try run() catch {
-        case scala.util.control.NonFatal(e) =>
+        case e: Throwable =>
           failed += name
           System.err.println(s"BENCH FAILED: $name — $e")
           e.printStackTrace()

@@ -122,9 +122,13 @@ object Dedup {
 
   /** Warehouse table name for the staged (doc_id, shingles) relation of
     * `dir` (content-addressed by fixture dir, like every staged artifact).
+    * EVERY semantic constant of the artifact is in the name (the
+    * name-encodes-semantics rule): a [[ShingleN]] or bucket change can
+    * never crash-recover a stale artifact built under the old constants.
     */
   def docShinglesTable(dir: String): String =
-    s"doc_shingles$ShingleBuckets" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"doc_shingles_n${ShingleN}_b$ShingleBuckets" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Stage the per-doc shingle relation as a WRITE-ONCE artifact —
     * `(doc_id, shingles)` bucketed and sorted by `doc_id` (r11 verdict
@@ -168,11 +172,14 @@ object Dedup {
     spark.table(stageDocShingles(spark, dir))
 
   /** Warehouse table name for the staged DF-capped verified pair relation
-    * of `dir`. The cap is part of the semantics, so part of the name.
+    * of `dir`. EVERY semantic constant is in the name — the DF cap, the
+    * Jaccard threshold (in integer percent), the shingle width, the bucket
+    * count — so a constant change can never crash-recover pairs computed
+    * under the old semantics (the name-encodes-semantics rule).
     */
   def dedupPairsTable(dir: String): String =
-    s"dedup_pairs_df${MaxShingleDF}_b$ShingleBuckets" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"dedup_pairs_t${math.round(JaccardThreshold * 100)}_df${MaxShingleDF}" +
+      s"_n${ShingleN}_b$ShingleBuckets" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Stage the DF-capped verified near-dup PAIR relation `(doc_a, doc_b)`
     * — [[jaccardPairsCapped]] at [[MaxShingleDF]], the edge list BOTH

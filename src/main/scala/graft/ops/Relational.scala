@@ -616,16 +616,16 @@ object Relational {
     // re-register both as external bucketed tables instead of paying the
     // clustering write again; a partial or half-staged pair is swept and
     // rewritten (graft.util.Staged.needsBuildPair scaladoc).
-    def register(t: String, schema: org.apache.spark.sql.types.StructType,
-                 key: String): Unit =
+    def register(t: String): Unit = {
+      val (schema, key) =
+        if (t == ot) (Tables.orders(spark, dir).schema, "o_orderkey")
+        else (Tables.lineitem(spark, dir).schema, "l_orderkey")
       spark.sql(
         s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $JoinBuckets BUCKETS
            |LOCATION '${graft.util.Staged.locOf(spark, t)}'""".stripMargin)
-    if (graft.util.Staged.needsBuildPair(spark, ot, lt) {
-          register(ot, Tables.orders(spark, dir).schema, "o_orderkey")
-          register(lt, Tables.lineitem(spark, dir).schema, "l_orderkey")
-        }) {
+    }
+    if (graft.util.Staged.needsBuildPair(spark, ot, lt)(register)) {
       Tables.orders(spark, dir).write.mode("overwrite")
         .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
       Tables.lineitem(spark, dir).write.mode("overwrite")

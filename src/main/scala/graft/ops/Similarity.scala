@@ -444,16 +444,19 @@ object Similarity {
     // a half-staged crash state drops back to disk and rebuilds
     // (graft.util.Staged.needsBuildPair scaladoc)
     import graft.util.Staged
-    if (Staged.needsBuildPair(spark, cellsT, centsT) {
-          spark.sql(
-            s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
-               |USING PARQUET PARTITIONED BY (cell BIGINT)
-               |LOCATION '${Staged.locOf(spark, cellsT)}'""".stripMargin)
-          spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
-          spark.sql(
-            s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
-               |USING PARQUET LOCATION '${Staged.locOf(spark, centsT)}'""".stripMargin)
-        }) {
+    def register(t: String): Unit =
+      if (t == cellsT) {
+        spark.sql(
+          s"""CREATE TABLE $cellsT (vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
+             |USING PARQUET PARTITIONED BY (cell BIGINT)
+             |LOCATION '${Staged.locOf(spark, cellsT)}'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $cellsT") // discover surviving partitions
+      } else {
+        spark.sql(
+          s"""CREATE TABLE $centsT (cent_id BIGINT, cv ARRAY<DOUBLE>, nc DOUBLE)
+             |USING PARQUET LOCATION '${Staged.locOf(spark, centsT)}'""".stripMargin)
+      }
+    if (Staged.needsBuildPair(spark, cellsT, centsT)(register)) {
       val vecs = vectors(spark, dir)
       val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))

@@ -1,38 +1,27 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Time a targeted subset of queries under Bench-identical conditions
-  * (same session config, same untimed warmup + inter-query cleanup) —
-  * the dev loop for single-query optimization without paying a full
-  * suite run. Usage: BenchSome <sfDir> <query>... (repeat a name to
-  * measure warm-vs-cold within one JVM; suffix a name with `@/other/sf`
-  * to run that one against a different fixture — the warmup-transfer
-  * experiment: `q_x@/root/testdata/sf0.001 q_x` measures q_x at the
-  * default dir after an sf0.001 pass compiled its pipeline).
+  * (same session config, same untimed warmup + inter-query cleanup via
+  * [[ToolSession]]) — the dev loop for single-query optimization without
+  * paying a full suite run. Usage: BenchSome <sfDir> <query>... (repeat a
+  * name to measure warm-vs-cold within one JVM; suffix a name with
+  * `@/other/sf` to run that one against a different fixture — the
+  * warmup-transfer experiment: `q_x@/root/testdata/sf0.001 q_x` measures
+  * q_x at the default dir after an sf0.001 pass compiled its pipeline).
   */
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val spark = ToolSession.start()
     names.foreach { spec =>
       val (name, dir) = spec.split("@", 2) match {
         case Array(n, d) => (n, d)
         case _           => (spec, sfDir)
       }
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"== $spec: ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
-      spark.catalog.clearCache()
-      System.gc()
+      ToolSession.timed(spark, s"== $spec ==") {
+        graft.SparkEntry.queries(name)(spark, dir).count()
+      }
     }
     spark.stop()
   }

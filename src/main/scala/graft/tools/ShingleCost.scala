@@ -1,40 +1,37 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
-/** Measures the shared shingle-build cost the staged doc_shingles artifact
-  * would reclaim (r11 verdict item 5): times docShingles materialization
-  * and the three conversion-candidate queries at the given fixture.
+/** Measures the LIVE shingle/pair build costs the staged doc_shingles and
+  * dedup_pairs artifacts amortize, next to the staged-consumer timings —
+  * the conversion-benefit check for r11 verdict item 5. The consumers now
+  * self-stage, so this tool times the live pipelines EXPLICITLY (a plain
+  * consumer rep would bill the one-time staging to rep 1 and staged reads
+  * to rep 2 — neither is the live cost), and drops the staged tables it
+  * creates so a probe run cannot leave pre-staged artifacts behind for a
+  * later bench to silently recover.
   * Usage: ShingleCost <sfDir>
   */
 object ShingleCost {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def t(label: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      body
-      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.catalog.clearCache(); System.gc()
-    }
+    val spark = ToolSession.start()
+    def t(label: String)(body: => Unit): Unit = ToolSession.timed(spark, label)(body)
+    val D = graft.ops.Dedup
     (1 to 2).foreach { i =>
       println(s"== rep $i ==")
-      t("docShingles-count")(graft.ops.Dedup.docShingles(spark, dir).count())
-      t("docShingles-write") {
-        graft.ops.Dedup.docShingles(spark, dir)
-          .write.mode("overwrite").parquet("target/tmp/shingle_cost_probe")
+      t("live docShingles materialize")(D.docShingles(spark, dir).count())
+      t("live capped pairs build") {
+        D.jaccardPairsCapped(D.docShingles(spark, dir), D.MaxShingleDF)
+          .select("doc_a", "doc_b").count()
       }
-      t("q_dedup_jaccard_prefix")(graft.ops.Dedup.ngramJaccardPrefix(spark, dir).count())
-      t("q_dedup_resolution")(graft.ops.Dedup.dedupResolution(spark, dir).count())
-      t("q_dedup_canonical")(graft.ops.Dedup.dedupCanonical(spark, dir).count())
+      // staged-consumer timings (first call inside rep 1 pays the staging
+      // write — printed separately so the one-time cost is visible)
+      t("q_dedup_jaccard_prefix (staged)")(D.ngramJaccardPrefix(spark, dir).count())
+      t("q_dedup_resolution (staged)")(D.dedupResolution(spark, dir).count())
+      t("q_dedup_canonical (staged)")(D.dedupCanonical(spark, dir).count())
     }
+    // leave no pre-staged artifacts behind for a later bench run
+    Seq(D.docShinglesTable(dir), D.dedupPairsTable(dir))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

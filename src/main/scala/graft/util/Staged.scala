@@ -59,27 +59,32 @@ object Staged {
 
   /** Pair scaffold for tables that stage-or-recover TOGETHER (the
     * bucketed-join and IVF pairs). Returns true iff the caller must BUILD
-    * both; `register` re-registers both from finished on-disk stages.
+    * both; `register` re-registers ONE named table from its finished
+    * on-disk stage (called once per missing table).
     *
     * Closes the half-staged crash hole (r12 review): a crash between the
     * pair's two writes/registers leaves exactly one table in the catalog,
     * and a first-table-only probe would short-circuit forever while
-    * consumers die on the missing second table. Here a half-registered
-    * pair is dropped back to disk state and recovery re-evaluated: both
-    * finished on disk → re-register both; anything else → sweep both and
-    * rebuild (a managed-table DROP deletes its files, so the partial pair
-    * correctly fails the completeness probe and rebuilds from scratch).
+    * consumers die on the missing second table. Recovery checks DISK
+    * completeness FIRST: when both halves are finished on disk, only the
+    * missing catalog entries are re-registered — a finished registered
+    * half is never dropped, so no recoverable data is destroyed. Only a
+    * genuinely partial pair (either half incomplete) is dropped back to
+    * disk, swept, and rebuilt as a unit.
     */
   def needsBuildPair(spark: SparkSession, a: String, b: String)
-                    (register: => Unit): Boolean = {
-    val (ea, eb) = (spark.catalog.tableExists(a), spark.catalog.tableExists(b))
-    if (ea && eb) return false
-    if (ea) spark.sql(s"DROP TABLE $a")
-    if (eb) spark.sql(s"DROP TABLE $b")
+                    (register: String => Unit): Boolean = {
+    val missing = Seq(a, b).filterNot(spark.catalog.tableExists)
+    if (missing.isEmpty) return false
     if (isComplete(spark, a) && isComplete(spark, b)) {
-      register
+      missing.foreach(register)
       false
     } else {
+      // partial pair: drop any registered half (a managed drop deletes its
+      // files, correctly failing a later completeness probe), sweep both,
+      // rebuild as a unit
+      Seq(a, b).filter(spark.catalog.tableExists)
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
       sweep(spark, a)
       sweep(spark, b)
       true

@@ -320,6 +320,26 @@ class StagedArtifactsSpec extends SparkSpec {
     assert(spark.table(ot2).count() > 0 && spark.table(lt2).count() > 0)
   }
 
+  test("pair recovery: a finished registered half is never dropped — only the missing half re-registers") {
+    // the no-data-loss branch (r12 review): both halves finished on disk,
+    // one lost its catalog entry (fresh-catalog state) — recovery must
+    // re-register ONLY the missing table and leave the registered one's
+    // data untouched
+    val (ot, lt) = ops.Relational.stageBucketedTables(spark, dir)
+    val before = spark.table(lt).count()
+    val fs = util.Staged.fsOf(spark)
+    val loc = util.Staged.locOf(spark, lt)
+    val bak = new org.apache.hadoop.fs.Path(loc.getParent, lt + "_bak")
+    assert(fs.rename(loc, bak), "could not move staged files aside")
+    spark.sql(s"DROP TABLE $lt") // entry gone; real files safe in bak
+    assert(fs.rename(bak, loc), "could not restore staged files")
+    // now: ot registered+complete, lt unregistered+complete
+    val (ot2, lt2) = ops.Relational.stageBucketedTables(spark, dir)
+    assert(spark.catalog.tableExists(ot2) && spark.catalog.tableExists(lt2))
+    assert(spark.table(lt2).count() == before,
+      "re-registered half lost rows — recovery rebuilt instead of re-registering")
+  }
+
   test("staged artifact recovery: doc_shingles re-registers finished on-disk stages too") {
     // same contract as the co-purchase recovery test, exercised on the
     // round-12 artifact: a finished stage (_SUCCESS present) must be
