@@ -5,31 +5,45 @@ object Bench {
     * never silently time as near-zero: correctness is separately gated
     * (Verify) so a swallow can't hide a wrong answer, but it would flatter
     * the total. Names collect into the returned failed list (→ the JSON's
-    * `"failed"` array); the trace goes to stderr. BenchSpec forces a throw
-    * to lock the behavior.
+    * `"failed"` array); the trace goes to stderr. A JVM-FATAL error
+    * (OutOfMemoryError, StackOverflowError, …) additionally ABORTS the
+    * run (r12 advice): after one the JVM is in an undefined state, so
+    * every subsequent timing would be unreliable — the completed timings
+    * plus the failed entry still flush to bench_out.json, tagged
+    * `"tainted"`, and the process exits nonzero. BenchSpec forces both
+    * throw classes to lock the behavior.
     */
   private[graft] def timeQueries(
       queries: Seq[(String, () => Unit)],
-      cleanup: () => Unit = () => ()): (Seq[(String, Double)], Seq[String]) = {
+      cleanup: () => Unit = () => ())
+      : (Seq[(String, Double)], Seq[String], Option[String]) = {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = queries.map { case (name, run) =>
+    val results = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var fatal: Option[String] = None
+    val it = queries.iterator
+    while (it.hasNext && fatal.isEmpty) {
+      val (name, run) = it.next()
       val t0 = System.nanoTime()
-      // Throwable, not NonFatal: a late-suite OOM (the historical old-gen
-      // flap class) must not abort the run and discard ~190 completed
-      // timings before bench_out.json is written — partial timings plus a
-      // loud failed entry beat total loss, and correctness is separately
-      // gated so nothing wrong can hide here.
+      // non-fatal Throwables must not abort the run and discard ~190
+      // completed timings before bench_out.json is written — partial
+      // timings plus a loud failed entry beat total loss, and correctness
+      // is separately gated so nothing wrong can hide here.
       try run() catch {
+        case e: VirtualMachineError =>
+          failed += name
+          fatal = Some(s"${e.getClass.getSimpleName} at $name")
+          System.err.println(s"BENCH FATAL (run aborted): $name — $e")
+          e.printStackTrace()
         case e: Throwable =>
           failed += name
           System.err.println(s"BENCH FAILED: $name — $e")
           e.printStackTrace()
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      name -> dt
+      results += (name -> dt)
+      if (fatal.isEmpty) cleanup() // a wedged JVM gets no best-effort GC pass
     }
-    (results, failed.toList)
+    (results.toList, failed.toList, fatal)
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,15 +74,14 @@ object Bench {
     // sf0.1 in a fresh JVM) that no other query's warmup reaches. The
     // sf0.001 pass compiles the same operator pipelines untimed.
     // q_stream_ks joins the JIT-warm list (r11 verdict item 1): its
-    // pipeline pairs a stateful complete-mode streaming aggregation with
-    // the ksOfCounts readout over a MEMORY-sink relation — codegen no
-    // other query compiles (q_ks_test's readout child is a parquet scan,
-    // so its generated sources differ). Measured at sf0.1 fresh-JVM:
+    // stateful complete-mode streaming aggregation + foreachBatch sink
+    // write is codegen no other query compiles (q_ks_test shares only the
+    // readout). Measured at sf0.1 fresh-JVM with the old memory drain:
     // 8.5 s cold vs 3.8-5.2 s after an sf0.001 pass; the driver windows
     // billed that cold-start to the timed run two rounds straight
     // (9.8 s r11, 6.8 s r10 vs the 4.2 s quiet anchor). Codegen-only:
-    // nothing staged — the sf0.001 memory table is replaced by the timed
-    // run's own sink.
+    // nothing staged — the sf0.001 drain directory is overwritten by the
+    // timed run's own drain.
     Seq("q_triangles", "q_pagerank", "q_bfs_hops", "q_basket_triples",
         "q_stream_ks").foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
@@ -103,7 +116,7 @@ object Bench {
     // 13.6 s-vs-3.8 s flap shape.
     spark.catalog.clearCache()
     System.gc()
-    val (results, failed) = timeQueries(
+    val (results, failed, fatal) = timeQueries(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .map { case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () }) },
       // Untimed inter-query cleanup: broadcast blocks from finished joins
@@ -117,8 +130,9 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    val taintedJson = fatal.fold("")(f => s""","tainted":"$f"""")
     def lineOf(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$taintedJson,"sf":"$sfDir"}"""
     // Full per-query map (alphabetical) → bench_out.json. The harness
     // captures only a bounded stdout TAIL (~2000 chars, BENCH_r04/r05 both
     // truncated), and the suite has outgrown it at any numeric precision —
@@ -155,6 +169,14 @@ object Bench {
     // harness tail-parser never extracted it mid-tail — BENCH_r04/r05/r06
     // all record parsed:null; build.sbt additionally unwraps sbt's [info]
     // prefix and suppresses the trailing [success] line).
+    // After a FATAL VM error spark.stop() is skipped (the wedged JVM may
+    // hang in shutdown) and the exit is nonzero — the tainted JSON already
+    // flushed above.
+    if (fatal.isDefined) {
+      System.err.println(s"BENCH ABORTED: ${fatal.get} — timings after it not taken")
+      println(stdoutLine)
+      sys.exit(1)
+    }
     spark.stop()
     println(stdoutLine)
   }

@@ -154,8 +154,12 @@ object Stats {
         col("dev0").isNull ||
           abs(col("dev0")) >= lit(new java.math.BigDecimal("10000000000000000"))))
       .withColumn("den0", expr("CAST(rt AS DECIMAL(38,0)) * ct * n"))
+      // den0.isNull is the ANSI-off overflow shape; den0 === 0 (reachable
+      // through the public chi2OfCells API with zero counts) would divide
+      // by zero — loud under ANSI but a silent NULL term_ppm with ANSI
+      // off, the divergent-failure class this guard exists to close
       .withColumn("den", ceilGuard(col("den0"), "denominator rt*ct*n",
-        col("den0").isNull))
+        col("den0").isNull || col("den0") === 0))
       .select(col("returnflag"), col("linestatus"), col("n_obs"),
               expr("(dev * dev * 1000000) div den").as("term_ppm"))
       .orderBy("returnflag", "linestatus")

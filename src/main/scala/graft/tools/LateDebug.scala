@@ -26,8 +26,15 @@ object LateDebug {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n_events"))
     val useAvailableNow = args.length < 2 || args(1) == "availablenow"
-    val w0 = agg.writeStream.format("memory").queryName("late_dbg")
-      .outputMode("append")
+    val sink = graft.streaming.StreamingQueries.sinkPath("late_dbg")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(sink))
+    val w0 = agg.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     _: Long) => b.write.mode("append").parquet(sink))
+      .queryName("late_dbg").outputMode("append")
     val q = (if (useAvailableNow) w0.trigger(Trigger.AvailableNow()) else w0).start()
     if (useAvailableNow) q.awaitTermination()
     else { // default micro-batch trigger: give it time to drain both files
@@ -38,12 +45,12 @@ object LateDebug {
         s"wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")} " +
         s"dropped=${p.stateOperators.toSeq.map(_.numRowsDroppedByWatermark).sum}")
     }
-    println("OUT rows=" + spark.table("late_dbg").count())
+    val drained = spark.read.parquet(sink)
+    println("OUT rows=" + drained.count())
     val onTime = graft.Tables.events(spark, dir)
       .filter(col("event_id") % graft.streaming.StreamingQueries.LateMod =!= 0)
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val drained = spark.table("late_dbg")
     val extra = drained.exceptAll(onTime).count()
     val missing = onTime.exceptAll(drained).count()
     println(s"DIFF extra=$extra missing=$missing")

@@ -25,9 +25,15 @@ object Staged {
   def fsOf(spark: SparkSession): FileSystem =
     warehousePath(spark).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** On-disk location of a (possibly not yet registered) staged table. */
+  /** On-disk location of a (possibly not yet registered) staged table.
+    * Spark lowercases table identifiers when it writes managed data into
+    * the warehouse, so the probe path must lowercase too (r12 advice): a
+    * mixed-case name would probe a path that never exists, crash-recovery
+    * would silently never fire, and the artifact would rebuild every
+    * session.
+    */
   def locOf(spark: SparkSession, table: String): Path =
-    new Path(warehousePath(spark), table)
+    new Path(warehousePath(spark), table.toLowerCase(java.util.Locale.ROOT))
 
   /** A finished stage left by a previous JVM: data present AND complete. */
   def isComplete(spark: SparkSession, table: String): Boolean =

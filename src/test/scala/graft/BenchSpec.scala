@@ -5,18 +5,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Locks the Bench harness's failure contract (r11 verdict item 6): a
   * query that throws is recorded in the failed list — loudly, to stderr —
   * never silently timed as a near-zero success that flatters the total.
+  * A JVM-fatal error additionally aborts the run (r12 advice): timings
+  * taken after an OOM are unreliable, so none are taken.
   */
 class BenchSpec extends AnyFunSuite {
 
   test("timeQueries records a throwing query in the failed list and keeps timing the rest") {
     var cleanups = 0
-    val (results, failed) = Bench.timeQueries(
+    val (results, failed, fatal) = Bench.timeQueries(
       Seq(
         "q_ok_first" -> (() => ()),
         "q_boom" -> (() => sys.error("forced bench failure")),
         "q_ok_last" -> (() => ())),
       cleanup = () => cleanups += 1)
     assert(failed == Seq("q_boom"), failed.mkString(","))
+    assert(fatal.isEmpty)
     // the suite keeps going: every query reports a timing, failed or not
     assert(results.map(_._1) == Seq("q_ok_first", "q_boom", "q_ok_last"))
     assert(results.forall(_._2 >= 0.0))
@@ -25,7 +28,27 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("timeQueries with no failures returns an empty failed list (no spurious \"failed\" key)") {
-    val (results, failed) = Bench.timeQueries(Seq("q_ok" -> (() => ())))
-    assert(failed.isEmpty && results.length == 1)
+    val (results, failed, fatal) = Bench.timeQueries(Seq("q_ok" -> (() => ())))
+    assert(failed.isEmpty && fatal.isEmpty && results.length == 1)
+  }
+
+  test("timeQueries aborts on a JVM-fatal error: completed timings kept, later queries never run") {
+    var ranLast = false
+    var cleanups = 0
+    val (results, failed, fatal) = Bench.timeQueries(
+      Seq(
+        "q_ok_first" -> (() => ()),
+        // synthetic, never allocation-driven: constructing and throwing an
+        // OOM object is safe; timeQueries must still treat it as fatal
+        "q_oom" -> (() => throw new OutOfMemoryError("forced fatal")),
+        "q_never" -> (() => { ranLast = true })),
+      cleanup = () => cleanups += 1)
+    assert(fatal.contains("OutOfMemoryError at q_oom"), fatal.toString)
+    assert(failed == Seq("q_oom"))
+    // partial timings beat total loss: the completed + fatal entries flush
+    assert(results.map(_._1) == Seq("q_ok_first", "q_oom"))
+    assert(!ranLast, "a query after the fatal error was still run")
+    // no best-effort cleanup pass in a possibly-wedged JVM
+    assert(cleanups == 1)
   }
 }

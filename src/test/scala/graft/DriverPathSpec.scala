@@ -26,18 +26,20 @@ class DriverPathSpec extends SparkSpec {
       assert(decs.isEmpty, s"$name emits decimal columns: ${decs.map(_.name).mkString(",")}")
     }
 
-  test("the stream_zscore memory sink carries only driver-safe types (no decimal/date decode in the drain)") {
-    // the memory sink decodes every row on the DRIVER: a decimal or date
-    // column there is the same foreign-JVM decode class as the round-8
-    // aborts even though the grep below can't see it (no explicit
-    // accessor). q_stream_zscore just ran above, so its drained table is
-    // in the catalog.
+  test("the stream_zscore drain carries only the exact long-units encoding (no decimal/date widening)") {
+    // historically the memory sink decoded every drained row on the DRIVER,
+    // making a decimal or date column the same foreign-JVM decode class as
+    // the round-8 aborts; the file-sink drain removed that hazard, but the
+    // long-units encoding stays for its documented exactness bound — lock
+    // the drained schema so it can't silently widen back. q_stream_zscore
+    // just ran above, so its drained relation is on disk.
     import org.apache.spark.sql.types.{DateType, DecimalType, TimestampType}
-    val sink = spark.table("stream_rolling_zscore").schema
+    val sink = graft.streaming.StreamingQueries
+      .drainedRelation(spark, "stream_rolling_zscore").schema
     val hazard = sink.fields.filter(f => f.dataType.isInstanceOf[DecimalType] ||
       f.dataType == DateType || f.dataType == TimestampType)
     assert(hazard.isEmpty,
-      s"JVM-sensitive types cross the memory sink: ${hazard.map(f => s"${f.name}:${f.dataType}").mkString(",")}")
+      s"drained schema widened past the long-units encoding: ${hazard.map(f => s"${f.name}:${f.dataType}").mkString(",")}")
   }
 
   test("no driver-side date/timestamp/decimal row decodes anywhere in main sources") {

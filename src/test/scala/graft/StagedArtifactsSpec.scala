@@ -340,6 +340,14 @@ class StagedArtifactsSpec extends SparkSpec {
       "re-registered half lost rows — recovery rebuilt instead of re-registering")
   }
 
+  test("locOf lowercases the identifier — the _SUCCESS probe matches Spark's warehouse path") {
+    // Spark lowercases table identifiers when writing managed data; a
+    // mixed-case name would make isComplete probe a path that never
+    // exists, so crash-recovery would silently never fire (r12 advice)
+    assert(util.Staged.locOf(spark, "Doc_Shingles_MiXeD") ==
+           util.Staged.locOf(spark, "doc_shingles_mixed"))
+  }
+
   test("staged artifact recovery: doc_shingles re-registers finished on-disk stages too") {
     // same contract as the co-purchase recovery test, exercised on the
     // round-12 artifact: a finished stage (_SUCCESS present) must be

@@ -304,6 +304,14 @@ class StatsSpec extends SparkSpec {
     assert(causeMessages(denOver).exists(m =>
         m.contains("chi2: denominator") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
       causeMessages(denOver).mkString(" | "))
+    // a LEGITIMATE zero denominator (all-zero counts through the public
+    // API): division by zero is loud under ANSI but a silent NULL term_ppm
+    // with ANSI off — the guard must fire on den = 0 too (r12 advice)
+    val denZero = intercept[Exception] {
+      run(Seq(("R", "O", 0L), ("R", "F", 0L), ("N", "O", 0L), ("N", "F", 0L)))
+    }
+    assert(causeMessages(denZero).exists(_.contains("chi2: denominator")),
+      causeMessages(denZero).mkString(" | "))
   }
 
   test("ksOfCounts: the 2³¹ pack ceiling FAILS LOUDLY instead of corrupting the cumulatives") {

@@ -385,20 +385,23 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("complete-mode drains are value-domain bounded (never corpus-bounded)") {
-    // the KS and Benford faces drain their FULL aggregation support through
-    // a driver-resident memory sink; that shape is only scale-legitimate
-    // while the support cardinality is bounded by the VALUE DOMAIN, not the
-    // corpus. Lock both bounds (r10 verdict watch item): Benford at exactly
-    // ≤9 digit rows, KS at ≤ the observed price spread in cents + 1 — a
-    // bound that is corpus-size invariant because new rows revisit cents.
+    // the KS and Benford faces retain their FULL aggregation support in the
+    // state store and rewrite it per micro-batch through the file-sink
+    // drain; that shape is only scale-legitimate while the support
+    // cardinality is bounded by the VALUE DOMAIN, not the corpus. Lock both
+    // bounds (r10 verdict watch item): Benford at exactly ≤9 digit rows,
+    // KS at ≤ the observed price spread in cents + 1 — a bound that is
+    // corpus-size invariant because new rows revisit cents.
     withClearCache {
       StreamingQueries.streamBenford(spark, sf0001).collect()
-      val benfordSupport = spark.table("stream_benford").count()
+      val benfordSupport =
+        StreamingQueries.drainedRelation(spark, "stream_benford").count()
       assert(benfordSupport <= 9L,
         s"Benford drain support $benfordSupport > 9 digit rows")
 
       StreamingQueries.streamKs(spark, sf0001).collect()
-      val ksSupport = spark.table("stream_ks").count()
+      val ksSupport =
+        StreamingQueries.drainedRelation(spark, "stream_ks").count()
       val Array(spread, distinctCents) = spark.read
         .parquet(s"$sf0001/lineitem.parquet")
         .filter(col("l_returnflag").isin(

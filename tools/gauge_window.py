@@ -24,14 +24,22 @@ def load_queries(path):
     qs = dict(d["queries"])
     qs.pop("rest", None)
     qs.pop("omitted", None)
-    return d.get("value"), qs
+    return d.get("value"), qs, d.get("failed", []), d.get("tainted")
 
 
 def main():
     run_path = sys.argv[1]
     anchor_path = sys.argv[2] if len(sys.argv) > 2 else "bench_quiet_r12.json"
-    run_total, run = load_queries(run_path)
-    anchor_total, anchor = load_queries(anchor_path)
+    run_total, run, run_failed, run_tainted = load_queries(run_path)
+    anchor_total, anchor, _, _ = load_queries(anchor_path)
+    # a failed query timed near-zero (or a tainted post-OOM run) would gauge
+    # as a cool window or a silent speedup — exclude failures from the ratio
+    # set and refuse the run loudly (r12 advice)
+    if run_failed or run_tainted:
+        print(f"ERROR: run carries failures — failed={run_failed} "
+              f"tainted={run_tainted}; timings unreliable, not gauging",
+              file=sys.stderr)
+        sys.exit(2)
     shared = {k: (run[k], anchor[k]) for k in run
               if k in anchor and anchor[k] > 0.3}
     if not shared:
