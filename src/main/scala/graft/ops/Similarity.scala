@@ -434,11 +434,21 @@ object Similarity {
     * warehouse protocol: a completed stage from a previous JVM (_SUCCESS
     * present) is re-registered as an external table (+ partition
     * recovery) instead of re-clustered; partial stages are swept.
+    *
+    * `stride` is the centroid-count workload knob (seeds = `vec_id %
+    * stride == 0`, so C ≈ N/stride): the build's assignment pass is N×C,
+    * and the production policy at corpus growth is to hold C fixed (or
+    * grow it ~√N) by growing the stride with the corpus — which keeps the
+    * build LINEAR in N instead of quadratic. Default = [[CentroidStride]],
+    * the fixture-scale contract every serving query and oracle assumes;
+    * [[graft.tools.ScaleCurve]] measures the fixed-C policy's curve by
+    * passing `stride = CentroidStride × factor` at each replication factor.
     */
-  def stageIvfIndex(spark: SparkSession, dir: String): (String, String) = {
+  def stageIvfIndex(spark: SparkSession, dir: String,
+                    stride: Long = CentroidStride): (String, String) = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
     // the centroid derivation is part of the on-disk contract → in the name
-    val (cellsT, centsT) = (s"ivf_cells${CentroidStride}$safe", s"ivf_cents${CentroidStride}$safe")
+    val (cellsT, centsT) = (s"ivf_cells$stride$safe", s"ivf_cents$stride$safe")
     // pair-completeness recovery (the stageBucketedTables shape): both
     // tables stage-or-recover TOGETHER through the shared pair scaffold —
     // a half-staged crash state drops back to disk and rebuilds
@@ -458,7 +468,7 @@ object Similarity {
       }
     if (Staged.needsBuildPair(spark, cellsT, centsT)(register)) {
       val vecs = vectors(spark, dir)
-      val seeds = vecs.filter(col("vec_id") % CentroidStride === 0)
+      val seeds = vecs.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("nc"))
       val cents = refinedCentroids(vecs, seeds).persist()
       assignCells(vecs, cents)

@@ -129,13 +129,21 @@ object ScaleCurve {
         println(s"  count: staged capped pairs = $capped")
         t("dedup: q_dedup_resolution")(D.dedupResolution(spark, dir).count())
         // --- ANN family ---
-        val (cellsT, centsT) = (("", ""))
         t("ann: stageIvfIndex (build, NxC assignment)") {
           S.stageIvfIndex(spark, dir)
         }
+        // the same build under the PRODUCTION centroid policy: stride grows
+        // with the corpus so C stays at the factor-1 count — the N×C
+        // assignment must then measure ~linear in the factor (the stated
+        // mitigation for the fixture policy's superlinear curve, proven
+        // here rather than argued)
+        t(s"ann: stageIvfIndex fixed-C policy (stride=${S.CentroidStride}*$f)") {
+          S.stageIvfIndex(spark, dir, stride = S.CentroidStride.toLong * f)
+        }
         staged ++= {
           val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-          Seq(s"ivf_cells${S.CentroidStride}$safe", s"ivf_cents${S.CentroidStride}$safe")
+          Seq(S.CentroidStride.toLong, S.CentroidStride.toLong * f).flatMap(s =>
+            Seq(s"ivf_cells$s$safe", s"ivf_cents$s$safe"))
         }
         t("ann: q_knn_ivf_staged (serve)")(S.knnIvfStaged(spark, dir).count())
         t("ann: q_knn_ivf_pq")(S.knnIvfPq(spark, dir).count())

@@ -109,6 +109,34 @@ class StagedArtifactsSpec extends SparkSpec {
       "clusterSample: staged result differs from live result")
   }
 
+  test("IVF: the centroid-stride knob names its tables and holds C ~ N/stride") {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val wide = ops.Similarity.CentroidStride.toLong * 3
+    spark.sql(s"DROP TABLE IF EXISTS ivf_cells$wide$safe")
+    spark.sql(s"DROP TABLE IF EXISTS ivf_cents$wide$safe")
+    try {
+      val (cellsT, centsT) = ops.Similarity.stageIvfIndex(spark, dir, stride = wide)
+      assert(cellsT == s"ivf_cells$wide$safe" && centsT == s"ivf_cents$wide$safe",
+        "stride must be part of the staged tables' on-disk contract (their names)")
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val cWide = spark.table(centsT).count()
+      // seeds = vec_id % stride == 0 over a dense id range -> C ≈ N/stride
+      // (Lloyd refinement may only DROP empty cells, never add)
+      assert(cWide <= n / wide + 1 && cWide >= 1,
+        s"fixed-C policy: expected ~${n / wide} centroids at stride $wide, got $cWide")
+      val cDefault = spark.table(
+        ops.Similarity.stageIvfIndex(spark, dir)._2).count()
+      assert(cWide < cDefault,
+        "a wider stride must produce fewer centroids than the default contract")
+      // every corpus vector is still assigned to exactly one cell
+      assert(spark.table(cellsT).count() == n,
+        "the cell-partitioned corpus must cover every vector exactly once")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ivf_cells$wide$safe")
+      spark.sql(s"DROP TABLE IF EXISTS ivf_cents$wide$safe")
+    }
+  }
+
   test("IVF: staged ANN keeps its live timed twin — same oracle, bit-identical results") {
     assert(SparkEntry.oracleSql("q_knn_ivf") == SparkEntry.oracleSql("q_knn_ivf_staged"),
       "the staged IVF query must be held to the live query's oracle")
