@@ -109,6 +109,8 @@ object Bench {
     catch { case _: Throwable => () }
     try ops.Dedup.stageDedupPairs(spark, sfDir)
     catch { case _: Throwable => () }
+    try ops.Dedup.stageSimhashFp(spark, sfDir)
+    catch { case _: Throwable => () }
     // GC barrier between the untimed staging writes and the FIRST timed
     // query: the staging passes above churn hundreds of MB of write-side
     // allocations, and q_allpairs_cosine (the alphabetical head) otherwise

@@ -209,6 +209,51 @@ object Dedup {
     t
   }
 
+  /** Warehouse table name for the staged (doc_id, fp) SimHash fingerprint
+    * relation of `dir`. The bit width is in the name (the
+    * name-encodes-semantics rule): a [[SimHashBits]] change can never
+    * crash-recover fingerprints computed under the old width.
+    */
+  def simhashFpTable(dir: String): String =
+    s"simhash_fp_b$SimHashBits" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Stage the per-doc SimHash fingerprint relation as a WRITE-ONCE
+    * artifact — `(doc_id, fp)` bucketed and sorted by `doc_id`, the
+    * SimHash-family analogue of [[stageDocShingles]]: the fingerprint
+    * build (tokenize + md5 per token occurrence + the 32-column bit-sum
+    * aggregation) dominates both SimHash queries, and at 100 TB it is a
+    * full-corpus pass worth paying once per corpus snapshot, not per
+    * banding variant. The live build stays TIMED in [[simhash]]
+    * (q_dedup_simhash — the StagedArtifactsSpec twin policy); the
+    * artifact is a pure materialization (fp is an exact long, parquet
+    * round-trips it bit-for-bit), so the capped consumer is bit-identical
+    * to its from-scratch form and rides its original oracle.
+    *
+    * Same crash-recovery contract as the other staged tables: a fresh
+    * session re-registers a finished on-disk stage (`_SUCCESS` present);
+    * a partial stage is swept and rebuilt.
+    */
+  def stageSimhashFp(spark: SparkSession, dir: String): String = {
+    val t = simhashFpTable(dir)
+    if (graft.util.Staged.needsBuild(spark, t)(loc =>
+        s"""CREATE TABLE $t (doc_id BIGINT, fp BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $ShingleBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)) {
+      simhashFingerprints(spark, dir)
+        .repartition(ShingleBuckets, col("doc_id"))
+        .write.bucketBy(ShingleBuckets, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(t)
+    }
+    t
+  }
+
+  /** The staged twin of [[simhashFingerprints]] — same rows, read off the
+    * bucketed artifact (self-staging on first use, the consumer pattern).
+    */
+  def simhashFpStaged(spark: SparkSession, dir: String): DataFrame =
+    spark.table(stageSimhashFp(spark, dir))
+
   // --- exact dedup -----------------------------------------------------------
 
   /** q_dedup_exact: hash-groupBy exact dedup on normalized text. Keeps the
@@ -1609,7 +1654,12 @@ object Dedup {
     * oracle exercises real bucket removal.
     */
   def simhashCapped(spark: SparkSession, dir: String, cap: Int = MaxBandDF): DataFrame =
-    simhashPairsCapped(simhashBanded(spark, dir), cap)
+    // consumes the STAGED fingerprint artifact ([[stageSimhashFp]] — the
+    // expensive tokenize+md5+bit-sum pass is the per-corpus-snapshot
+    // write-once cost); [[simhash]] keeps the live build timed. No persist
+    // needed: each consumer of the banded relation re-reads the tiny
+    // bucketed table, not the aggregation.
+    simhashPairsCapped(bandedOf(simhashFpStaged(spark, dir)), cap)
 
   /** Hot-bucket removal + pairing over an explicit banded relation. */
   def simhashPairsCapped(banded: DataFrame, cap: Int): DataFrame = {

@@ -45,6 +45,7 @@ class StagedArtifactsSpec extends SparkSpec {
                                 Seq("q_dedup_ngram_jaccard"))),
     "stageDedupPairs"      -> ((Seq("q_dedup_resolution", "q_dedup_canonical"),
                                 Seq("q_dedup_jaccard_capped"))),
+    "stageSimhashFp"       -> ((Seq("q_dedup_simhash_capped"), Seq("q_dedup_simhash"))),
     "stageZip"             -> ((Seq("q_zip_ingest"), Seq.empty)),
     "stageJsonl"           -> ((Seq("q_jsonl_ingest"), Seq.empty)))
 
@@ -107,6 +108,30 @@ class StagedArtifactsSpec extends SparkSpec {
       "clusterMix: staged result differs from live result")
     assert(ops.Similarity.clusterSample(spark, dir).collect().toSeq == liveSample,
       "clusterSample: staged result differs from live result")
+  }
+
+  test("simhash fingerprints: staged artifact is a pure materialization; capped consumer reads it") {
+    spark.sql(s"DROP TABLE IF EXISTS ${ops.Dedup.simhashFpTable(dir)}")
+    withClearCache {
+      val live = ops.Dedup.simhashFingerprints(spark, dir)
+        .orderBy("doc_id").collect().toSeq
+      val staged = ops.Dedup.simhashFpStaged(spark, dir)
+        .select("doc_id", "fp").orderBy("doc_id").collect().toSeq
+      assert(staged == live, "staged simhash_fp differs from the live fingerprint build")
+    }
+    val t = ops.Dedup.simhashFpTable(dir)
+    val capped = ops.Dedup.simhashCapped(spark, dir)
+    assert(capped.queryExecution.optimizedPlan.toString.contains(t)
+        || capped.queryExecution.executedPlan.toString.contains(t),
+      s"simhashCapped should read the staged table $t, not rebuild fingerprints")
+    // the staged consumer is bit-identical to its from-scratch form
+    withClearCache {
+      val fromScratch = ops.Dedup.simhashPairsCapped(
+        ops.Dedup.bandedOf(ops.Dedup.simhashFingerprints(spark, dir)),
+        ops.Dedup.MaxBandDF).collect().toSeq
+      assert(capped.collect().toSeq == fromScratch,
+        "staged-fp capped simhash differs from the from-scratch build")
+    }
   }
 
   test("IVF: the centroid-stride knob names its tables and holds C ~ N/stride") {

@@ -38,6 +38,10 @@ DETAIL_KEYS = ("PushedFilters:", "PartitionFilters:", "SelectedBucketsCount:")
 
 def normalize(line):
     line = re.sub(r"#\d+", "#", line)
+    # RDD ids renumber freely between generations (an ExistingRDD scan's
+    # `MapPartitionsRDD[1957] at localCheckpoint` detail is the same plan
+    # whatever the id); the checkpoint call site stays, the id goes
+    line = re.sub(r"RDD\[\d+\]", "RDD[]", line)
     line = re.sub(r"plan_id=\d+", "plan_id=", line)
     line = re.sub(r"subquery#?\s*\d*", "subquery#", line)
     line = re.sub(r"dynamicpruning#?\d*", "dynamicpruning#", line)
