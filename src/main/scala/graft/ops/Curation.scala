@@ -247,10 +247,10 @@ object Curation {
     */
   def qualityDriftOfSides(sides: DataFrame): DataFrame = {
     val t = QualityDriftTopK
-    // one conditional aggregation, not a self-join: the drained memory-sink
-    // relation can't be self-joined (its attributes never re-alias), and a
-    // single pass over the source×2-row relation is the better shape anyway;
-    // sources missing either side drop out like the former inner join
+    // one conditional aggregation, not a self-join: a single pass over the
+    // source×2-row relation beats a self-join of the drained relation
+    // (which would scan it twice and shuffle for the equi-join); sources
+    // missing either side drop out like the former inner join
     val joined = sides.groupBy("source")
       .agg(sum(when(col("side") === "c", col("n"))).as("n_corpus"),
            sum(when(col("side") === "c", col("s"))).as("s_corpus"),

@@ -63,7 +63,9 @@ object ScaleCurve {
   private def fixture(spark: SparkSession, base: String, factor: Int,
                       work: String): String = {
     val dir = s"$work/x$factor"
-    val done = new java.io.File(s"$dir/_done")
+    // versioned marker: a fixture layout change (v2 added lineitem) must
+    // invalidate fixtures staged by the previous tool version
+    val done = new java.io.File(s"$dir/_done_v2")
     if (!done.exists()) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -88,6 +90,17 @@ object ScaleCurve {
       }.reduce(_ unionAll _)
       embCopies.coalesce(math.max(1, factor / 2))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // lineitem: copy c offsets l_orderkey by c·10⁶ (the fixed-width
+      // layout's 12-char f_orderkey field holds it) — per-order structure,
+      // the returnflag partitioning, and the (orderkey, linenumber) pack
+      // ordering keys stay intact while copies never collide, so the ETL
+      // chain's per-flag group sizes scale exactly ×factor
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val liCopies = (0 until factor).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000L))
+      }.reduce(_ unionAll _)
+      liCopies.coalesce(math.max(1, factor))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       done.createNewFile()
     }
     dir
@@ -149,6 +162,21 @@ object ScaleCurve {
         t("ann: q_knn_ivf_pq")(S.knnIvfPq(spark, dir).count())
         t("ann: q_knn_bruteforce (quadratic baseline)") {
           S.knnBruteForce(spark, dir).count()
+        }
+        // --- ETL core (the reference's own operator chain, T1/T3) ---
+        // format → parse → aggregate, and format → scalable pack(1000) →
+        // length stats: the two full-corpus passes of the reconstruction.
+        // Row-linear by construction; measured here so the claim has a
+        // curve. The per-flag record counts must scale EXACTLY ×factor
+        // (structure-preserving replication), printed as the count check.
+        var nRecs = 0L
+        t("etl: q_fixedwidth_parse (format+parse+agg)") {
+          nRecs = graft.ops.Ingestion.fixedWidthParse(spark, dir)
+            .agg(sum("n_records")).head().getLong(0)
+        }
+        println(s"  count: parsed records = $nRecs")
+        t("etl: q_pack_scalable_stats (format+pack 1000→1)") {
+          graft.ops.Ingestion.packScalableStats(spark, dir).count()
         }
       }
     } finally {

@@ -423,6 +423,27 @@ class StagedArtifactsSpec extends SparkSpec {
     assert(after == before, "re-registered artifact differs from the original stage")
   }
 
+  test("staged artifact recovery: simhash_fp re-registers finished on-disk stages too") {
+    // same contract as the co-purchase / doc_shingles recovery tests,
+    // exercised on the round-13 artifact
+    val t = ops.Dedup.simhashFpTable(dir)
+    ops.Dedup.stageSimhashFp(spark, dir)
+    val before = spark.table(t).orderBy("doc_id").collect().toSeq
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+    val bak = new org.apache.hadoop.fs.Path(warehouse, t + "_bak")
+    assert(fs.rename(loc, bak), "could not move staged files aside")
+    spark.sql(s"DROP TABLE $t")
+    assert(fs.rename(bak, loc), "could not restore staged files")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+    ops.Dedup.stageSimhashFp(spark, dir) // must take the re-register branch
+    assert(spark.catalog.tableExists(t), "recovery did not re-register the table")
+    val after = spark.table(t).orderBy("doc_id").collect().toSeq
+    assert(after == before, "re-registered artifact differs from the original stage")
+  }
+
   test("bucketed join: staged layout is a pure materialization of the plain join") {
     val plain = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
