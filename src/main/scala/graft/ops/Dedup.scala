@@ -210,12 +210,18 @@ object Dedup {
   }
 
   /** Warehouse table name for the staged (doc_id, fp) SimHash fingerprint
-    * relation of `dir`. The bit width is in the name (the
-    * name-encodes-semantics rule): a [[SimHashBits]] change can never
-    * crash-recover fingerprints computed under the old width.
+    * relation of `dir`. BOTH semantic constants are in the name (the
+    * name-encodes-semantics rule, matching [[docShinglesTable]]): `_w` is
+    * the fingerprint bit width — a [[SimHashBits]] change can never
+    * crash-recover fingerprints computed under the old width — and `_b`
+    * is the physical bucket count (the suffix's meaning everywhere else in
+    * this file) — a [[ShingleBuckets]] change can never crash-recover
+    * files bucketed under the old count into a CREATE TABLE declaring the
+    * new one, which would silently corrupt bucket-pruned joins.
     */
   def simhashFpTable(dir: String): String =
-    s"simhash_fp_b$SimHashBits" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"simhash_fp_w${SimHashBits}_b$ShingleBuckets" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Stage the per-doc SimHash fingerprint relation as a WRITE-ONCE
     * artifact — `(doc_id, fp)` bucketed and sorted by `doc_id`, the

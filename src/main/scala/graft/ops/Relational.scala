@@ -569,9 +569,10 @@ object Relational {
     val nKeys = keys.count()
     val bloom = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
     Tables.lineitem(spark, dir)
-      .filter(mightContain(col("l_orderkey")))      // cheap pre-shuffle prune
+      // cheap pre-shuffle prune, inside whole-stage codegen (BloomProbe
+      // replaced the UDF form — same mightContainLong probe, no row boxing)
+      .filter(graft.plans.BloomProbe.column(col("l_orderkey"), bloomBc))
       .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"), Exact.sum2(Exact.revenue).as("revenue"))

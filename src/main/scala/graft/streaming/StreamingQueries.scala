@@ -13,6 +13,15 @@ import graft.util.Exact
   */
 object StreamingQueries {
 
+  /** State-store partition count for the VALUE-DOMAIN-BOUNDED stateful
+    * faces (see the [[drain]] scaladoc's width rule): wide enough that the
+    * largest bounded support (~10⁶ KS cent rows) still spreads, narrow
+    * enough that the per-batch per-partition serial costs (state commit,
+    * task barrier) stop dominating a ~10⁶-row state. Corpus-keyed state
+    * must NOT use this — it inherits the session shuffle width.
+    */
+  private val BoundedStateWidth = 8
+
   /** On-disk location of a query's drained sink relation. Relative to the
     * process cwd like every other `target/tmp` artifact in the tree.
     */
@@ -49,8 +58,26 @@ object StreamingQueries {
     * scale-legitimate when its support is value-domain bounded — the sink
     * change moves the residency off the driver, it does not repeal the
     * bound.
+    *
+    * `stateWidth`: the stream's shuffle width == its STATE-STORE partition
+    * count (fixed at query start; streaming disables AQE so nothing
+    * coalesces it later). That width should match the STATE-DOMAIN bound,
+    * not the corpus: a value-domain-bounded support (≤10⁶ rows at any
+    * corpus size — KS price cents, Benford digits, finalized calendar
+    * windows) gains nothing from corpus-scale width but pays its per-batch
+    * cost in it — each micro-batch commits one state-store delta file and
+    * schedules one task PER PARTITION, a serial-barrier cost the map side
+    * (which parallelizes by file splits, unaffected by this knob) never
+    * sees. Measured at sf0.1: the KS drain 2.4 s at width 32 vs 2.0 s at
+    * width 8, and under host contention the 32 short tasks × per-batch
+    * barriers amplify superlinearly (the r13 driver-window mover class).
+    * Corpus-KEYED state (per-user sessions/markov) keeps the session
+    * width: that state grows with the corpus and narrow width would be the
+    * actual scale bug. Restored in a finally: the knob must never leak
+    * into the next query's batch plans.
     */
-  private[graft] def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+  private[graft] def drain(df: DataFrame, name: String, mode: String,
+                           stateWidth: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     // idempotent re-entry: a prior run's active query would race this one
     // on the sink directory
@@ -64,9 +91,14 @@ object StreamingQueries {
     val saveMode = if (mode == "complete") "overwrite" else "append"
     val write: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => batch.write.mode(saveMode).parquet(path)
-    val q = df.writeStream.foreachBatch(write).queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = spark.conf.get(widthKey)
+    try {
+      stateWidth.foreach(w => spark.conf.set(widthKey, w))
+      val q = df.writeStream.foreachBatch(write).queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(widthKey, prevWidth)
     if (new java.io.File(path).exists()) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       df.schema)
@@ -456,7 +488,7 @@ object StreamingQueries {
         reader.parquet(s"$dir/lineitem.parque*"))
       .groupBy("digit").agg(count(lit(1)).as("n_values"))
     graft.ops.Relational.benfordOfCounts(
-      drain(counts, "stream_benford", "complete"))
+      drain(counts, "stream_benford", "complete", Some(BoundedStateWidth)))
   }
 
   /** q_stream_ks: the exact two-sample KS drift monitor as a stream — the
@@ -490,7 +522,8 @@ object StreamingQueries {
     }
     val counts = graft.ops.Stats.twoSampleCountsOf(
       reader.parquet(s"$dir/lineitem.parque*"))
-    graft.ops.Stats.ksOfCounts(drain(counts, "stream_ks", "complete"))
+    graft.ops.Stats.ksOfCounts(
+      drain(counts, "stream_ks", "complete", Some(BoundedStateWidth)))
   }
 
   /** Planted-late-row modulus for [[streamLate]]: `event_id % LateMod == 0`
@@ -508,38 +541,44 @@ object StreamingQueries {
     */
   private val LateHorizonDays = 40
 
-  /** Four-file staged input for [[streamLate]] — the input-fixture class
+  /** Three-file staged input for [[streamLate]] — the input-fixture class
     * of staging (the stageZip discipline: synthesizes the INPUT the query
     * ingests, runs inside the consumer, never a warmup performance
-    * artifact). File b0 = the on-time rows; b1 = ONE far-future horizon
-    * "clock tick" row; b2 = a ZERO-ROW spacer; b3 = the planted late
+    * artifact). File b0 = the on-time rows PLUS one far-future horizon
+    * "clock tick" row; b1 = a ZERO-ROW spacer; b2 = the planted late
     * subset; modification times 60 s apart so the file source's
     * oldest-first ordering is unambiguous.
     *
-    * Why the tick needs a batch of its own AND a spacer after it: since
+    * Why the spacer batch is needed (and why nothing less works): since
     * Spark 3.4 a stateful operator filters late input with the watermark
     * of the PREVIOUS micro-batch and evicts state with the CURRENT one
     * (the two-version rule that keeps chained stateful operators
     * lossless), and the "previous" value itself lags the tick by one more
     * batch — batch N's filter watermark is the value current DURING batch
-    * N−1, which was computed from batch N−2's data. Measured on the
-    * fixture's 91 planted rows: late-after-bulk MERGED all 91 into the
-    * still-open windows (wrong output); late directly after the tick still
-    * merged the last day's rows (its window was ahead of the bulk-derived
-    * filter watermark, and eviction ran in the same batch). With the
-    * spacer, every on-time window is evicted and emitted in the spacer
-    * batch, and the late batch excludes all 91 (73 at the pre-shuffle
-    * filter, the rest at the state operator, both below the horizon
-    * watermark) — drained output equals the on-time aggregation exactly.
+    * N−1, which was computed from batch N−2's data. So the late file must
+    * arrive two batches after the tick: the spacer batch evicts and emits
+    * every on-time window under the tick-derived watermark, and the late
+    * batch's pre-shuffle filter (now carrying that same watermark) drops
+    * the planted subset wholesale. The tick itself needs no batch of its
+    * own — riding WITH the on-time rows in b0 yields the identical
+    * watermark (max event time − 1 h is the horizon's either way), which
+    * collapses the original four-batch construction to three: one less
+    * micro-batch barrier per run, semantics measurably unchanged
+    * (drained output equals the on-time aggregation exactly; the r13
+    * four-batch note measured the same 91-row planted subset fully
+    * dropped, and StreamingSpec re-proves it on this construction).
     */
   private[graft] def lateEventsInput(spark: SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val outDir = new java.io.File(s"target/tmp/late_$safe")
-    val f0 = new java.io.File(outDir, "b0_ontime.parquet")
-    val f1 = new java.io.File(outDir, "b1_horizon.parquet")
-    val f2 = new java.io.File(outDir, "b2_spacer.parquet")
-    val f3 = new java.io.File(outDir, "b3_late.parquet")
-    if (!(f0.exists() && f1.exists() && f2.exists() && f3.exists())) {
+    // `late3_`: the batch structure is part of the fixture's semantics, so
+    // the count is in the dir name (name-encodes-semantics rule) — a
+    // leftover four-file `late_` dir from an older build can never be
+    // half-matched by the glob below
+    val outDir = new java.io.File(s"target/tmp/late3_$safe")
+    val f0 = new java.io.File(outDir, "b0_ontime_tick.parquet")
+    val f1 = new java.io.File(outDir, "b1_spacer.parquet")
+    val f2 = new java.io.File(outDir, "b2_late.parquet")
+    if (!(f0.exists() && f1.exists() && f2.exists())) {
       outDir.mkdirs()
       val ev = graft.Tables.events(spark, dir)
       val horizon = ev.agg(max("ts").as("m"))
@@ -559,12 +598,12 @@ object StreamingQueries {
         target.setLastModified(mod)
       }
       val t = System.currentTimeMillis()
-      writeOne(ev.filter(col("event_id") % LateMod =!= 0), f0, t - 180000L)
-      writeOne(horizon, f1, t - 120000L)
-      writeOne(ev.limit(0), f2, t - 60000L)
-      writeOne(ev.filter(col("event_id") % LateMod === 0), f3, t)
+      writeOne(ev.filter(col("event_id") % LateMod =!= 0).unionByName(horizon),
+        f0, t - 120000L)
+      writeOne(ev.limit(0), f1, t - 60000L)
+      writeOne(ev.filter(col("event_id") % LateMod === 0), f2, t)
     }
-    // The four-batch determinism RIDES the file source's oldest-first
+    // The three-batch determinism RIDES the file source's oldest-first
     // ordering, and setLastModified is allowed to silently no-op on
     // filesystems that don't support it — verify the staged mtimes are
     // strictly ascending and fail LOUDLY instead of handing the query an
@@ -573,12 +612,12 @@ object StreamingQueries {
     // staging-branch-only guard would pass every later call straight
     // through the line above it; on failure the staged files are deleted
     // so the next call re-stages rather than re-reading the bad input.
-    val mtimes = Seq(f0, f1, f2, f3).map(f => f.getName -> f.lastModified())
+    val mtimes = Seq(f0, f1, f2).map(f => f.getName -> f.lastModified())
     if (!mtimes.sliding(2).forall { case Seq(a, b) => a._2 < b._2 }) {
       // delete() may itself fail on the same filesystem that rejected
       // setLastModified — report the REAL cleanup outcome, never a false
       // "deleted" that sends the caller into a re-stage that cannot happen
-      val undeleted = Seq(f0, f1, f2, f3).filter(_.exists()).filterNot(_.delete())
+      val undeleted = Seq(f0, f1, f2).filter(_.exists()).filterNot(_.delete())
       val cleanup =
         if (undeleted.isEmpty) "staged files deleted, re-run to re-stage"
         else s"could NOT delete ${undeleted.map(_.getName).mkString(",")} — " +
@@ -597,25 +636,26 @@ object StreamingQueries {
     * [[streamEventsHourly]]).
     *
     * Determinism is engineered, not assumed: the input is a staged
-    * FOUR-FILE source consumed with `maxFilesPerTrigger=1`, so arrival
+    * THREE-FILE source consumed with `maxFilesPerTrigger=1`, so arrival
     * order is part of the query definition. Batch 0 carries the on-time
-    * rows; batch 1 carries one far-future horizon "clock tick" whose
-    * watermark (horizon − 1 h) exceeds every real window's end; batch 2 is
-    * a zero-row spacer that lets the tick's watermark become the FILTER
-    * watermark (the lagged two-version rule, see [[lateEventsInput]]);
-    * batch 3 carries the late subset, which the engine drops wholesale
-    * while finalizing and emitting exactly the on-time windows. The horizon row's own window never finalizes and
-    * never appears. The drained table therefore equals the batch
-    * aggregation over the on-time subset — the oracle, in shared predicate
-    * text.
+    * rows plus one far-future horizon "clock tick" whose watermark
+    * (horizon − 1 h) exceeds every real window's end; batch 1 is a
+    * zero-row spacer under which every on-time window finalizes and emits,
+    * and which lets the tick's watermark become the FILTER watermark (the
+    * lagged two-version rule, see [[lateEventsInput]]); batch 2 carries
+    * the late subset, which the engine drops wholesale. The horizon row's
+    * own window never finalizes and never appears. The drained table
+    * therefore equals the batch aggregation over the on-time subset — the
+    * oracle, in shared predicate text.
     *
     * Driver-residency bound (the complete-drain convention): the append
     * sink accumulates only FINALIZED (day × event_type) windows —
-    * value-domain bounded, never corpus-bounded.
+    * value-domain bounded, never corpus-bounded; the state width follows
+    * the [[drain]] bounded-state rule.
     */
   def streamLate(spark: SparkSession, dir: String): DataFrame = {
     val in = lateEventsInput(spark, dir)
-    val schema = spark.read.parquet(s"$in/b0_ontime.parquet").schema
+    val schema = spark.read.parquet(s"$in/b0_ontime_tick.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // late file arrives AFTER the watermark moved
       .parquet(s"$in/*.parquet")
@@ -625,7 +665,8 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").cast("date").as("day"), col("event_type"),
               col("n_events"))
-    drain(agg, "stream_late", "append").orderBy("day", "event_type")
+    drain(agg, "stream_late", "append", Some(BoundedStateWidth))
+      .orderBy("day", "event_type")
   }
 
   /** Oracle for [[streamLate]]: the batch aggregation over the on-time

@@ -16,7 +16,7 @@ object LateDebug {
     val in = graft.streaming.StreamingQueries.lateEventsInput(spark, dir)
     new java.io.File(in).listFiles().foreach(f =>
       println(s"FILE ${f.getName} mod=${f.lastModified()}"))
-    val schema = spark.read.parquet(s"$in/b0_ontime.parquet").schema
+    val schema = spark.read.parquet(s"$in/b0_ontime_tick.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$in/*.parquet")

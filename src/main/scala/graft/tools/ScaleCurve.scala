@@ -42,7 +42,17 @@ import org.apache.spark.sql.functions._
   * it superlinear here, named and bounded in the module scaladoc (C is a
   * workload knob; production holds C fixed or grows it ~√N).
   *
-  * Usage: ScaleCurve [baseDir] [factors] — defaults sf0.1 and "1,3,10".
+  * Usage: ScaleCurve [baseDir] [factors] [mode] — defaults sf0.1, "1,3,10",
+  * "full". Mode "adv" (r13 verdict item 6) runs ONLY the prefix near-dup
+  * family on the ADVERSARIAL hot-shingle fixture: every doc in every copy
+  * ends with the same literal boilerplate tail, so those shingles' corpus
+  * document frequency equals the FULL doc count N·f — the exact d²
+  * candidate bomb the prefix filter's df-ascending global order is
+  * designed to starve (a raw inverted index would emit C(N·f, 2) ≈ 10⁹
+  * pairs from the hot bucket alone at ×10). The probe measures candidates,
+  * verified pairs, and wall per factor, plus the max observed df as proof
+  * the fixture is actually adversarial; the defense holds iff candidates
+  * and seconds stay ~linear in f.
   */
 object ScaleCurve {
 
@@ -106,14 +116,85 @@ object ScaleCurve {
     dir
   }
 
+  /** Tokens appended (after the per-copy rotation, so they are shared
+    * ACROSS copies too) to every doc of the adversarial fixture: 6 tokens
+    * → 4 pure-boilerplate 3-gram shingles whose df is the full doc count.
+    */
+  private val HotTail =
+    " grafthotaa grafthotbb grafthotcc grafthotdd grafthotee grafthotff"
+
+  /** Build (once) the adversarial hot-shingle fixture at `factor`. Same
+    * copy scheme as [[fixture]] (fresh ids, Caesar-rotated uniques — so
+    * cross-copy candidate structure stays zero on the UNIQUE content) with
+    * [[HotTail]] appended un-rotated to every doc.
+    */
+  private def advFixture(spark: SparkSession, base: String, factor: Int,
+                         work: String): String = {
+    val dir = s"$work/adv_x$factor"
+    val done = new java.io.File(s"$dir/_done_v1")
+    if (!done.exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val copies = (0 until factor).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          concat(
+            if (c == 0) col("text")
+            else translate(col("text"), caesarFrom, caesarTo(c)),
+            lit(HotTail)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      copies.coalesce(math.max(1, factor / 2))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,3,10").split(",").map(_.trim.toInt)
+    val mode = args.lift(2).getOrElse("full")
     val spark = ToolSession.start()
     val work = new java.io.File("target/tmp/scale_curve").getAbsolutePath
     val D = graft.ops.Dedup
     val S = graft.ops.Similarity
     val staged = scala.collection.mutable.ListBuffer.empty[String]
+    if (mode == "adv") {
+      try {
+        factors.foreach { f =>
+          val dir = advFixture(spark, base, f, work)
+          staged += D.docShinglesTable(dir)
+          println(s"== adversarial factor $f ($dir) ==")
+          def t(label: String)(body: => Unit): Unit =
+            ToolSession.timed(spark, label)(body)
+          t("adv: stageDocShingles (build)")(D.stageDocShingles(spark, dir))
+          val sh = D.docShinglesStaged(spark, dir)
+          println(s"  count: docs = ${sh.count()}")
+          // proof the fixture is adversarial: the hot tail's df must equal
+          // the full doc count (every doc shares it)
+          val maxDf = sh.select(explode(col("shingles")).as("s"))
+            .groupBy("s").agg(count(lit(1)).as("df"))
+            .agg(max("df")).head().getLong(0)
+          println(s"  count: max shingle df = $maxDf (d2 bomb = " +
+            s"~${maxDf * (maxDf - 1) / 2} raw hot-bucket pairs)")
+          var cand = 0L
+          t("adv: prefix candidates") {
+            cand = D.jaccardPrefixCandidatesLazy(
+              sh, D.PrefixJaccardThreshold).count()
+          }
+          println(s"  count: prefix candidates = $cand")
+          var verified = 0L
+          t("adv: q_dedup_jaccard_prefix (verify)") {
+            verified = D.ngramJaccardPrefix(spark, dir).count()
+          }
+          println(s"  count: verified pairs = $verified")
+        }
+      } finally {
+        staged.distinct.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        spark.stop()
+      }
+      return
+    }
     try {
       factors.foreach { f =>
         val dir = fixture(spark, base, f, work)
@@ -149,10 +230,18 @@ object ScaleCurve {
         // with the corpus so C stays at the factor-1 count — the N×C
         // assignment must then measure ~linear in the factor (the stated
         // mitigation for the fixture policy's superlinear curve, proven
-        // here rather than argued)
-        t(s"ann: stageIvfIndex fixed-C policy (stride=${S.CentroidStride}*$f)") {
-          S.stageIvfIndex(spark, dir, stride = S.CentroidStride.toLong * f)
-        }
+        // here rather than argued). At factor 1 the two policies are the
+        // SAME stride, so the probe would hit needsBuild's recovery
+        // short-circuit on the tables the default build just staged and
+        // time a catalog no-op — skip it rather than print a misleading
+        // "build" number (r13 advice).
+        if (f == 1)
+          println(s"  ann: stageIvfIndex fixed-C policy: skipped at x1 — " +
+            s"stride=${S.CentroidStride} is the default build above (same tables)")
+        else
+          t(s"ann: stageIvfIndex fixed-C policy (stride=${S.CentroidStride}*$f)") {
+            S.stageIvfIndex(spark, dir, stride = S.CentroidStride.toLong * f)
+          }
         staged ++= {
           val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
           Seq(S.CentroidStride.toLong, S.CentroidStride.toLong * f).flatMap(s =>

@@ -12,8 +12,18 @@ object StreamKsProfile {
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = ToolSession.start()
     def t[A](label: String)(body: => A): A = ToolSession.timed(spark, label)(body)
+    // width sweep harness: reps cycle the session shuffle width so the
+    // drain's STATE width can be swept in one JVM (the r14 measurement
+    // behind StreamingQueries.BoundedStateWidth: drain 2.3-2.4 s at 32 vs
+    // ~2.0 s at 8 warm, equal at 4 — with the cold-rep contrast in rep 1).
+    // NOTE the query itself pins its own width since r14; the sweep still
+    // exercises the READOUT width, and the drain sweep needs the pin
+    // commented out to reproduce the original numbers.
+    val widths = Seq(32, 8, 4, 8, 32)
     (1 to reps).foreach { i =>
-      println(s"== rep $i ==")
+      val w = widths((i - 1) % widths.length)
+      spark.conf.set("spark.sql.shuffle.partitions", w)
+      println(s"== rep $i (session shuffle width $w) ==")
       spark.streams.active.foreach(_.stop())
       val rawSchema = t("schema") {
         spark.read.parquet(s"$dir/lineitem.parquet").schema
@@ -28,6 +38,25 @@ object StreamKsProfile {
       t("readout") {
         graft.ops.Stats.ksOfCounts(drained).count()
       }
+      // readout sub-phases (same relation, fresh cache): where inside
+      // ksOfCounts the seconds go — cache fill, the PrefixSum probe, the
+      // offsets collect, and the main ranked pass
+      import org.apache.spark.sql.functions._
+      val pts = drained.withColumn("_g", lit(0)).persist()
+      t("  ro: cache fill (count)")(pts.count())
+      t("  ro: probe (percentile_approx)") {
+        pts.agg(percentile_approx(col("v").cast("double"),
+          array((1 until 32).map(i => lit(i / 32.0)): _*), lit(1000)).as("b")).head()
+      }
+      t("  ro: offsets (groupBy+collect)") {
+        pts.select(concat_ws("", col("_g").cast("string")).as("_key"),
+            lit(0).as("_b"), (col("c1") + col("c2")).as("_v"))
+          .groupBy("_b", "_key").agg(sum("_v").as("_s")).limit(100).collect()
+      }
+      t("  ro: full ksOfCounts (cached input)") {
+        graft.ops.Stats.ksOfCounts(pts.drop("_g")).count()
+      }
+      pts.unpersist()
     }
     spark.stop()
   }

@@ -339,10 +339,12 @@ class PlanAuditSpec extends SparkSpec {
   test("bloom semi-join pre-filters the fact scan before the exact semi-join") {
     val plan = planOf(ops.Relational.bloomSemiJoin(spark, dir))
     assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
-    // the UDF prune must sit under the join, on the fact side (prints as
-    // Filter ... UDF(knownnotnull(l_orderkey...)) above the fact FileScan)
-    assert("UDF\\([^)]*l_orderkey".r.findFirstIn(plan).isDefined,
+    // the codegen bloom_probe prune must sit under the join, on the fact
+    // side (prints as Filter bloom_probe(l_orderkey...) above the fact
+    // FileScan) — and specifically NOT as a codegen-fencing UDF
+    assert("bloom_probe\\([^)]*l_orderkey".r.findFirstIn(plan).isDefined,
            s"bloom prune not in the fact scan path:\n$plan")
+    assert(!plan.contains("UDF("), s"UDF fence back in the bloom path:\n$plan")
   }
 
   test("dup_spans: pruned scan, hash-keyed aggregations, no window") {

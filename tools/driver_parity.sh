@@ -1,0 +1,75 @@
+#!/usr/bin/env bash
+# Driver-parity bench runner (r13 verdict item 1): reproduce the driver
+# harness's bench invocation exactly — a FRESH `sbt "runMain graft.Bench"`
+# JVM with the same env contract (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS /
+# SPARK_GRAFT_BENCH_OUT), the same bounded stdout-tail capture — plus an
+# optional CONTENTION INJECTOR that emulates the driver-window host load the
+# builder's quiet sessions never see.
+#
+# Why the injector is the load-bearing part: the r13 driver bench ran in
+# THIS repo with the same warm warehouse and staged inputs the builder uses
+# (verified by artifact mtimes), so the only degree of freedom left between
+# "builder measures 4.4-6.3 s" and "driver measures 14.7 s" on q_stream_ks
+# is concurrent host load during the driver's window (untouched-median
+# gauge 1.415, the hottest recorded; the 2-3x movers were CONTIGUOUS in run
+# order — ks, late, markov, quality — i.e. a load burst, not a code
+# property). `--load N` spins N busy processes for the duration of the run
+# so that shape can be reproduced and measured on demand instead of waiting
+# for the driver to land in one.
+#
+# Usage: tools/driver_parity.sh [--load N] [--sf DIR] [--out FILE]
+#   --load N   run N CPU-burner processes concurrently with the bench
+#   --sf DIR   fixture dir (default /root/testdata/sf0.1)
+#   --out F    bench_out JSON path (default bench_parity.json)
+# Output: the bench's self-truncating stdout line, the harness-style
+# ~2000-char tail it would have parsed, and the gauge_window.py read of the
+# full per-query map vs the committed anchor.
+set -u
+cd "$(dirname "$0")/.."
+
+LOAD=0
+SF=/root/testdata/sf0.1
+OUT=bench_parity.json
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --load) LOAD="$2"; shift 2 ;;
+    --sf)   SF="$2";   shift 2 ;;
+    --out)  OUT="$2";  shift 2 ;;
+    *) echo "unknown arg: $1" >&2; exit 2 ;;
+  esac
+done
+
+BURNERS=()
+if [ "$LOAD" -gt 0 ]; then
+  echo "== starting $LOAD burner processes (driver-window emulation) =="
+  for _ in $(seq 1 "$LOAD"); do
+    ( while :; do :; done ) &
+    BURNERS+=($!)
+  done
+  trap 'kill "${BURNERS[@]}" 2>/dev/null' EXIT
+fi
+
+T0=$(date +%s)
+STDOUT=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" \
+  sbt "runMain graft.Bench" 2>/dev/null)
+RC=$?
+T1=$(date +%s)
+
+if [ "$LOAD" -gt 0 ]; then
+  kill "${BURNERS[@]}" 2>/dev/null
+  trap - EXIT
+fi
+
+# the harness captures only a bounded tail of stdout — show what it would see
+TAIL=$(printf '%s' "$STDOUT" | tail -c 2000)
+echo "== harness-visible stdout tail (last 2000 chars) =="
+echo "$TAIL"
+echo
+echo "== wall: $((T1 - T0)) s, rc=$RC, load=$LOAD, sf=$SF =="
+if [ -f "$OUT" ]; then
+  echo "== gauge vs anchor =="
+  python3 tools/gauge_window.py "$OUT"
+else
+  echo "ERROR: $OUT not written" >&2
+  exit 1
+fi
