@@ -32,6 +32,26 @@ class BenchSpec extends AnyFunSuite {
     assert(failed.isEmpty && fatal.isEmpty && results.length == 1)
   }
 
+  test("preWarm runs untimed before each query, and a throwing warm pass never fails the timed query") {
+    // the adjacent JIT-warm contract (r14): the hook fires per query BEFORE
+    // the clock starts; a broken warm pass is swallowed so the failure
+    // surfaces (or not) in the timed run itself, never masked by warmup
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val (results, failed, _) = Bench.timeQueries(
+      Seq(
+        "q_warmed" -> (() => { order += "run:q_warmed"; () }),
+        "q_cold" -> (() => { order += "run:q_cold"; () })),
+      preWarm = name => {
+        order += s"warm:$name"
+        if (name == "q_cold") sys.error("forced warm failure")
+      })
+    assert(failed.isEmpty, "a throwing preWarm must not fail the timed query")
+    assert(order.toList == List(
+      "warm:q_warmed", "run:q_warmed", "warm:q_cold", "run:q_cold"),
+      order.mkString(","))
+    assert(results.map(_._1) == Seq("q_warmed", "q_cold"))
+  }
+
   test("timeQueries aborts on a JVM-fatal error: completed timings kept, later queries never run") {
     var ranLast = false
     var cleanups = 0
