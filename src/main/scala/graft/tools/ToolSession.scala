@@ -22,6 +22,13 @@ object ToolSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // generated-class cache size — read ONCE at the JVM's first codegen,
+      // so it must be set before the session's first query. Default MUST
+      // match Bench.main's (4096, the workload-sized value — see the
+      // sizing note there): a tool measuring under a different cache would
+      // explain a suite it isn't running.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
