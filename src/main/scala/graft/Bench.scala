@@ -127,14 +127,16 @@ object Bench {
     // gets one untimed sf0.001 pass of the SAME pipeline. Since r14 the
     // pass runs ADJACENT to its timed consumer (the timeQueries preWarm
     // hook), not in a block at the top of the run: warmed state decays —
-    // the generated-class cache is bounded and a 198-query suite churns
-    // far more than its capacity between a top-of-run warm pass and a
-    // query ~170 positions later, and C2-compiled methods deoptimize under
-    // code-cache pressure — which is exactly the r13 driver-window shape
-    // (q_stream_ks timed at its COLD 9.5 s × the 1.415 window ≈ the
-    // observed 14.7 s, three rounds running, while in-session runs closer
-    // to the warm pass held 4.4-6.3 s). Adjacency makes the warm state
-    // fresh at the only moment it matters. q_stream_late joins (r13
+    // at the DEFAULT 100-entry generated-class cache the suite's ~2,300
+    // distinct classes churned a top-of-run warm pass out long before its
+    // consumer ran (tools.CodegenChurn measured a warmed q_stream_ks
+    // recompiling 48/50 classes after the churn — exactly the r13
+    // driver-window shape: its COLD 9.5 s × the 1.415 window ≈ the
+    // observed 14.7 s, three rounds running). The workload-sized cache
+    // below removes that specific decay, but adjacency stays: it also
+    // keeps C2-compiled methods and allocation-site profiles hot, costs
+    // nothing, and protects the warm passes if the cache is downsized via
+    // the env knob. q_stream_late joins (r13
     // verdict item 2: same micro-batch-startup class; its sf0.001 pass
     // also compiles the watermark/append-mode stateful codegen);
     // q_stream_markov joins (the third member of the r13 contiguous
