@@ -27,8 +27,20 @@ object Bench {
       // untimed per-query JIT-warm hook, ADJACENT to its timed consumer —
       // see main's warm-set comment for why adjacency matters; failures
       // are swallowed (a broken warm pass must surface as the timed
-      // query's own loud failure, not mask it)
-      try preWarm(name) catch { case scala.util.control.NonFatal(_) => () }
+      // query's own loud failure, not mask it) EXCEPT a JVM-fatal error,
+      // which gets the same flush-and-abort treatment as the timed path:
+      // the warm pass runs real Spark queries ~150 timings deep into the
+      // run, and letting its OOM propagate would discard them all with no
+      // "tainted" record (r14 review)
+      try preWarm(name) catch {
+        case e: VirtualMachineError =>
+          failed += name
+          fatal = Some(s"${e.getClass.getSimpleName} at $name (preWarm)")
+          System.err.println(s"BENCH FATAL (run aborted): preWarm $name — $e")
+          e.printStackTrace()
+        case _: Throwable => ()
+      }
+      if (fatal.isDefined) () else {
       val t0 = System.nanoTime()
       // non-fatal Throwables must not abort the run and discard ~190
       // completed timings before bench_out.json is written — partial
@@ -48,6 +60,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       results += (name -> dt)
       if (fatal.isEmpty) cleanup() // a wedged JVM gets no best-effort GC pass
+      }
     }
     (results.toList, failed.toList, fatal)
   }
@@ -79,15 +92,6 @@ object Bench {
     // untimed warmup: absorb session/scheduler spin-up so it isn't billed
     // to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Also warm the codegen/JIT path of the suite's FIRST timed query at the
-    // smallest fixture: the alphabetical head (q_allpairs_cosine) otherwise
-    // absorbs the janino-compile + C2 cold-start the warmup above doesn't
-    // reach (measured: 6.5 s cold vs 3.3 s warm fresh-JVM at sf0.1; the
-    // 17.3 s BENCH_r06 outlier was this cold-start amplified by a noisy
-    // window). sf0.001 keeps the untimed pass sub-second while compiling
-    // the same operator pipeline.
-    try SparkEntry.queries("q_allpairs_cosine")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // Stage write-once artifacts untimed: the bucketed tables' clustering
     // write is the amortized-across-all-future-joins cost of the layout, not
@@ -140,9 +144,9 @@ object Bench {
     // verdict item 2: same micro-batch-startup class; its sf0.001 pass
     // also compiles the watermark/append-mode stateful codegen);
     // q_stream_markov joins (the third member of the r13 contiguous
-    // streaming mover cluster); q_allpairs_cosine keeps absorbing the
-    // suite-head cold-start as before (it is the first timed query, so
-    // adjacency == the old top-of-run position).
+    // streaming mover cluster); q_allpairs_cosine's old dedicated
+    // top-of-run pass (it is the first timed query, so adjacency == that
+    // position) is subsumed by its warmSet membership — one pass, not two.
     val warmSet = Set("q_allpairs_cosine", "q_triangles", "q_pagerank",
       "q_bfs_hops", "q_basket_triples", "q_stream_ks", "q_stream_late",
       "q_stream_markov", "q_knn_sq")

@@ -21,7 +21,13 @@ import org.apache.spark.metrics.source.CodegenMetrics
   *     warm pass had already compiled and the churn evicted.
   *
   * Usage: CodegenChurn [query] [churnDir] — defaults q_stream_ks,
-  * /root/testdata/sf0.001.
+  * /root/testdata/sf0.001. NOTE: since r14 the ToolSession/Bench default
+  * cache is the workload-sized 4096, under which the DECAYED rerun shows
+  * ~no recompiles BY DESIGN (that is the fix working, not the mechanism
+  * refuted) — to reproduce the thrash numbers cited in Bench.main's
+  * sizing note, run with `SPARK_GRAFT_CODEGEN_CACHE=100`. The probe
+  * prints the active capacity so the two configurations can't be
+  * confused.
   */
 object CodegenChurn {
   def main(args: Array[String]): Unit = {

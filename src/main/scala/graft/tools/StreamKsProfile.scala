@@ -9,16 +9,18 @@ package graft.tools
 object StreamKsProfile {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val reps = if (args.length > 1) args(1).toInt else 5
     val spark = ToolSession.start()
     def t[A](label: String)(body: => A): A = ToolSession.timed(spark, label)(body)
     // width sweep harness: reps cycle the session shuffle width so the
     // drain's STATE width can be swept in one JVM (the r14 measurement
     // behind StreamingQueries.BoundedStateWidth: drain 2.3-2.4 s at 32 vs
     // ~2.0 s at 8 warm, equal at 4 — with the cold-rep contrast in rep 1).
-    // NOTE the query itself pins its own width since r14; the sweep still
-    // exercises the READOUT width, and the drain sweep needs the pin
-    // commented out to reproduce the original numbers.
+    // This tool calls drain DIRECTLY with stateWidth unset, so the sweep
+    // genuinely varies the drain width (the production streamKs pins its
+    // own width since r14 and is not what runs here). Run the full 5-rep
+    // cycle: it repeats widths 8 and 32 warm precisely so rep 1's
+    // fresh-JVM cold start can't be read as a width-32 property.
     val widths = Seq(32, 8, 4, 8, 32)
     (1 to reps).foreach { i =>
       val w = widths((i - 1) % widths.length)

@@ -52,6 +52,25 @@ class BenchSpec extends AnyFunSuite {
     assert(results.map(_._1) == Seq("q_warmed", "q_cold"))
   }
 
+  test("a JVM-fatal error in preWarm aborts like the timed path: timings kept, query never timed") {
+    // an OOM in the warm pass must not propagate uncaught (which would
+    // discard every completed timing with no tainted record) NOR be
+    // silently swallowed (the JVM is wedged) — it gets the timed path's
+    // flush-and-abort treatment
+    var ranTimed = false
+    val (results, failed, fatal) = Bench.timeQueries(
+      Seq(
+        "q_ok_first" -> (() => ()),
+        "q_warm_oom" -> (() => { ranTimed = true })),
+      preWarm = name =>
+        if (name == "q_warm_oom") throw new OutOfMemoryError("forced warm fatal"))
+    assert(fatal.contains("OutOfMemoryError at q_warm_oom (preWarm)"), fatal.toString)
+    assert(failed == Seq("q_warm_oom"))
+    assert(!ranTimed, "the timed query ran in a wedged JVM")
+    // completed timings flush; the aborted query reports none
+    assert(results.map(_._1) == Seq("q_ok_first"))
+  }
+
   test("timeQueries aborts on a JVM-fatal error: completed timings kept, later queries never run") {
     var ranLast = false
     var cleanups = 0

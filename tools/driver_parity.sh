@@ -49,6 +49,9 @@ if [ "$LOAD" -gt 0 ]; then
   trap 'kill "${BURNERS[@]}" 2>/dev/null' EXIT
 fi
 
+# a stale $OUT from a previous run must never be gauged as THIS run's
+# result if the bench crashes before writing (r14 review)
+rm -f "$OUT"
 T0=$(date +%s)
 STDOUT=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" \
   sbt "runMain graft.Bench" 2>/dev/null)
@@ -73,3 +76,6 @@ else
   echo "ERROR: $OUT not written" >&2
   exit 1
 fi
+# surface a nonzero bench exit even when a (partial, tainted) JSON was
+# flushed — the gauge above is then context, not a success report
+exit "$RC"
