@@ -75,6 +75,14 @@ object StreamingQueries {
     * width: that state grows with the corpus and narrow width would be the
     * actual scale bug. Restored in a finally: the knob must never leak
     * into the next query's batch plans.
+    *
+    * SINGLE-THREADED assumption (r14 advice): the width override mutates
+    * the SHARED session conf for the drain's duration, so a concurrently
+    * running query — or a second drain on the same session inside the
+    * window — would capture the narrowed width. Safe under the serial
+    * Bench/Verify harness flow this library is driven by; a concurrent
+    * caller must hand each drain its own `spark.newSession()` (per-session
+    * conf isolation) before this becomes a cloned-session default.
     */
   private[graft] def drain(df: DataFrame, name: String, mode: String,
                            stateWidth: Option[Int] = None): DataFrame = {

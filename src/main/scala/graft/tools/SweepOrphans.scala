@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+
+/** One-time upgrade sweep for artifacts orphaned by SEMANTIC RENAMES
+  * (r14 advice): when a staged table or fixture dir is renamed to encode
+  * its constants, the OLD name's data is never read again — crash
+  * recovery probes only the new name — but nothing removed it, so an
+  * upgraded checkout carries it on disk and in the metastore forever.
+  * This tool removes exactly the retired patterns:
+  *
+  *  - warehouse tables/dirs `simhash_fp_b<digits>…` — renamed
+  *    `simhash_fp_w<bits>_b<buckets>…` in r14 (both constants in the
+  *    name; [[graft.ops.Dedup.simhashFpTable]]). Matched as a catalog
+  *    entry AND as an unregistered warehouse dir (warehouse data
+  *    outlives the catalog — [[graft.util.Staged]]'s own premise).
+  *  - `target/tmp/late_…` four-file streaming fixture dirs — superseded
+  *    by the three-micro-batch `late3_…` layout
+  *    ([[graft.streaming.StreamingQueries]]).
+  *  - `target/tmp/jsonl__tmp_…` staged JSONL ingest dirs whose ephemeral
+  *    `/tmp/…` source inputs no longer exist: spec runs ingest from
+  *    random java.io.tmpdir paths ([[graft.ops.Ingestion]] keys the
+  *    stage dir by input path), so each `sbt test` leaves one dir keyed
+  *    by a path that can never recur.
+  *
+  * Idempotent and safe to re-run; prints one line per removal. Current
+  * names (`simhash_fp_w…`, `late3_…`, fixture-dir jsonl stages) are
+  * never touched.
+  */
+object SweepOrphans {
+  def main(args: Array[String]): Unit = {
+    val spark = ToolSession.start()
+    val fs = graft.util.Staged.fsOf(spark)
+
+    // retired simhash tables: catalog entries first (DROP leaves external
+    // files behind, so sweep the location too), then unregistered dirs
+    val retired = "^simhash_fp_b\\d.*".r
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => retired.matches(n))
+      .foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        graft.util.Staged.sweep(spark, n)
+        println(s"dropped retired table $n")
+      }
+    val wh = graft.util.Staged.warehousePath(spark)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (retired.matches(n)) {
+        fs.delete(st.getPath, true)
+        println(s"deleted orphaned warehouse dir $n")
+      }
+    }
+
+    val tmp = new java.io.File("target/tmp")
+    val kids = Option(tmp.listFiles()).getOrElse(Array.empty)
+    // retired four-file late fixtures (late3_ is the live layout)
+    kids.filter(f => f.getName.startsWith("late_")).foreach { f =>
+      deleteRecursively(f)
+      println(s"deleted retired fixture dir target/tmp/${f.getName}")
+    }
+    // jsonl stages keyed by vanished /tmp inputs (spec residue). The
+    // sanitization ([[graft.ops.Ingestion.stageJsonl]]'s `safe`) is lossy
+    // to INVERT but deterministic FORWARD — so compute the live key set
+    // from what actually exists under /tmp and delete any /tmp-keyed
+    // stage dir not in it. Fixture-dir stages (jsonl__root_…) never match
+    // the jsonl__tmp_ prefix and are untouched.
+    def keyOf(path: String) = "jsonl_" + path.replaceAll("[^A-Za-z0-9.]", "_")
+    val live = Option(new java.io.File("/tmp").listFiles())
+      .getOrElse(Array.empty).map(f => keyOf(f.getPath)).toSet
+    kids.foreach { f =>
+      if (f.getName.startsWith("jsonl__tmp_") && !live.contains(f.getName)) {
+        deleteRecursively(f)
+        println(s"deleted stale jsonl stage target/tmp/${f.getName}")
+      }
+    }
+    spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}

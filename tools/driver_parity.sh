@@ -18,23 +18,35 @@
 # for the driver to land in one.
 #
 # Usage: tools/driver_parity.sh [--load N] [--sf DIR] [--out FILE]
+#                                [--cpus N] [--ref MAP.json]
 #   --load N   run N CPU-burner processes concurrently with the bench
 #   --sf DIR   fixture dir (default /root/testdata/sf0.1)
 #   --out F    bench_out JSON path (default bench_parity.json)
+#   --cpus N   SPARK_GRAFT_CPUS for the bench (default 32, the driver's
+#              value — passed EXPLICITLY so a parity run can never
+#              silently inherit a different shuffle width from the
+#              caller's environment; r14 advice)
+#   --ref M    extra gauge pass vs a chosen reference map (e.g. a
+#              same-build run11-class map), in addition to the anchor
 # Output: the bench's self-truncating stdout line, the harness-style
 # ~2000-char tail it would have parsed, and the gauge_window.py read of the
-# full per-query map vs the committed anchor.
+# full per-query map vs the committed anchor (both medians: raw +
+# cache-insensitive).
 set -u
 cd "$(dirname "$0")/.."
 
 LOAD=0
 SF=/root/testdata/sf0.1
 OUT=bench_parity.json
+CPUS=32
+REF=
 while [ $# -gt 0 ]; do
   case "$1" in
     --load) LOAD="$2"; shift 2 ;;
     --sf)   SF="$2";   shift 2 ;;
     --out)  OUT="$2";  shift 2 ;;
+    --cpus) CPUS="$2"; shift 2 ;;
+    --ref)  REF="$2";  shift 2 ;;
     *) echo "unknown arg: $1" >&2; exit 2 ;;
   esac
 done
@@ -54,7 +66,7 @@ fi
 rm -f "$OUT"
 T0=$(date +%s)
 STDOUT=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" \
-  sbt "runMain graft.Bench" 2>/dev/null)
+  SPARK_GRAFT_CPUS="$CPUS" sbt "runMain graft.Bench" 2>/dev/null)
 RC=$?
 T1=$(date +%s)
 
@@ -72,6 +84,10 @@ echo "== wall: $((T1 - T0)) s, rc=$RC, load=$LOAD, sf=$SF =="
 if [ -f "$OUT" ]; then
   echo "== gauge vs anchor =="
   python3 tools/gauge_window.py "$OUT"
+  if [ -n "$REF" ]; then
+    echo "== gauge vs $REF =="
+    python3 tools/gauge_window.py "$OUT" --ref "$REF"
+  fi
 else
   echo "ERROR: $OUT not written" >&2
   exit 1
