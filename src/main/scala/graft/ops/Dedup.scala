@@ -1778,7 +1778,17 @@ object Dedup {
     tf.unpersist(blocking = false)
     val nrm = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nq"))
     val ex = kept.join(nrm, "doc_id")
-    ex.as("a").join(ex.as("b"),
+    // shuffle_hash on the self-join: the index is CORPUS-sized, so the
+    // scaladoc's claimed scale shape ("the self-join shuffles on the term
+    // text") must be the plan fact, not an AQE size-estimate outcome — at
+    // sf0.1 the estimator undersized the build side and planned a BHJ,
+    // which builds a ~tens-of-MB HashedRelation single-threaded on the
+    // driver (the humongous-allocation flap class this query kept showing
+    // in driver windows) and would be a driver ceiling at 100 TB. The
+    // hint distributes the build across the term-keyed exchange both
+    // sides already need, and makes the plan identical at sf0.001/sf0.1
+    // so the Bench warm pass compiles exactly the timed run's classes.
+    ex.as("a").hint("shuffle_hash").join(ex.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // nq is constant within a pair group: max() carries it through the
