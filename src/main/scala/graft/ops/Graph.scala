@@ -58,7 +58,15 @@ object Graph {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     // persist the pair aggregation FIRST: edges (×2 via the union), deg,
     // and the eds join all re-derive from it — unpersisted, the per-order
-    // self-join would run ~6 times before the loop even starts
+    // self-join would run ~6 times before the loop even starts.
+    // No join hint here, deliberately: hinting one side of this SELF-join
+    // de-duplicates the two sides' otherwise-identical subplans, so the
+    // lineitem scan + distinct runs twice and the exchange is not reused —
+    // measured 11-13 s warm vs 6.5-7.3 unhinted (r15). The planner's
+    // o-keyed shuffle join IS the scalable shape at corpus size; only the
+    // sub-second sf0.001 warm pass plans it differently (broadcast), a
+    // compile-warmth gap the adjacent preWarm pass can't close but one
+    // that costs ~1-2 s once, not a scale defect.
     val pairs = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
