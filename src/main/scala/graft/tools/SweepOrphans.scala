@@ -59,17 +59,34 @@ object SweepOrphans {
       deleteRecursively(f)
       println(s"deleted retired fixture dir target/tmp/${f.getName}")
     }
-    // jsonl stages keyed by vanished /tmp inputs (spec residue). The
+    // jsonl stages keyed by vanished tmpdir inputs (spec residue). The
     // sanitization ([[graft.ops.Ingestion.stageJsonl]]'s `safe`) is lossy
     // to INVERT but deterministic FORWARD — so compute the live key set
-    // from what actually exists under /tmp and delete any /tmp-keyed
-    // stage dir not in it. Fixture-dir stages (jsonl__root_…) never match
-    // the jsonl__tmp_ prefix and are untouched.
+    // from what actually exists under java.io.tmpdir (the dir the specs
+    // key by — NOT a hardcoded /tmp; r15 advice) and delete any
+    // tmpdir-keyed stage dir not in it. The walk is RECURSIVE (bounded):
+    // a stage keyed by a still-existing NESTED input like
+    // /tmp/spec-x/docs must land in the live set, or this tool would
+    // spuriously retire it (bounded consequence — stageJsonl rebuilds —
+    // but a deletion tool should not guess). Fixture-dir stages
+    // (jsonl__root_…) never match the tmpdir-derived prefix and are
+    // untouched.
     def keyOf(path: String) = "jsonl_" + path.replaceAll("[^A-Za-z0-9.]", "_")
-    val live = Option(new java.io.File("/tmp").listFiles())
-      .getOrElse(Array.empty).map(f => keyOf(f.getPath)).toSet
+    val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .getCanonicalFile
+    val stagePrefix = keyOf(tmpdir.getPath) + "_"
+    val live = scala.collection.mutable.HashSet.empty[String]
+    def walk(f: java.io.File, depth: Int): Unit = {
+      live += keyOf(f.getPath)
+      // never follow symlinks (a link cycle under tmpdir must not hang
+      // the sweep), bound the depth — spec inputs sit 1-2 levels deep
+      if (depth > 0 && f.isDirectory &&
+          !java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk(_, depth - 1))
+    }
+    Option(tmpdir.listFiles()).getOrElse(Array.empty).foreach(walk(_, 3))
     kids.foreach { f =>
-      if (f.getName.startsWith("jsonl__tmp_") && !live.contains(f.getName)) {
+      if (f.getName.startsWith(stagePrefix) && !live.contains(f.getName)) {
         deleteRecursively(f)
         println(s"deleted stale jsonl stage target/tmp/${f.getName}")
       }
@@ -77,8 +94,14 @@ object SweepOrphans {
     spark.stop()
   }
 
+  /** Deletes a tree WITHOUT following directory symlinks (r15 advice): a
+    * link planted inside a swept dir is deleted as the link itself —
+    * recursing into it would delete the TARGET's contents, the classic
+    * deletion-tool hazard.
+    */
   private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
 }

@@ -12,7 +12,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("timeQueries records a throwing query in the failed list and keeps timing the rest") {
     var cleanups = 0
-    val (results, failed, fatal) = Bench.timeQueries(
+    val (results, failed, fatal, _) = Bench.timeQueries(
       Seq(
         "q_ok_first" -> (() => ()),
         "q_boom" -> (() => sys.error("forced bench failure")),
@@ -28,7 +28,7 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("timeQueries with no failures returns an empty failed list (no spurious \"failed\" key)") {
-    val (results, failed, fatal) = Bench.timeQueries(Seq("q_ok" -> (() => ())))
+    val (results, failed, fatal, _) = Bench.timeQueries(Seq("q_ok" -> (() => ())))
     assert(failed.isEmpty && fatal.isEmpty && results.length == 1)
   }
 
@@ -37,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
     // the clock starts; a broken warm pass is swallowed so the failure
     // surfaces (or not) in the timed run itself, never masked by warmup
     val order = scala.collection.mutable.ListBuffer.empty[String]
-    val (results, failed, _) = Bench.timeQueries(
+    val (results, failed, _, _) = Bench.timeQueries(
       Seq(
         "q_warmed" -> (() => { order += "run:q_warmed"; () }),
         "q_cold" -> (() => { order += "run:q_cold"; () })),
@@ -58,7 +58,7 @@ class BenchSpec extends AnyFunSuite {
     // silently swallowed (the JVM is wedged) — it gets the timed path's
     // flush-and-abort treatment
     var ranTimed = false
-    val (results, failed, fatal) = Bench.timeQueries(
+    val (results, failed, fatal, _) = Bench.timeQueries(
       Seq(
         "q_ok_first" -> (() => ()),
         "q_warm_oom" -> (() => { ranTimed = true })),
@@ -74,7 +74,7 @@ class BenchSpec extends AnyFunSuite {
   test("timeQueries aborts on a JVM-fatal error: completed timings kept, later queries never run") {
     var ranLast = false
     var cleanups = 0
-    val (results, failed, fatal) = Bench.timeQueries(
+    val (results, failed, fatal, _) = Bench.timeQueries(
       Seq(
         "q_ok_first" -> (() => ()),
         // synthetic, never allocation-driven: constructing and throwing an
@@ -89,5 +89,71 @@ class BenchSpec extends AnyFunSuite {
     assert(!ranLast, "a query after the fatal error was still run")
     // no best-effort cleanup pass in a possibly-wedged JVM
     assert(cleanups == 1)
+  }
+
+  // --- stall transparency (r15 verdict item 1) ------------------------------
+
+  test("a timing beyond stallFactor x its reference is re-measured once; primary number untouched") {
+    var runs = 0
+    var cleanups = 0
+    val (results, failed, fatal, stalls) = Bench.timeQueries(
+      Seq("q_stall" -> (() => {
+        runs += 1
+        if (runs == 1) Thread.sleep(200) // first (timed) pass stalls
+      })),
+      cleanup = () => cleanups += 1,
+      stallRef = Map("q_stall" -> 0.02),
+      stallFactor = 3.0, stallAbsFloor = 0.05)
+    assert(failed.isEmpty && fatal.isEmpty)
+    assert(runs == 2, "the stall must trigger exactly one re-measure")
+    assert(stalls.map(_.name) == Seq("q_stall"))
+    val st = stalls.head
+    // the PRIMARY timing is the original stalled wall, not the retry
+    assert(results == Seq("q_stall" -> st.timed))
+    assert(st.timed >= 0.2, s"timed=${st.timed}")
+    assert(st.retry >= 0.0 && st.retry < st.timed, s"retry=${st.retry}")
+    // the retry runs between two cleanup passes (fresh-slot state)
+    assert(cleanups == 2)
+  }
+
+  test("no re-measure within the stall window, for an unlisted query, or for a failed query") {
+    var runs = 0
+    val (_, failed, _, stalls) = Bench.timeQueries(
+      Seq(
+        "q_inside" -> (() => { runs += 1; Thread.sleep(30) }),
+        "q_unlisted" -> (() => { runs += 1; Thread.sleep(200) }),
+        // slow AND failed: the wall is meaningless, must not re-run
+        "q_failed" -> (() => { runs += 1; Thread.sleep(200); sys.error("boom") })),
+      stallRef = Map("q_inside" -> 0.02, "q_failed" -> 0.01),
+      stallFactor = 10.0, stallAbsFloor = 0.05)
+    assert(failed == Seq("q_failed"))
+    assert(stalls.isEmpty, stalls.toString)
+    assert(runs == 3, "no hidden re-runs")
+  }
+
+  test("a throwing stall retry records retry = -1 and never fails the query") {
+    var runs = 0
+    val (results, failed, fatal, stalls) = Bench.timeQueries(
+      Seq("q_flaky" -> (() => {
+        runs += 1
+        if (runs == 1) Thread.sleep(200) else sys.error("retry boom")
+      })),
+      stallRef = Map("q_flaky" -> 0.02),
+      stallFactor = 3.0, stallAbsFloor = 0.05)
+    assert(failed.isEmpty && fatal.isEmpty, "the retry is diagnosis — its failure is its own")
+    assert(results.head._2 >= 0.2)
+    assert(stalls.map(s => (s.name, s.retry)) == Seq(("q_flaky", -1.0)))
+  }
+
+  test("parseStallRef reads q_-prefixed entries from a bench_out line, skips wrapper fields") {
+    val f = java.nio.file.Files.createTempFile("stallref", ".json")
+    try {
+      java.nio.file.Files.writeString(f,
+        """{"metric":"total","value":237.0123,"unit":"sec","queries":{"q_a":1.5,"q_b":12.3456,"rest":9.9,"omitted":3},"sf":"/x"}""")
+      val m = Bench.parseStallRef(f.toString)
+      assert(m == Map("q_a" -> 1.5, "q_b" -> 12.3456), m.toString)
+      // absent file: empty map, no throw (bench runs without transparency)
+      assert(Bench.parseStallRef("/nonexistent/ref.json").isEmpty)
+    } finally java.nio.file.Files.delete(f)
   }
 }

@@ -19,6 +19,7 @@
 #
 # Usage: tools/driver_parity.sh [--load N] [--sf DIR] [--out FILE]
 #                                [--cpus N] [--ref MAP.json]
+#                                [--driver-session] [--evict]
 #   --load N   run N CPU-burner processes concurrently with the bench
 #   --sf DIR   fixture dir (default /root/testdata/sf0.1)
 #   --out F    bench_out JSON path (default bench_parity.json)
@@ -28,10 +29,19 @@
 #              caller's environment; r14 advice)
 #   --ref M    extra gauge pass vs a chosen reference map (e.g. a
 #              same-build run11-class map), in addition to the anchor
+#   --driver-session  reproduce the driver's SESSION shape, not just its
+#              invocation (r15 verdict item 1): run the full sf0.01
+#              Verify correctness dump first — the exact job the driver
+#              runs before its bench, with all its page-cache, metastore
+#              and tmp churn — then the bench, serially in this shell
+#   --evict    evict every warehouse + testdata + verify-output file from
+#              the OS page cache (posix_fadvise DONTNEED — works without
+#              root, unlike drop_caches) immediately before the bench:
+#              the cold-disk variant of the driver-session hypothesis
 # Output: the bench's self-truncating stdout line, the harness-style
 # ~2000-char tail it would have parsed, and the gauge_window.py read of the
-# full per-query map vs the committed anchor (both medians: raw +
-# cache-insensitive).
+# full per-query map vs the committed anchor (raw + cache-insensitive +
+# trimmed medians).
 set -u
 cd "$(dirname "$0")/.."
 
@@ -40,6 +50,8 @@ SF=/root/testdata/sf0.1
 OUT=bench_parity.json
 CPUS=32
 REF=
+SESSION=0
+EVICT=0
 while [ $# -gt 0 ]; do
   case "$1" in
     --load) LOAD="$2"; shift 2 ;;
@@ -47,9 +59,43 @@ while [ $# -gt 0 ]; do
     --out)  OUT="$2";  shift 2 ;;
     --cpus) CPUS="$2"; shift 2 ;;
     --ref)  REF="$2";  shift 2 ;;
+    --driver-session) SESSION=1; shift ;;
+    --evict) EVICT=1; shift ;;
     *) echo "unknown arg: $1" >&2; exit 2 ;;
   esac
 done
+
+if [ "$SESSION" -eq 1 ]; then
+  echo "== driver-session mode: full sf0.01 Verify dump before the bench =="
+  VT0=$(date +%s)
+  SPARK_GRAFT_CPUS="$CPUS" \
+    sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_session" \
+    >/dev/null 2>&1
+  VRC=$?
+  echo "== verify dump: $(( $(date +%s) - VT0 )) s, rc=$VRC =="
+fi
+
+if [ "$EVICT" -eq 1 ]; then
+  echo "== evicting warehouse/testdata pages (posix_fadvise DONTNEED) =="
+  python3 - <<'PYEOF'
+import os
+n = b = 0
+for root in ("spark-warehouse", "/root/testdata", "target/verify_session"):
+    for d, _, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(d, f)
+            try:
+                fd = os.open(p, os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                    n += 1; b += os.path.getsize(p)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+print(f"evicted {n} files, {b/1e6:.1f} MB advised out of page cache")
+PYEOF
+fi
 
 BURNERS=()
 if [ "$LOAD" -gt 0 ]; then
