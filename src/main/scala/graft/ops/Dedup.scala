@@ -783,8 +783,16 @@ object Dedup {
                                  t: Double = JaccardThreshold): DataFrame = {
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val candSh = Tables.documents(spark, dir)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // Spread AFTER the semi-join, BEFORE the shingle projection (the
+    // [[docShingles]] rule, missed here until r16): a single-row-group
+    // documents file gives the scan one partition, and without the
+    // re-spread the shingling AND the downstream verify join+intersect
+    // inherit it — StageBench measured the whole verification tail as a
+    // 1.4 s single task inside a ~4.5 s q_dedup_jaccard_prefix. Spreading
+    // the filtered candidate docs (small — the shuffle moves candidate
+    // text only) runs the expensive parts at full width.
+    val candSh = graft.util.Spread.forCpu(Tables.documents(spark, dir)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
       .persist()
     cand
