@@ -3,11 +3,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** One stall-transparency record (r15 verdict item 1): a timed query
     * that read far beyond its same-build reference, its immediate untimed
-    * re-measure, and the 1-minute system loadavg sampled at detection.
-    * `retry` is -1.0 if the re-measure itself threw.
+    * re-measure, the 1-minute system loadavg sampled at detection, and the
+    * HYPERVISOR STEAL (CPU-seconds, /proc/stat field 8) accumulated during
+    * the stalled execution. Steal is the observable loadavg cannot see —
+    * this host carries hours of accumulated steal time, i.e. co-tenant VM
+    * bursts throttle it invisibly to every in-guest load metric, which is
+    * exactly the shape of the r13-r15 driver-window one-offs (contiguous
+    * movers, different queries each run, magnitudes beyond any in-guest
+    * load injection). `retry` is -1.0 if the re-measure itself threw;
+    * `steal` is -1.0 off Linux.
     */
   private[graft] final case class Stall(
-      name: String, timed: Double, retry: Double, load: Double)
+      name: String, timed: Double, retry: Double, load: Double, steal: Double)
+
+  /** Cumulative hypervisor steal jiffies (USER_HZ = 100) from /proc/stat,
+    * or -1 where unavailable.
+    */
+  private[graft] def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val a = src.getLines().next().trim.split("\\s+")
+        if (a.length > 8) a(8).toLong else -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
 
   /** Times each query in order. A query that throws must fail LOUDLY,
     * never silently time as near-zero: correctness is separately gated
@@ -67,6 +86,7 @@ object Bench {
         case _: Throwable => ()
       }
       if (fatal.isDefined) () else {
+      val steal0 = stealJiffies()
       val t0 = System.nanoTime()
       // non-fatal Throwables must not abort the run and discard ~190
       // completed timings before bench_out.json is written — partial
@@ -84,6 +104,7 @@ object Bench {
           e.printStackTrace()
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val steal1 = stealJiffies()
       results += (name -> dt)
       if (fatal.isEmpty) cleanup() // a wedged JVM gets no best-effort GC pass
       // stall re-measure: only for a SUCCESSFUL timing (a failed query's
@@ -94,8 +115,11 @@ object Bench {
           if (dt > stallFactor * ref && dt - ref > stallAbsFloor) {
             val load = java.lang.management.ManagementFactory
               .getOperatingSystemMXBean.getSystemLoadAverage
+            val steal =
+              if (steal0 < 0 || steal1 < 0) -1.0 else (steal1 - steal0) / 100.0
             System.err.println(f"BENCH STALL: $name timed $dt%.2f s vs ref " +
-              f"$ref%.2f s (>${stallFactor}x) at loadavg $load%.2f — re-measuring once")
+              f"$ref%.2f s (>${stallFactor}x) at loadavg $load%.2f, " +
+              f"steal $steal%.2f cpu-s — re-measuring once")
             val r0 = System.nanoTime()
             val retry =
               try { run(); (System.nanoTime() - r0) / 1e9 }
@@ -108,7 +132,7 @@ object Bench {
                   System.err.println(s"BENCH STALL RETRY FAILED: $name — $e")
                   e.printStackTrace(); -1.0
               }
-            stalls += Stall(name, dt, retry, load)
+            stalls += Stall(name, dt, retry, load, steal)
             if (fatal.isEmpty) cleanup()
           }
         }
@@ -265,7 +289,7 @@ object Bench {
     // minimum composite (see timeQueries scaladoc); overridable so parity
     // experiments can point at a different map
     val stallRef = parseStallRef(
-      sys.env.getOrElse("SPARK_GRAFT_STALL_REF", "bench_r15_min.json"))
+      sys.env.getOrElse("SPARK_GRAFT_STALL_REF", "bench_anchor_r16.json"))
     val (results, failed, fatal, stalls) = timeQueries(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .map { case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () }) },
@@ -297,7 +321,8 @@ object Bench {
     val stallsJson =
       if (stalls.isEmpty) ""
       else stalls.map(s => s""""${s.name}":{"timed":${fmt(s.timed)},""" +
-          s""""retry":${fmt(s.retry)},"load":${fmt(s.load)}}""")
+          s""""retry":${fmt(s.retry)},"load":${fmt(s.load)},""" +
+          s""""steal":${fmt(s.steal)}}""")
         .mkString(",\"stalls\":{", ",", "}")
     def lineOf(qs: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$taintedJson$stallsJson,"sf":"$sfDir"}"""

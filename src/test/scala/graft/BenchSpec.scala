@@ -112,8 +112,17 @@ class BenchSpec extends AnyFunSuite {
     assert(results == Seq("q_stall" -> st.timed))
     assert(st.timed >= 0.2, s"timed=${st.timed}")
     assert(st.retry >= 0.0 && st.retry < st.timed, s"retry=${st.retry}")
+    // steal is the per-query /proc/stat delta (>= 0 on Linux) or the -1
+    // unavailable marker — never garbage
+    assert(st.steal >= 0.0 || st.steal == -1.0, s"steal=${st.steal}")
     // the retry runs between two cleanup passes (fresh-slot state)
     assert(cleanups == 2)
+  }
+
+  test("stealJiffies reads a cumulative non-negative counter on Linux, -1 where unavailable") {
+    val s = Bench.stealJiffies()
+    assert(s >= -1L)
+    if (s >= 0) assert(Bench.stealJiffies() >= s, "steal counter must be monotonic")
   }
 
   test("no re-measure within the stall window, for an unlisted query, or for a failed query") {
