@@ -153,7 +153,13 @@ object Bench {
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      val re = """"(q_[A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+      // \s* after the colon: our own writer emits dense JSON, but the
+      // reference map may be regenerated by tooling that space-pads
+      // (json.dumps default) — a silent zero-entry parse here disables
+      // stall transparency for the whole run (caught in r16: run5's
+      // q_attribution 3.7x slot went unrecorded against a space-padded
+      // anchor)
+      val re = """"(q_[A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -161,6 +161,12 @@ class BenchSpec extends AnyFunSuite {
         """{"metric":"total","value":237.0123,"unit":"sec","queries":{"q_a":1.5,"q_b":12.3456,"rest":9.9,"omitted":3},"sf":"/x"}""")
       val m = Bench.parseStallRef(f.toString)
       assert(m == Map("q_a" -> 1.5, "q_b" -> 12.3456), m.toString)
+      // space-padded JSON (json.dumps default) must parse identically —
+      // the r16 silent-empty-map regression
+      java.nio.file.Files.writeString(f,
+        """{"metric": "total", "value": 237.0, "queries": {"q_a": 1.5, "q_b": 12.3456}, "sf": "/x"}""")
+      val m2 = Bench.parseStallRef(f.toString)
+      assert(m2 == Map("q_a" -> 1.5, "q_b" -> 12.3456), m2.toString)
       // absent file: empty map, no throw (bench runs without transparency)
       assert(Bench.parseStallRef("/nonexistent/ref.json").isEmpty)
     } finally java.nio.file.Files.delete(f)
