@@ -53,13 +53,22 @@ object Bench {
     * retry names a real regression. The retry runs after the standard
     * untimed cleanup pass so it sees the same state a fresh timed slot
     * would.
+    *
+    * The trigger is 2.0× since r17 (r16 verdict item 1): at the original
+    * 3× both of r16's unexonerated driver entries (q_pagerank 2.14×,
+    * q_allpairs_cosine 2.28×) fell in a 2–3× blind spot and carried no
+    * in-slot retry/steal evidence, while every >3× entry did — and all
+    * three exonerated. The >`stallAbsFloor` absolute-excess guard stays:
+    * sub-second references double on scheduling noise alone, and the
+    * cost of a wider trigger is only one cheap untimed re-measure per
+    * flagged query.
     */
   private[graft] def timeQueries(
       queries: Seq[(String, () => Unit)],
       cleanup: () => Unit = () => (),
       preWarm: String => Unit = _ => (),
       stallRef: Map[String, Double] = Map.empty,
-      stallFactor: Double = 3.0,
+      stallFactor: Double = 2.0,
       stallAbsFloor: Double = 1.0)
       : (Seq[(String, Double)], Seq[String], Option[String], Seq[Stall]) = {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -158,8 +167,13 @@ object Bench {
       // (json.dumps default) — a silent zero-entry parse here disables
       // stall transparency for the whole run (caught in r16: run5's
       // q_attribution 3.7x slot went unrecorded against a space-padded
-      // anchor)
-      val re = """"(q_[A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
+      // anchor). The optional exponent is the same bug class (r16
+      // advice): json.dumps writes tiny values in scientific notation
+      // ("q_x": 8.5e-05), and without it the match stops at the
+      // mantissa — 8.5e-05 silently parses as 8.5, inflating that
+      // query's reference and suppressing its stall detection.
+      val re =
+        """"(q_[A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -167,6 +181,60 @@ object Bench {
           "stall transparency disabled for this run")
         Map.empty
     }
+
+  /** The repo root located by walking up from this class's code source
+    * (`target/scala-2.13/classes` → repo) to the first directory holding
+    * `build.sbt`; None when the code source is unavailable (e.g. a
+    * sandboxed loader) or no build.sbt exists above it.
+    */
+  private[graft] def repoRoot(): Option[java.nio.file.Path] =
+    try {
+      val loc = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+      Iterator.iterate(java.nio.file.Paths.get(loc))(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.isReadable(p.resolve("build.sbt")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resolve the DEFAULT stall-reference name (r16 advice): the committed
+    * anchor lives at the repo root, but the default used to be
+    * CWD-relative — run from any other directory the parse warned on
+    * stderr and silently disabled stall transparency, the exact failure
+    * class `parseStallRef`'s own r16 comment documents (gauge_window.py
+    * got the script-relative `_REPO` fix that round; Bench did not).
+    * Order: the literal path when readable (the common run-from-repo-root
+    * case), else the same name under [[repoRoot]]. Explicit
+    * SPARK_GRAFT_STALL_REF overrides bypass this — parity experiments
+    * point at arbitrary files and must not be second-guessed. `cwd` is a
+    * parameter only so the spec can exercise the run-from-elsewhere
+    * branch (the JVM cannot chdir).
+    */
+  private[graft] def resolveStallRefPath(
+      name: String,
+      cwd: java.nio.file.Path = java.nio.file.Paths.get("").toAbsolutePath)
+      : String = {
+    val literal =
+      if (java.nio.file.Paths.get(name).isAbsolute) java.nio.file.Paths.get(name)
+      else cwd.resolve(name)
+    if (java.nio.file.Files.isReadable(literal)) literal.toString
+    else repoRoot().map(_.resolve(name))
+      .filter(java.nio.file.Files.isReadable)
+      .map(_.toString)
+      .getOrElse(name)
+  }
+
+  /** `,"steal_total":X.XX` for the bench JSON line — the run's total
+    * hypervisor steal in CPU-seconds over the timed window (r16 verdict
+    * item 7: one number that makes a contended window visible instead of
+    * inferring it from mover patterns). Empty where /proc/stat steal is
+    * unavailable (either sample -1) — never a garbage delta.
+    */
+  private[graft] def stealTotalJson(startJiffies: Long, endJiffies: Long): String =
+    if (startJiffies < 0 || endJiffies < 0) ""
+    else s""","steal_total":${fmt((endJiffies - startJiffies) / 100.0)}"""
+
+  /** 4-decimal seconds (0.1 ms resolution — far below host-window noise). */
+  private def fmt(v: Double): String =
+    "%.4f".formatLocal(java.util.Locale.ROOT, v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -293,9 +361,20 @@ object Bench {
       "q_df_incremental", "q_bpe_merges")
     // stall-transparency reference: the committed same-build per-query
     // minimum composite (see timeQueries scaladoc); overridable so parity
-    // experiments can point at a different map
-    val stallRef = parseStallRef(
-      sys.env.getOrElse("SPARK_GRAFT_STALL_REF", "bench_anchor_r16.json"))
+    // experiments can point at a different map. The default resolves
+    // against the repo root (resolveStallRefPath) and its absence is a
+    // LOUD stdout notice — a run without stall transparency must say so
+    // where the harness looks, not in a buried stderr warn (r16 advice).
+    val stallRefPath = sys.env.get("SPARK_GRAFT_STALL_REF")
+      .getOrElse(resolveStallRefPath("bench_anchor_r16.json"))
+    val stallRef = parseStallRef(stallRefPath)
+    if (stallRef.isEmpty)
+      println(s"BENCH NOTE: stall reference $stallRefPath yielded no entries" +
+        " — stall transparency DISABLED for this run")
+    // run-total steal window: from just before the first timed query to
+    // just after the last (the staging/warmup passes above are untimed and
+    // excluded — the number should explain the TIMED totals)
+    val stealRun0 = stealJiffies()
     val (results, failed, fatal, stalls) = timeQueries(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .map { case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () }) },
@@ -313,8 +392,7 @@ object Bench {
         finally spark.catalog.clearCache()
       },
       stallRef = stallRef)
-    // 4-decimal seconds (0.1 ms resolution — far below host-window noise)
-    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val stealRun1 = stealJiffies()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson =
       if (failed.isEmpty) ""
@@ -330,8 +408,11 @@ object Bench {
           s""""retry":${fmt(s.retry)},"load":${fmt(s.load)},""" +
           s""""steal":${fmt(s.steal)}}""")
         .mkString(",\"stalls\":{", ",", "}")
+    // run-total steal CPU-s over the timed window (r16 verdict item 7):
+    // the one-number contended-window indicator gauge_window.py surfaces
+    val stealJson = stealTotalJson(stealRun0, stealRun1)
     def lineOf(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$taintedJson$stallsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$taintedJson$stallsJson$stealJson,"sf":"$sfDir"}"""
     // Full per-query map (alphabetical) → bench_out.json. The harness
     // captures only a bounded stdout TAIL (~2000 chars, BENCH_r04/r05 both
     // truncated), and the suite has outgrown it at any numeric precision —

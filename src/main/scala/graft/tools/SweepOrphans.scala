@@ -72,9 +72,20 @@ object SweepOrphans {
     // (jsonl__root_…) never match the tmpdir-derived prefix and are
     // untouched.
     def keyOf(path: String) = "jsonl_" + path.replaceAll("[^A-Za-z0-9.]", "_")
-    val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .getCanonicalFile
-    val stagePrefix = keyOf(tmpdir.getPath) + "_"
+    // Keys must match the SPELLING the specs keyed by: stageJsonl derives
+    // its stage name from the literal input-path string, which comes from
+    // the raw java.io.tmpdir property — canonicalizing here alone would
+    // diverge whenever tmpdir is a symlink (e.g. /tmp -> /private/tmp):
+    // no stage would match the canonical prefix and stale stages would
+    // never be collected (r16 advice). So derive BOTH spellings — the
+    // literal absolute path and the canonical one — walk each root that
+    // exists (children inherit their root's spelling), and match stage
+    // names against either prefix.
+    val rawTmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .getAbsoluteFile
+    val tmpRoots = Seq(rawTmp, rawTmp.getCanonicalFile)
+      .distinctBy(_.getPath)
+    val stagePrefixes = tmpRoots.map(d => keyOf(d.getPath) + "_")
     val live = scala.collection.mutable.HashSet.empty[String]
     def walk(f: java.io.File, depth: Int): Unit = {
       live += keyOf(f.getPath)
@@ -84,9 +95,10 @@ object SweepOrphans {
           !java.nio.file.Files.isSymbolicLink(f.toPath))
         Option(f.listFiles()).getOrElse(Array.empty).foreach(walk(_, depth - 1))
     }
-    Option(tmpdir.listFiles()).getOrElse(Array.empty).foreach(walk(_, 3))
+    tmpRoots.foreach(root =>
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(walk(_, 3)))
     kids.foreach { f =>
-      if (f.getName.startsWith(stagePrefix) && !live.contains(f.getName)) {
+      if (stagePrefixes.exists(f.getName.startsWith) && !live.contains(f.getName)) {
         deleteRecursively(f)
         println(s"deleted stale jsonl stage target/tmp/${f.getName}")
       }

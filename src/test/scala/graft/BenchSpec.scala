@@ -154,6 +154,32 @@ class BenchSpec extends AnyFunSuite {
     assert(stalls.map(s => (s.name, s.retry)) == Seq(("q_flaky", -1.0)))
   }
 
+  test("the DEFAULT stall trigger is 2x (r16 verdict item 1): a 2.5x excess re-measures") {
+    // r16's two unexonerated driver entries (q_pagerank 2.14x,
+    // q_allpairs_cosine 2.28x) fell in the old 3x trigger's 2-3x blind
+    // spot and carried no in-slot retry/steal evidence; this locks the
+    // widened default — stallFactor deliberately NOT passed
+    var runs = 0
+    val (_, failed, _, stalls) = Bench.timeQueries(
+      Seq("q_midband" -> (() => {
+        runs += 1
+        if (runs == 1) Thread.sleep(250) // ~2.5x the 0.1 s ref
+      })),
+      stallRef = Map("q_midband" -> 0.1),
+      stallAbsFloor = 0.05)
+    assert(failed.isEmpty)
+    assert(stalls.map(_.name) == Seq("q_midband"),
+      s"a 2.5x excess must trigger at the default factor (runs=$runs)")
+    assert(runs == 2)
+    // and a ~1.25x read stays inside the window at the default factor
+    var runs2 = 0
+    val (_, _, _, stalls2) = Bench.timeQueries(
+      Seq("q_inband" -> (() => { runs2 += 1; Thread.sleep(250) })),
+      stallRef = Map("q_inband" -> 0.2),
+      stallAbsFloor = 0.05)
+    assert(stalls2.isEmpty && runs2 == 1, stalls2.toString)
+  }
+
   test("parseStallRef reads q_-prefixed entries from a bench_out line, skips wrapper fields") {
     val f = java.nio.file.Files.createTempFile("stallref", ".json")
     try {
@@ -169,6 +195,49 @@ class BenchSpec extends AnyFunSuite {
       assert(m2 == Map("q_a" -> 1.5, "q_b" -> 12.3456), m2.toString)
       // absent file: empty map, no throw (bench runs without transparency)
       assert(Bench.parseStallRef("/nonexistent/ref.json").isEmpty)
+      // scientific notation (json.dumps writes tiny values as 8.5e-05)
+      // must parse as the full value, not stop at the mantissa — the r16
+      // advice silent-reference-inflation class
+      java.nio.file.Files.writeString(f,
+        """{"queries": {"q_tiny": 8.5e-05, "q_exp": 1.2E+1, "q_plain": 3.5}}""")
+      val m3 = Bench.parseStallRef(f.toString)
+      assert(m3 == Map("q_tiny" -> 8.5e-05, "q_exp" -> 12.0, "q_plain" -> 3.5),
+        m3.toString)
     } finally java.nio.file.Files.delete(f)
+  }
+
+  test("resolveStallRefPath finds the committed default anchor from ANY cwd (r16 advice)") {
+    // run-from-repo-root: the literal relative path wins
+    val root = Bench.repoRoot()
+    assert(root.exists(p =>
+      java.nio.file.Files.isReadable(p.resolve("build.sbt"))), root.toString)
+    // run from elsewhere (the silent-disable failure class): the default
+    // anchor must resolve against the repo root, not the cwd
+    val elsewhere = java.nio.file.Files.createTempDirectory("benchcwd")
+    try {
+      val resolved = Bench.resolveStallRefPath("bench_anchor_r16.json", elsewhere)
+      assert(java.nio.file.Files.isReadable(java.nio.file.Paths.get(resolved)),
+        s"default anchor unresolved from $elsewhere -> $resolved")
+      assert(resolved == root.get.resolve("bench_anchor_r16.json").toString)
+      // a cwd-local file still wins over the root copy (explicit relative
+      // overrides stay cwd-relative)
+      val local = elsewhere.resolve("bench_anchor_r16.json")
+      java.nio.file.Files.writeString(local, """{"queries":{"q_a":1.0}}""")
+      assert(Bench.resolveStallRefPath("bench_anchor_r16.json", elsewhere)
+        == local.toString)
+      java.nio.file.Files.delete(local)
+      // a name that resolves nowhere falls through unchanged (parseStallRef
+      // then warns and main prints the loud stdout notice)
+      assert(Bench.resolveStallRefPath("no_such_anchor_xyz.json", elsewhere)
+        == "no_such_anchor_xyz.json")
+    } finally java.nio.file.Files.delete(elsewhere)
+  }
+
+  test("stealTotalJson emits the run-total steal CPU-s, or nothing where unavailable") {
+    assert(Bench.stealTotalJson(100L, 250L) == ""","steal_total":1.5000""")
+    assert(Bench.stealTotalJson(0L, 0L) == ""","steal_total":0.0000""")
+    // either sample unavailable: no field, never a garbage delta
+    assert(Bench.stealTotalJson(-1L, 250L) == "")
+    assert(Bench.stealTotalJson(100L, -1L) == "")
   }
 }

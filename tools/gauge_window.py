@@ -73,6 +73,19 @@ def load_queries(path):
     return d.get("value"), qs, d.get("failed", []), d.get("tainted")
 
 
+def load_run_diagnostics(path):
+    """The run's self-reported contention evidence (both optional): the
+    total hypervisor steal CPU-s over the timed window (Bench's
+    "steal_total", r16 verdict item 7) and the per-query stall records
+    ("stalls": {q: {timed, retry, load, steal}})."""
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    stalls = d.get("stalls")
+    return d.get("steal_total"), stalls if isinstance(stalls, dict) else {}
+
+
 def cache_insensitive_set():
     """Query names whose timing was flat across the r14 codegen-cache
     A/B pair — the window estimator immune to cache-size mismatch
@@ -115,6 +128,15 @@ def main():
     ins = cache_insensitive_set() & ratios.keys()
     print(f"run total {run_total} vs ref {ref_total} [{ref_path}] "
           f"({len(shared)} shared queries)")
+    steal_total, stalls = load_run_diagnostics(a.run)
+    if steal_total is not None:
+        # the one-number contended-window read (r16 verdict item 7): high
+        # steal names a co-tenant burst window before any mover is argued
+        print(f"run steal total: {steal_total:.1f} cpu-s over the timed "
+              "window (hypervisor steal — /proc/stat field 8 delta)")
+    else:
+        print("run steal total: not reported (pre-r17 run or /proc/stat "
+              "unavailable)")
     print(f"window temperature, raw median per-query ratio: {med:.3f}")
     window = med  # mover bar: best available estimator wins below
     if ins:
@@ -129,6 +151,15 @@ def main():
                   f"(ref >= {TRIM_FLOOR_S:.0f} s, {len(trimmed)} queries): "
                   f"{tr_med:.3f}   <- re-anchor / headline gauge")
             window = tr_med
+            if len(trimmed) < 15:
+                # the headline rests on a small subset (r16 advice): 10 of
+                # 31 insensitive queries clear the floor vs the current
+                # anchor — say so rather than letting a thin median read
+                # as well-conditioned
+                print(f"  WARN: trimmed sample is only {len(trimmed)} "
+                      "queries (< 15) — the headline median is "
+                      "thin-sampled; read it with the raw/insensitive "
+                      "medians, not alone", file=sys.stderr)
         else:
             print(f"WARN: no insensitive query has ref >= {TRIM_FLOOR_S} s "
                   "— trimmed median unavailable", file=sys.stderr)
@@ -140,6 +171,17 @@ def main():
         print("WARN: r14 A/B pair files absent — cache-insensitive median "
               "unavailable, raw median may under/over-read across "
               "cache-size changes", file=sys.stderr)
+        # the floor trim still applies without the A/B pair (r16 advice):
+        # the sub-2 s scheduling-floor bias is a property of the QUERIES,
+        # not of the insensitive subset — a raw-trimmed median beats the
+        # plain raw median as the fallback estimator
+        raw_trimmed = {k for k in ratios if shared[k][1] >= TRIM_FLOOR_S}
+        if raw_trimmed:
+            rt_med = statistics.median(ratios[k] for k in raw_trimmed)
+            print(f"window temperature, raw TRIMMED median "
+                  f"(ref >= {TRIM_FLOOR_S:.0f} s, {len(raw_trimmed)} "
+                  f"queries): {rt_med:.3f}   <- fallback gauge")
+            window = rt_med
     # a real mover is an outlier AGAINST the window: ratio beyond 1.5x the
     # best window estimate (trimmed > insensitive > raw — r15 advice: the
     # raw median is the contaminated one exactly when the estimates
@@ -155,6 +197,20 @@ def main():
     else:
         print("no movers beyond the window factor — any total shift is "
               "window temperature, not build growth")
+    if stalls:
+        # the run's own in-slot evidence for its elevated entries: a retry
+        # near the reference (window-adjusted) plus in-slot steal names a
+        # transient co-tenant burst; a retry matching the timed number
+        # names a real regression
+        print(f"stall records carried by the run ({len(stalls)}):")
+        for k, s in sorted(stalls.items()):
+            retry, timed = s.get("retry", -1.0), s.get("timed", -1.0)
+            refv = ref.get(k)
+            adj = (f", retry {retry / refv / window:.2f}x window-adjusted"
+                   if refv and retry > 0 else "")
+            print(f"  {k:32s} timed {timed:6.2f}  retry {retry:6.2f}  "
+                  f"load {s.get('load', -1.0):5.2f}  "
+                  f"steal {s.get('steal', -1.0):6.2f} cpu-s{adj}")
 
 
 if __name__ == "__main__":
