@@ -83,6 +83,24 @@ object StreamingQueries {
     * Bench/Verify harness flow this library is driven by; a concurrent
     * caller must hand each drain its own `spark.newSession()` (per-session
     * conf isolation) before this becomes a cloned-session default.
+    *
+    * FORK-FREE checkpoint + sink FS (r16 verdict item 2 — the
+    * session-sensitivity mechanism, found and fixed r17): the checkpoint
+    * and the sink write go through [[graft.util.NioLocalFileSystem]]
+    * (`nio://` — same files, same bytes, zero subprocesses) instead of
+    * the default local FS, whose missing-libhadoop fallback forks a
+    * `chmod` subprocess on every file create/mkdir. A stateful drain
+    * multiplies that per state store per micro-batch — q_stream_join
+    * (32 partitions × 4 join stores) measured ~6,500 fork+execs per
+    * run, q_stream_sessions ~2,000, a batch query ~0
+    * (tools/ForkAudit + tools/StackProfile carry the per-op and
+    * hot-path evidence) — and fork cost of a many-GB JVM grows with RSS
+    * and host memory pressure, which is exactly the post-Verify
+    * driver-session amplification the pair showed in r13–r16. The
+    * checkpoint is explicit (under target/tmp, per query name), cleared
+    * BEFORE each run — a stale AvailableNow checkpoint would replay
+    * nothing and return an empty sink — and removed after the readout
+    * like the temporary checkpoint it replaces.
     */
   private[graft] def drain(df: DataFrame, name: String, mode: String,
                            stateWidth: Option[Int] = None): DataFrame = {
@@ -96,17 +114,29 @@ object StreamingQueries {
       f.delete()
     }
     rm(new java.io.File(path)) // stale prior-run rows must never accumulate
+    // fork-free scheme registration (idempotent; hadoopConfiguration is
+    // the live conf every FileSystem.get consults)
+    spark.sparkContext.hadoopConfiguration.setIfUnset(
+      "fs.nio.impl", graft.util.NioLocalFileSystem.CONF_VALUE)
+    val ckpt = new java.io.File(s"target/tmp/stream_ckpt/$name").getAbsoluteFile
+    rm(ckpt) // a stale AvailableNow checkpoint would replay NOTHING
     val saveMode = if (mode == "complete") "overwrite" else "append"
+    val sinkUri = graft.util.NioLocalFileSystem.uriOf(path)
     val write: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => batch.write.mode(saveMode).parquet(path)
+      (batch, _) => batch.write.mode(saveMode).parquet(sinkUri)
     val widthKey = "spark.sql.shuffle.partitions"
     val prevWidth = spark.conf.get(widthKey)
     try {
       stateWidth.foreach(w => spark.conf.set(widthKey, w))
       val q = df.writeStream.foreachBatch(write).queryName(name)
+        .option("checkpointLocation",
+          graft.util.NioLocalFileSystem.uriOf(ckpt.getPath))
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set(widthKey, prevWidth)
+    } finally {
+      spark.conf.set(widthKey, prevWidth)
+      rm(ckpt) // same lifetime as the temporary checkpoint it replaces
+    }
     if (new java.io.File(path).exists()) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       df.schema)
