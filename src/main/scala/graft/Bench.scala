@@ -350,6 +350,13 @@ object Bench {
     //     anchor is the r13 file-sink drain hardening, structural)
     //   q_df_incremental   2.36 -> 1.45 -> 1.29
     //   q_bpe_merges       5.24 -> 3.88 -> 3.18 (the r13-r15 flap class)
+    // r17 addition (r16 verdict item 3, the explicit warm-vs-record
+    // decision): q_bpe_compression — isolated triple on this build
+    // 6.68 cold / 3.78 / 3.98 warm (r14 BenchSome read 7.13/3.08/3.37 at
+    // its 3.56 r12 anchor), in-suite 4.85-5.41 across every r16 run — the
+    // in-suite elevation is its own first-run compile+C2 cost paid in the
+    // timed slot, the exact class the adjacent sf0.001 pass absorbs; its
+    // sibling q_bpe_merges has been warmed since r16 on the same evidence.
     val warmSet = Set("q_allpairs_cosine", "q_triangles", "q_pagerank",
       "q_bfs_hops", "q_basket_triples", "q_stream_ks", "q_stream_late",
       "q_stream_markov", "q_knn_sq", "q_dedup_jaccard_prefix",
@@ -358,7 +365,7 @@ object Bench {
       "q_dedup_minhash_lsh", "q_ks_test", "q_vocab_growth",
       "q_dedup_simhash", "q_fixedwidth_parse", "q_stream_dedup",
       "q_stream_benford", "q_stream_drift", "q_stream_join",
-      "q_df_incremental", "q_bpe_merges")
+      "q_df_incremental", "q_bpe_merges", "q_bpe_compression")
     // stall-transparency reference: the committed same-build per-query
     // minimum composite (see timeQueries scaladoc); overridable so parity
     // experiments can point at a different map. The default resolves

@@ -141,7 +141,13 @@ object Corpus {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val w = DupSpanTokens
-    val t = Tables.documents(spark, dir)
+    // re-spread (util.Spread): the span build — tokenize + per-window
+    // concat_ws + md5 over every token position — inherits the scan's
+    // single parquet split, so the whole map side of the distinct ran as
+    // ONE task (StageBench r17: 2.7 s single-task, 6.6 MB shuffle out —
+    // most of the query). No-op at real split counts; per-doc work feeding
+    // a distinct → result invariant.
+    val t = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= w)
@@ -211,7 +217,9 @@ object Corpus {
   def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (w, k) = (DupSpanTokens, OverlapSketchK)
-    val t = Tables.documents(spark, dir)
+    // re-spread: same single-task span-build bound as sourceOverlap
+    // (StageBench r17: 2.0 s single-task before the hs pin)
+    val t = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= w)
@@ -325,7 +333,10 @@ object Corpus {
     * join sides.
     */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
-    sourceDivergenceOf(Tables.documents(spark, dir))
+    // re-spread (util.Spread): the tokenize+explode feeding the term
+    // counts inherits the scan's single parquet split (StageBench r17:
+    // 0.8 s single-task); no-op at real split counts, counts invariant
+    sourceDivergenceOf(graft.util.Spread.forCpu(Tables.documents(spark, dir)))
 
   /** [[sourceDivergence]] core over an explicit documents relation. */
   def sourceDivergenceOf(docsIn: DataFrame): DataFrame = {

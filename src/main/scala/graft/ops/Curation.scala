@@ -583,7 +583,13 @@ object Curation {
       CdcPows.zipWithIndex.map { case (pw, j) =>
         element_at(col("codes"), p + lit(j)) * lit(pw)
       }.reduce(_ + _)
-    val docs = Tables.documents(spark, dir)
+    // re-spread (util.Spread): the per-position rolling hash — CdcWindow
+    // multiply-adds per char — inherits the scan's split count, and the
+    // fixture is single-row-group parquet, so the WHOLE chunking pass ran
+    // as one task (StageBench r17: 3.2 s single-task over 5000 docs, the
+    // query's entire execution cost); spread it runs at session width.
+    // No-op at real split counts, per-doc work → result invariant.
+    val docs = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= 1)
       // loud ASCII guard: replaces n with itself on ASCII rows, raises on

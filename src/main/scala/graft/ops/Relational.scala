@@ -1450,8 +1450,14 @@ object Relational {
     val w = TextAnalysis.CmsWidth
     // the d row-hashes are disjoint 24-bit slices of ONE md5 per key (4×6
     // of the 32 hex chars) — one digest per input row instead of d, the
-    // dominant cost of the sketch build at fact-table cardinality
-    def cms(keys: DataFrame, kcol: String): DataFrame = keys
+    // dominant cost of the sketch build at fact-table cardinality.
+    // re-spread (util.Spread) INSIDE the sketch build only: the md5 +
+    // explode + hex-conv work inherits the scan's split count — the orders
+    // sketch ran as ONE task (1.1 s) and the lineitem sketch as three
+    // (StageBench r17); the exact-join audit branch keeps reading the raw
+    // scan. No-op at real split counts; (r,b) counts invariant.
+    def cms(keys: DataFrame, kcol: String): DataFrame =
+      graft.util.Spread.forCpu(keys)
       .select(md5(col(kcol).cast("string")).as("h"))
       .select(col("h"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("b",

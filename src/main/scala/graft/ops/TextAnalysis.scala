@@ -266,7 +266,11 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     // corpus size as a broadcast 1-row plan, not a separate driver action
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tokRows = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // re-spread (util.Spread): both tokRows consumers (tf, df) tokenize
+    // off the scan's single parquet split — single-task map sides
+    // (StageBench r17). The count-only nDocs branch stays on the raw scan.
+    val tokRows = graft.util.Spread.forCpu(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     // the doc-slice filter sits BELOW the tf aggregation: tf is per-doc, so
     // only the sliced docs need tokenizing/aggregating on the tf side.
     // df stays corpus-wide (idf is a corpus statistic).
@@ -345,7 +349,14 @@ object TextAnalysis {
     * O(matched postings), not O(corpus) — the inverted-index shape.
     */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val tokRows = Tables.documents(spark, dir)
+    // re-spread (util.Spread): the persisted postings relation inherits the
+    // scan's single parquet split, so the pin wrote ONE cache partition and
+    // every consumer (dl, df, pivot postings) re-read it single-task —
+    // StageBench r17 showed the whole q_bm25_topk chain as 1-task stages
+    // (0.7-2.3 s each). Spread BEFORE the explode: the tokenize runs wide
+    // AND the cache lands in session-width partitions. No-op at real split
+    // counts; per-doc explode feeding keyed aggregations → result invariant.
+    val tokRows = graft.util.Spread.forCpu(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     tokRows.count() // feeds dl, df, and the pivot-term postings

@@ -203,6 +203,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("lang"), s"documents scan not pruned:\n$plan")
   }
 
+  test("r17 re-spread: CPU-heavy single-split map sides plan the round-robin spread") {
+    // util.Spread.forCpu before tokenize/hash/sketch work: the fixture
+    // parquet is single-split, so without the spread these queries' heavy
+    // map sides run ONE task (StageBench r17: cdc_chunks 3.2 s,
+    // source_overlap 2.7 s, the whole bm25 chain single-task). The spread
+    // plans as a logical Repartition; at real split counts forCpu is a
+    // no-op, so this asserts the small-source branch only.
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "q_cdc_chunks"            -> ops.Curation.cdcChunks(spark, dir),
+      "q_source_overlap"        -> ops.Corpus.sourceOverlap(spark, dir),
+      "q_source_overlap_sketch" -> ops.Corpus.sourceOverlapSketch(spark, dir),
+      "q_source_divergence"     -> ops.Corpus.sourceDivergence(spark, dir),
+      "q_tfidf"                 -> ops.TextAnalysis.tfidf(spark, dir),
+      "q_bm25_topk"             -> ops.TextAnalysis.bm25TopK(spark, dir),
+      "q_join_size_sketch"      -> ops.Relational.joinSizeSketch(spark, dir))
+    withClearCache {
+      for ((name, df) <- cases) {
+        val analyzed = df.queryExecution.analyzed.toString
+        assert("Repartition ".r.findAllIn(analyzed).nonEmpty,
+               s"$name: no round-robin spread in the analyzed plan:\n$analyzed")
+      }
+    }
+  }
+
   test("minhash verify stage plans no user-forced broadcast of the shingle table") {
     // the candidate-shingle relation is unbounded at corpus scale; only the
     // bare-id candIds semi-join side may carry an explicit broadcast hint.
