@@ -349,14 +349,19 @@ object TextAnalysis {
     * O(matched postings), not O(corpus) — the inverted-index shape.
     */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    // re-spread (util.Spread): the persisted postings relation inherits the
-    // scan's single parquet split, so the pin wrote ONE cache partition and
-    // every consumer (dl, df, pivot postings) re-read it single-task —
-    // StageBench r17 showed the whole q_bm25_topk chain as 1-task stages
-    // (0.7-2.3 s each). Spread BEFORE the explode: the tokenize runs wide
-    // AND the cache lands in session-width partitions. No-op at real split
-    // counts; per-doc explode feeding keyed aggregations → result invariant.
-    val tokRows = graft.util.Spread.forCpu(Tables.documents(spark, dir))
+    // NO re-spread here, deliberately — measured and REJECTED (r17): the
+    // Spread.forCpu idiom was tried on this input (the persisted postings
+    // relation inherits the scan's single parquet split, so the pin wrote
+    // ONE cache partition and every consumer re-read it single-task), but
+    // the in-suite pairs moved the WRONG way — q_bm25_topk 2.17-2.37 →
+    // 2.66-3.38 s, q_rrf_fusion 2.25-2.37 → 2.60-3.07 s (bench_r17_run1-4)
+    // — because the 32-partition cache turns all five small consumer
+    // stages (dl, stats, df, pivot postings, tf) into 32-task scheduling
+    // floors that cost more than the ~1.5 CPU-s single-task tokenize they
+    // parallelize. The single-partition pin is only a fixture artifact: at
+    // real split counts the cache is as wide as the scan and none of this
+    // applies.
+    val tokRows = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     tokRows.count() // feeds dl, df, and the pivot-term postings

@@ -216,7 +216,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_source_overlap_sketch" -> ops.Corpus.sourceOverlapSketch(spark, dir),
       "q_source_divergence"     -> ops.Corpus.sourceDivergence(spark, dir),
       "q_tfidf"                 -> ops.TextAnalysis.tfidf(spark, dir),
-      "q_bm25_topk"             -> ops.TextAnalysis.bm25TopK(spark, dir),
+      // q_bm25_topk deliberately absent: the spread was measured and
+      // REJECTED there (see bm25Scores — the 32-partition cache costs
+      // more in consumer-stage scheduling than the tokenize win)
       "q_join_size_sketch"      -> ops.Relational.joinSizeSketch(spark, dir))
     withClearCache {
       for ((name, df) <- cases) {
