@@ -49,7 +49,7 @@ _REPO = pathlib.Path(__file__).resolve().parent.parent
 # bench_r16_run1/run2 pair (1.13% apart, trimmed medians 0.944/1.019 vs
 # the retired r12 map — BASELINE.md r16 entry). The r12 map stays on
 # disk for history: bench_quiet_r12.json.
-DEFAULT_REF = str(_REPO / "bench_anchor_r16.json")
+DEFAULT_REF = str(_REPO / "bench_anchor_r17.json")
 # The committed same-window codegen-cache A/B pair (round 14) and the
 # band that defines "insensitive": |t_c100 / t_c4096 − 1| ≤ 0.15. On the
 # 169 anchor-shared queries this yields the 31-query subset BASELINE.md's
