@@ -76,13 +76,17 @@ object StreamingQueries {
     * actual scale bug. Restored in a finally: the knob must never leak
     * into the next query's batch plans.
     *
-    * SINGLE-THREADED assumption (r14 advice): the width override mutates
-    * the SHARED session conf for the drain's duration, so a concurrently
-    * running query — or a second drain on the same session inside the
-    * window — would capture the narrowed width. Safe under the serial
-    * Bench/Verify harness flow this library is driven by; a concurrent
-    * caller must hand each drain its own `spark.newSession()` (per-session
-    * conf isolation) before this becomes a cloned-session default.
+    * CONCURRENCY contract (split since r17): a WIDTH-LESS drain
+    * (`stateWidth = None`) neither reads nor writes the shared session
+    * conf, so any number of width-less drains may run concurrently on one
+    * session (the streamDqChecks overlap relies on this). Only a
+    * width-OVERRIDING drain (`stateWidth` defined) mutates the SHARED
+    * `spark.sql.shuffle.partitions` for its duration — a concurrently
+    * running query, or a second drain inside the window, would capture
+    * the narrowed width. Width-overriding drains therefore keep the
+    * original r14 single-threaded assumption: serialize them (the serial
+    * Bench/Verify harness flow does), or hand each its own
+    * `spark.newSession()` (per-session conf isolation).
     *
     * FORK-FREE checkpoint + sink FS (r16 verdict item 2 — the
     * session-sensitivity mechanism, found and fixed r17): the checkpoint
@@ -469,6 +473,22 @@ object StreamingQueries {
               scala.concurrent.Future(drain(df, n, "complete"))
             }),
           scala.concurrent.duration.Duration.Inf)
+      } catch {
+        case e: Throwable =>
+          // One drain failed: Future.sequence fails fast, but the sibling
+          // streaming queries keep running on the pool threads
+          // (shutdown() does not cancel running tasks) and would continue
+          // writing sinks/checkpoints after this method has exited. Stop
+          // them by name and wait for the pool to wind down so no drain
+          // outlives the call (the next invocation's stop-by-name + rm
+          // guard remains a backstop, not the contract).
+          names.foreach { n =>
+            spark.streams.active.filter(q => Option(q.name).contains(n))
+              .foreach(q => try q.stop() catch { case _: Throwable => () })
+          }
+          pool.shutdown()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
       } finally pool.shutdown()
     val checks = rowLocal.crossJoin(fk).crossJoin(temporal).select(expr(
       """stack(4,

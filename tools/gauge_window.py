@@ -45,10 +45,12 @@ import statistics
 import sys
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
-# r16 re-anchor (r15 verdict item 3): per-query MIN composite over the
-# bench_r16_run1/run2 pair (1.13% apart, trimmed medians 0.944/1.019 vs
-# the retired r12 map — BASELINE.md r16 entry). The r12 map stays on
-# disk for history: bench_quiet_r12.json.
+# r17 re-anchor: per-query MIN composite over the twelve r17 parity runs
+# (bench_r17_run1-12.json; per-query run validity in
+# tools/build_anchor_r17.py), anchored on the run9/run10 pair (0.19%
+# apart, untouched-query trimmed medians 0.998/1.022 — BASELINE.md r17
+# entry). History: the r16 composite (bench_r16_run1/run2 pair) and the
+# r12 map (bench_quiet_r12.json) stay on disk.
 DEFAULT_REF = str(_REPO / "bench_anchor_r17.json")
 # The committed same-window codegen-cache A/B pair (round 14) and the
 # band that defines "insensitive": |t_c100 / t_c4096 − 1| ≤ 0.15. On the
