@@ -54,8 +54,13 @@ object Similarity {
 
   // --- cosine machinery ------------------------------------------------------
 
-  /** Double-widened copy of a float vector column. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Double-widened copy of a float vector column — the codegen'd
+    * [[graft.plans.VecCastDouble]] primitive loop (exact widening, same
+    * per-element result as the `transform(v, _.cast("double"))` HOF it
+    * replaced, which evaluated an interpreted Cast per element on every
+    * vector of every similarity query — guide §4).
+    */
+  def asDouble(v: Column): Column = graft.plans.VecCastDouble.column(v)
 
   /** Sequential-fold dot product (matches DuckDB list_dot_product order) —
     * the codegen'd [[graft.plans.VecDot]] primitive loop; bit-identical to
@@ -374,11 +379,11 @@ object Similarity {
     val sumAgg = udaf(VecLongSum)
     assignCells(vecs, seeds)
       .select(col("cell"),
-              transform(col("v"), x => floor(x * lit(QuantScale))).as("q"))
+              graft.plans.VecScaleFloor.column(col("v"), lit(QuantScale)).as("q"))
       .groupBy("cell")
       .agg(sumAgg(col("q")).as("cs"))
       .select(col("cell").as("cent_id"),
-              transform(col("cs"), x => x.cast("double")).as("cv"))
+              asDouble(col("cs")).as("cv"))
       .withColumn("nc", norm(col("cv")))
       .filter(col("nc") > 0)
   }
@@ -1401,20 +1406,22 @@ object Similarity {
     */
   private def sqDequantized(vecs: DataFrame): DataFrame = {
     val mm = sqBounds(vecs)
-    def mn(i: Column) = element_at(col("mns"), i)
-    def mx(i: Column) = element_at(col("mxs"), i)
     // one crossJoin: the bounds ride along to the dequant projection instead
-    // of re-aggregating the corpus for a second broadcast
+    // of re-aggregating the corpus for a second broadcast.
+    //
+    // The code+reconstruct arithmetic is the fused codegen'd
+    // [[graft.plans.SqDequant]] loop (guide §4): the previous two-transform
+    // HOF chain evaluated an interpreted expression tree per element, and
+    // CollapseProject inlined the code-producing transform into the dequant
+    // lambda's element_at — re-running the full 64-element quantize PER
+    // dequant element (O(Dim²) interpreted evals per row; StackProfile's
+    // top frames were ElementAt/Divide/BinaryArithmetic.eval, 22 CPU-s
+    // over 2000 rows at sf0.1, stages 36/41). Same IEEE op order
+    // element-wise, so the dequantized vectors are bit-identical
+    // (VecOpsSpec locks it; the oracle re-gates it at both scales).
     vecs.crossJoin(broadcast(mm))
-      .select(col("vec_id"), col("mns"), col("mxs"),
-        transform(sequence(lit(1), lit(Dim)), i =>
-          when(mx(i) === mn(i), lit(0L)).otherwise(
-            least(floor((element_at(col("v"), i) - mn(i)) / (mx(i) - mn(i)) * lit(SqLevels)),
-                  lit((SqLevels - 1).toLong)))).as("code"))
       .select(col("vec_id"),
-        transform(sequence(lit(1), lit(Dim)), i =>
-          mn(i) + (element_at(col("code"), i) + lit(0.5)) * (mx(i) - mn(i)) / lit(SqLevels.toDouble))
-          .as("dv"))
+        graft.plans.SqDequant.column(col("v"), col("mns"), col("mxs"), SqLevels).as("dv"))
       .withColumn("ndv", norm(col("dv")))
   }
 
@@ -1668,7 +1675,7 @@ object Similarity {
       graft.util.Spread.forCpu(Tables.embeddings(spark, dir))
         .filter(f(col("vec_id")))
         .select(col("label"),
-          transform(asDouble(col("embedding")), x => floor(x * lit(QuantScale))).as("q"))
+          graft.plans.VecScaleFloor.column(asDouble(col("embedding")), lit(QuantScale)).as("q"))
         .groupBy("label")
         .agg(count(lit(1)).as(s"n_$pre"), sumAgg(col("q")).as(s"s_$pre"))
     val corpus = side(_ % 10 < 8, "corpus")
@@ -1678,10 +1685,9 @@ object Similarity {
         col("label"), col("n_corpus"), col("n_batch"),
         aggregate(col("s_corpus"), lit(0L), _ + _).as("corpus_checksum"),
         aggregate(col("s_batch"), lit(0L), _ + _).as("batch_checksum"),
-        (dot(transform(col("s_corpus"), _.cast("double")),
-             transform(col("s_batch"), _.cast("double"))) /
-         (norm(transform(col("s_corpus"), _.cast("double"))) *
-          norm(transform(col("s_batch"), _.cast("double"))))).as("centroid_cos"))
+        (dot(asDouble(col("s_corpus")), asDouble(col("s_batch"))) /
+         (norm(asDouble(col("s_corpus"))) *
+          norm(asDouble(col("s_batch"))))).as("centroid_cos"))
       .orderBy("label")
   }
 
