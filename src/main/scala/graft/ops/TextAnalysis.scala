@@ -349,19 +349,21 @@ object TextAnalysis {
     * O(matched postings), not O(corpus) — the inverted-index shape.
     */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    // NO re-spread here, deliberately — measured and REJECTED (r17): the
-    // Spread.forCpu idiom was tried on this input (the persisted postings
-    // relation inherits the scan's single parquet split, so the pin wrote
-    // ONE cache partition and every consumer re-read it single-task), but
-    // the in-suite pairs moved the WRONG way — q_bm25_topk 2.17-2.37 →
-    // 2.66-3.38 s, q_rrf_fusion 2.25-2.37 → 2.60-3.07 s (bench_r17_run1-4)
-    // — because the 32-partition cache turns all five small consumer
-    // stages (dl, stats, df, pivot postings, tf) into 32-task scheduling
-    // floors that cost more than the ~1.5 CPU-s single-task tokenize they
-    // parallelize. The single-partition pin is only a fixture artifact: at
-    // real split counts the cache is as wide as the scan and none of this
-    // applies.
-    val tokRows = Tables.documents(spark, dir)
+    // CAPPED re-spread (r18, the middle ground between the two r17
+    // extremes): the persisted postings relation inherits the scan's
+    // single parquet split, so unspread, the whole tokenize+explode ran as
+    // ONE task (~1.5 CPU-s serial) ahead of five small consumer stages —
+    // while the FULL session-width spread was measured and REJECTED in r17
+    // (q_bm25_topk 2.17-2.37 → 2.66-3.38 s, q_rrf_fusion 2.25-2.37 →
+    // 2.60-3.07 s, bench_r17_run1-4: a 32-partition cache turns all five
+    // small consumer stages — dl, stats, df, pivot postings, tf — into
+    // 32-task scheduling floors that cost more than the tokenize they
+    // parallelize). Capping the spread at 8 parallelizes the tokenize most
+    // of the way while consumer stages stay 8 tasks wide (r17 verdict
+    // item 1's prescribed experiment; measured in OPTIMIZATION_r18.md).
+    // At real split counts the cap-guard makes this a no-op, exactly like
+    // every other Spread site.
+    val tokRows = graft.util.Spread.forCpu(Tables.documents(spark, dir), 8)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .persist()
     tokRows.count() // feeds dl, df, and the pivot-term postings

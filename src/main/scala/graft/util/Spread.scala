@@ -21,4 +21,21 @@ object Spread {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
+
+  /** [[forCpu]] with a width CAP — for a CPU-heavy producer whose output
+    * is persisted and then consumed by several SMALL downstream stages.
+    * Full session width on the producer makes every consumer stage a
+    * session-width task floor (the r17 bm25 rejection: a 32-partition
+    * postings cache turned five small consumer stages into 32-task
+    * scheduling floors that cost more than the single-task tokenize they
+    * parallelized). A small fixed cap parallelizes the producer most of
+    * the way while keeping consumer stages a few tasks wide. Same at-scale
+    * guard as [[forCpu]]: a no-op once the source has `min(cap, width)`
+    * splits, so a real table is never re-shuffled.
+    */
+  def forCpu(df: DataFrame, cap: Int): DataFrame = {
+    val parts = math.min(cap,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
 }

@@ -216,9 +216,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_source_overlap_sketch" -> ops.Corpus.sourceOverlapSketch(spark, dir),
       "q_source_divergence"     -> ops.Corpus.sourceDivergence(spark, dir),
       "q_tfidf"                 -> ops.TextAnalysis.tfidf(spark, dir),
-      // q_bm25_topk deliberately absent: the spread was measured and
-      // REJECTED there (see bm25Scores — the 32-partition cache costs
-      // more in consumer-stage scheduling than the tokenize win)
+      // q_bm25_topk carries the r18 CAPPED spread (Spread.forCpu(df, 8)):
+      // the r17 full-width spread was rejected (32-partition postings
+      // cache = consumer-stage scheduling floors); the cap-8 middle
+      // ground parallelizes the tokenize while consumer stages stay 8
+      // tasks wide (measured in OPTIMIZATION_r18.md)
+      "q_bm25_topk"             -> ops.TextAnalysis.bm25TopK(spark, dir),
       "q_join_size_sketch"      -> ops.Relational.joinSizeSketch(spark, dir))
     withClearCache {
       for ((name, df) <- cases) {
