@@ -71,6 +71,24 @@ case class FixedWidthParseExplode(child: Expression, widthExpr: Expression,
     // → partial agg) retires each row immediately, so materializing all
     // n/width rows up front would only add a row-buffer's worth of live set
     // to an already allocation-heavy stage.
+    //
+    // ONE mutable output row per packed input row, REUSED across its
+    // records (r18, guide §4/§5 allocation-rate): GenerateExec's
+    // iterator path projects every emitted row to a fresh UnsafeRow
+    // (`rows.map(proj)`) before the iterator advances, so a single
+    // SpecificInternalRow can carry each record's fields — primitive
+    // setters, no per-record GenericInternalRow/Array[Any] and no boxed
+    // Long per numeric field. Before: ~10 allocations per record beyond
+    // the kept output (StageBench: 6.1 s GC inside the 30 CPU-s fused
+    // explode+parse stage at sf0.1); after, the per-record allocations
+    // are the two kept output strings. The row is created per eval()
+    // call, so concurrent tasks never share one.
+    val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+      // physical slot types: a date is its epoch-day int
+      elementSchema.map(_.dataType match {
+        case DateType => IntegerType
+        case t => t
+      }))
     new Iterator[InternalRow] {
       private var start = 0      // byte offset of current record start
       private var chars = 0      // chars seen in current record
@@ -86,7 +104,7 @@ case class FixedWidthParseExplode(child: Expression, widthExpr: Expression,
           val b = bytes(i)
           if ((b & 0xc0) != 0x80) { // char start
             if (chars == width) {
-              val row = parseRecord(bytes, start, i, pos, multibyte)
+              writeRecord(bytes, start, i, pos, multibyte, row)
               pos += 1; start = i; chars = 1; multibyte = b < 0
               i += 1
               return row
@@ -97,16 +115,16 @@ case class FixedWidthParseExplode(child: Expression, widthExpr: Expression,
           i += 1
         }
         done = true
-        parseRecord(bytes, start, n, pos, multibyte) // short tail kept
+        writeRecord(bytes, start, n, pos, multibyte, row) // short tail kept
+        row
       }
     }
   }
 
-  /** Parse one record's fields from `bytes[recStart, recEnd)`. */
-  private def parseRecord(bytes: Array[Byte], recStart: Int, recEnd: Int,
-                          pos: Int, multibyte: Boolean): InternalRow = {
-    val vals = new Array[Any](specs.length + 1)
-    vals(0) = pos
+  /** Parse one record's fields from `bytes[recStart, recEnd)` into `row`. */
+  private def writeRecord(bytes: Array[Byte], recStart: Int, recEnd: Int,
+                          pos: Int, multibyte: Boolean, row: InternalRow): Unit = {
+    row.setInt(0, pos)
     if (!multibyte) {
       // ASCII: char offsets ARE byte offsets — parse in place
       var f = 0
@@ -114,9 +132,8 @@ case class FixedWidthParseExplode(child: Expression, widthExpr: Expression,
         val sp = specs(f)
         val fs = recStart + sp.start
         val fe = math.min(fs + sp.len, recEnd)
-        vals(f + 1) =
-          if (fs >= recEnd) FixedWidthParseExplode.emptyValue(sp.kind)
-          else FixedWidthParseExplode.parseField(bytes, fs, fe, sp.kind)
+        if (fs >= recEnd) FixedWidthParseExplode.writeEmpty(row, f + 1, sp.kind)
+        else FixedWidthParseExplode.writeField(bytes, fs, fe, sp.kind, row, f + 1)
         f += 1
       }
     } else {
@@ -127,13 +144,11 @@ case class FixedWidthParseExplode(child: Expression, widthExpr: Expression,
         val sp = specs(f)
         val slice = rec.substringSQL(sp.start + 1, sp.len)
         val sb = slice.getBytes
-        vals(f + 1) =
-          if (sb.length == 0) FixedWidthParseExplode.emptyValue(sp.kind)
-          else FixedWidthParseExplode.parseField(sb, 0, sb.length, sp.kind)
+        if (sb.length == 0) FixedWidthParseExplode.writeEmpty(row, f + 1, sp.kind)
+        else FixedWidthParseExplode.writeField(sb, 0, sb.length, sp.kind, row, f + 1)
         f += 1
       }
     }
-    new GenericInternalRow(vals)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
@@ -164,68 +179,95 @@ object FixedWidthParseExplode {
   def emptyValue(kind: Char): Any =
     if (kind == 's') UTF8String.EMPTY_UTF8 else null
 
-  /** Parse `bytes[fs, fe)` as one field. Null semantics mirror the
+  /** [[emptyValue]] written into a mutable row slot. */
+  def writeEmpty(row: InternalRow, i: Int, kind: Char): Unit =
+    if (kind == 's') row.update(i, UTF8String.EMPTY_UTF8) else row.setNullAt(i)
+
+  /** Parse `bytes[fs, fe)` into `row` slot `i` WITHOUT boxing the numeric
+    * kinds — the per-record hot path (r18). Null semantics mirror the
     * declarative path over fixed-width numerics: long = space-trimmed,
     * optional sign, all digits, else null (`cast` additionally accepts
     * decimal-point forms, which zero-padded fixed-width fields never
     * contain); str = `rtrim(x)` (trailing ASCII spaces); date =
     * `to_date(x, 'yyyyMMdd')` (exactly 8 digits, valid calendar date,
-    * else null).
+    * else null). [[parseField]] delegates here so the two entry points
+    * cannot drift.
     */
-  def parseField(bytes: Array[Byte], fs: Int, fe: Int, kind: Char): Any = kind match {
+  def writeField(bytes: Array[Byte], fs: Int, fe: Int, kind: Char,
+                 row: InternalRow, i: Int): Unit = kind match {
     case 'l' =>
       var a = fs
       var b = fe
       while (a < b && bytes(a) == ' ') a += 1
       while (b > a && bytes(b - 1) == ' ') b -= 1
-      if (a == b) null
+      if (a == b) row.setNullAt(i)
       else {
         var neg = false
         if (bytes(a) == '-' || bytes(a) == '+') { neg = bytes(a) == '-'; a += 1 }
-        if (a == b) null
+        if (a == b) row.setNullAt(i)
         else {
           // accumulate NEGATIVE so Long.MinValue (whose magnitude exceeds
           // MaxValue) parses exactly; overflow → null, matching the
           // declarative path's try_cast-to-long semantics
           var v = 0L
           var ok = true
-          var i = a
-          while (i < b && ok) {
-            val d = bytes(i) - '0'
+          var j = a
+          while (j < b && ok) {
+            val d = bytes(j) - '0'
             if (d < 0 || d > 9) ok = false
             else if (v < (java.lang.Long.MIN_VALUE + d) / 10) ok = false
             else v = v * 10 - d
-            i += 1
+            j += 1
           }
-          if (!ok) null
-          else if (neg) java.lang.Long.valueOf(v)
-          else if (v == java.lang.Long.MIN_VALUE) null
-          else java.lang.Long.valueOf(-v)
+          if (!ok) row.setNullAt(i)
+          else if (neg) row.setLong(i, v)
+          else if (v == java.lang.Long.MIN_VALUE) row.setNullAt(i)
+          else row.setLong(i, -v)
         }
       }
     case 's' =>
       var b = fe
       while (b > fs && bytes(b - 1) == ' ') b -= 1
-      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, fs, b))
+      row.update(i, UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, fs, b)))
     case 'd' =>
-      if (fe - fs != 8) null
+      if (fe - fs != 8) row.setNullAt(i)
       else {
         var allDigits = true
-        var i = fs
-        while (i < fe && allDigits) {
-          if (bytes(i) < '0' || bytes(i) > '9') allDigits = false
-          i += 1
+        var j = fs
+        while (j < fe && allDigits) {
+          if (bytes(j) < '0' || bytes(j) > '9') allDigits = false
+          j += 1
         }
-        if (!allDigits) null
+        if (!allDigits) row.setNullAt(i)
         else {
           val y = (bytes(fs) - '0') * 1000 + (bytes(fs + 1) - '0') * 100 +
                   (bytes(fs + 2) - '0') * 10 + (bytes(fs + 3) - '0')
           val m = (bytes(fs + 4) - '0') * 10 + (bytes(fs + 5) - '0')
           val d = (bytes(fs + 6) - '0') * 10 + (bytes(fs + 7) - '0')
-          try java.lang.Integer.valueOf(java.time.LocalDate.of(y, m, d).toEpochDay.toInt)
-          catch { case _: java.time.DateTimeException => null }
+          try row.setInt(i, java.time.LocalDate.of(y, m, d).toEpochDay.toInt)
+          catch { case _: java.time.DateTimeException => row.setNullAt(i) }
         }
       }
+  }
+
+  /** Boxed single-field form (spec/API surface) — delegates to
+    * [[writeField]] via a one-slot row so there is exactly one parse
+    * implementation.
+    */
+  def parseField(bytes: Array[Byte], fs: Int, fe: Int, kind: Char): Any = {
+    val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+      Seq(kind match {
+        case 'l' => LongType
+        case 'd' => IntegerType
+        case _   => StringType
+      }))
+    writeField(bytes, fs, fe, kind, row, 0)
+    if (row.isNullAt(0)) null
+    else kind match {
+      case 'l' => java.lang.Long.valueOf(row.getLong(0))
+      case 'd' => java.lang.Integer.valueOf(row.getInt(0))
+      case _   => row.getUTF8String(0)
+    }
   }
 
   private val info = new ExpressionInfo(classOf[FixedWidthParseExplode].getName, Name)
