@@ -357,6 +357,18 @@ object Bench {
     // in-suite elevation is its own first-run compile+C2 cost paid in the
     // timed slot, the exact class the adjacent sf0.001 pass absorbs; its
     // sibling q_bpe_merges has been warmed since r16 on the same evidence.
+    // r18 additions, same evidence bar (isolated warm at/below anchor
+    // with a multi-second cold-first-run gap, in-suite stall retries at
+    // ~anchor): q_bm25_topk — triples 6.47/2.38/1.54 and
+    // 5.43/2.07/1.74/1.40/1.25 vs its 1.57 anchor; flagged in
+    // bench_r18_run2/run3 at timed 3.18/3.35 with retries 1.78/1.87
+    // (0.78-0.89x window-adjusted) — and q_kmeans — post-vecops triple
+    // 5.85/3.39/3.03; flagged in all three r18 baseline runs (timed
+    // 4.79/9.34/4.92) with retries 2.72/4.71/2.34 ≈ its 2.24 anchor.
+    // tools.WarmTransfer proves both warm passes compile 100% of the
+    // sf0.1 classes (0 new janino compiles at sf0.1 for q_kmeans; 4
+    // stage-regrouping classes for q_bm25_topk with identical post-AQE
+    // plan signatures at both scales).
     val warmSet = Set("q_allpairs_cosine", "q_triangles", "q_pagerank",
       "q_bfs_hops", "q_basket_triples", "q_stream_ks", "q_stream_late",
       "q_stream_markov", "q_knn_sq", "q_dedup_jaccard_prefix",
@@ -365,7 +377,8 @@ object Bench {
       "q_dedup_minhash_lsh", "q_ks_test", "q_vocab_growth",
       "q_dedup_simhash", "q_fixedwidth_parse", "q_stream_dedup",
       "q_stream_benford", "q_stream_drift", "q_stream_join",
-      "q_df_incremental", "q_bpe_merges", "q_bpe_compression")
+      "q_df_incremental", "q_bpe_merges", "q_bpe_compression",
+      "q_bm25_topk", "q_kmeans")
     // stall-transparency reference: the committed same-build per-query
     // minimum composite (see timeQueries scaladoc); overridable so parity
     // experiments can point at a different map. The default resolves

@@ -1514,8 +1514,10 @@ object Similarity {
       count(lit(1)).as("n"),
       array((1 to Dim).map(i =>
         sum(floor(element_at(col("v"), i) * lit(QuantScale)))): _*).as("qsl"))
-    def centAt(i: Column) = element_at(col("qsl"), i) / (col("n") * lit(QuantScale))
-    val diff = transform(sequence(lit(1), lit(Dim)), i => element_at(col("v"), i) - centAt(i))
+    // codegen'd centered diff (r18, guide §4): same per-element IEEE ops
+    // as the transform/element_at HOF it replaces (VecOpsSpec-locked)
+    val diff = graft.plans.VecCenteredDiff.column(
+      col("v"), col("qsl"), col("n") * lit(QuantScale))
     val scored = vecs.join(cents, "label")
       .select(col("label"), col("vec_id"), dot(diff, diff).as("dist"))
     val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))

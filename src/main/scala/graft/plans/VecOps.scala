@@ -84,6 +84,26 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** Centered difference against a quantized centroid sum: per dimension
+    * i, `v(i) - (qsl(i).toDouble / d)` — the exact IEEE op order of the
+    * `element_at(v,i) - element_at(qsl,i) / (n*scale)` HOF lambda it
+    * replaces (long→double cast, divide, subtract). Null on length
+    * mismatch; null elements null the output element (as the HOF's
+    * null-propagating arithmetic did).
+    */
+  def centeredDiff(v: ArrayData, qsl: ArrayData, d: Double): ArrayData = {
+    val n = v.numElements()
+    if (qsl.numElements() != n) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && !qsl.isNullAt(i))
+        out(i) = java.lang.Double.valueOf(v.getDouble(i) - qsl.getLong(i).toDouble / d)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused scalar-quantizer code+reconstruct: per dimension i,
     * `c = if (mx == mn) 0 else min(floor((x-mn)/(mx-mn)*levels), levels-1)`
     * then `mn + ((c + 0.5) * (mx - mn)) / levels` — the exact IEEE op
@@ -214,9 +234,49 @@ case class SqDequant(first: Expression, second: Expression, third: Expression,
   override def prettyName: String = "sq_dequant"
 }
 
+/** `vec_centered_diff(v, qsl, d)` — see [[VecOps.centeredDiff]]. */
+case class VecCenteredDiff(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, array<long>, double), got $other")
+    }
+
+  // null on length mismatch, so nullable regardless of child nullability
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull =
+    Seq(first, second).exists(_.dataType.asInstanceOf[ArrayType].containsNull))
+
+  override protected def nullSafeEval(v: Any, qsl: Any, d: Any): Any =
+    VecOps.centeredDiff(v.asInstanceOf[ArrayData], qsl.asInstanceOf[ArrayData],
+      d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, qsl, d) =>
+      s"""${ev.value} = graft.plans.VecOps.centeredDiff($v, $qsl, $d);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "vec_centered_diff"
+}
+
 object VecCastDouble {
   def column(a: Column): Column =
     ColumnBridge.column(VecCastDouble(ColumnBridge.expression(a)))
+}
+
+object VecCenteredDiff {
+  def column(v: Column, qsl: Column, d: Column): Column =
+    ColumnBridge.column(VecCenteredDiff(ColumnBridge.expression(v),
+      ColumnBridge.expression(qsl), ColumnBridge.expression(d)))
 }
 
 object VecScaleFloor {

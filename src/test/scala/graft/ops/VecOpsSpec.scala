@@ -115,6 +115,29 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_centered_diff == the element_at HOF lambda on the fixture, bit-exact") {
+    withClearCache {
+      val dim = Similarity.Dim
+      val q = Similarity.QuantScale
+      val vecs = emb.select(col("vec_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val cents = vecs.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        array((1 to dim).map(i =>
+          sum(floor(element_at(col("v"), i) * lit(q)))): _*).as("qsl"))
+      def centAt(i: org.apache.spark.sql.Column) =
+        element_at(col("qsl"), i) / (col("n") * lit(q))
+      val joined = vecs.join(cents, "label")
+      val both = joined.select(
+        graft.plans.VecCenteredDiff.column(col("v"), col("qsl"),
+          col("n") * lit(q)).as("a"),
+        transform(sequence(lit(1), lit(dim)),
+          i => element_at(col("v"), i) - centAt(i)).as("b"))
+      assert(both.filter(not(col("a") <=> col("b"))).count() === 0)
+      assert(both.count() > 0)
+    }
+  }
+
   test("sq_dequant: length mismatch nulls the result, null element nulls the element") {
     withClearCache {
       val mismatch = spark.range(1).select(
