@@ -792,8 +792,10 @@ object Similarity {
     for (_ <- 1 to iters) {
       val next = vecs.crossJoin(broadcast(vDf))
         .select(col("v"), dot(col("v"), col("vcur")).as("u"))
-        .select(transform(col("v"),
-          x => floor((x * col("u")) * lit(QuantScale))).as("q"))
+        // codegen'd two-factor quantize (r18, guide §4): floor((x*u)*Q)
+        // with the same two-multiply IEEE order as the HOF it replaces
+        .select(graft.plans.VecMulScaleFloor.column(
+          col("v"), col("u"), lit(QuantScale)).as("q"))
         .agg(sumAgg(col("q")).as("s"))
         .select(transform(col("s"), x => x.cast("double")).as("w"))
         .withColumn("nw", norm(col("w")))

@@ -84,6 +84,25 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** Two-factor quantize: `floor((x * u) * scale)` per element — the
+    * power-iteration accumulator's projection step. TWO multiplies in
+    * this exact order (never pre-folding `u * scale`: double rounding
+    * differs), matching the HOF lambda and the oracle. Null elements
+    * stay null.
+    */
+  def mulScaleFloor(a: ArrayData, u: Double, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(
+          Math.floor((a.getDouble(i) * u) * scale).toLong)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Centered difference against a quantized centroid sum: per dimension
     * i, `v(i) - (qsl(i).toDouble / d)` — the exact IEEE op order of the
     * `element_at(v,i) - element_at(qsl,i) / (n*scale)` HOF lambda it
@@ -195,6 +214,42 @@ case class VecScaleFloor(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_scale_floor"
+}
+
+/** `vec_mul_scale_floor(a, u, scale)` — see [[VecOps.mulScaleFloor]]. */
+case class VecMulScaleFloor(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, double, double), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = first.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override protected def nullSafeEval(a: Any, u: Any, s: Any): Any =
+    VecOps.mulScaleFloor(a.asInstanceOf[ArrayData],
+      u.asInstanceOf[Double], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, u, s) =>
+      s"${ev.value} = graft.plans.VecOps.mulScaleFloor($a, $u, $s);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "vec_mul_scale_floor"
+}
+
+object VecMulScaleFloor {
+  def column(a: Column, u: Column, scale: Column): Column =
+    ColumnBridge.column(VecMulScaleFloor(ColumnBridge.expression(a),
+      ColumnBridge.expression(u), ColumnBridge.expression(scale)))
 }
 
 /** `sq_dequant(v, mns, mxs)` at [[SqDequant.levels]] quantization levels —

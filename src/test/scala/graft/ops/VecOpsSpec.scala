@@ -138,6 +138,20 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_mul_scale_floor == transform(floor((x*u)*scale)) bit-exact, two-multiply order") {
+    withClearCache {
+      val q = Similarity.QuantScale
+      // u exercises values where pre-folding u*q would round differently
+      val df = emb.select(Similarity.asDouble(col("embedding")).as("v"),
+        (col("vec_id").cast("double") / 9973.0 + lit(1e-7)).as("u"))
+      val both = df.select(
+        graft.plans.VecMulScaleFloor.column(col("v"), col("u"), lit(q)).as("a"),
+        transform(col("v"), x => floor((x * col("u")) * lit(q))).as("b"))
+      assert(both.filter(not(col("a") <=> col("b"))).count() === 0)
+      assert(both.count() > 0)
+    }
+  }
+
   test("sq_dequant: length mismatch nulls the result, null element nulls the element") {
     withClearCache {
       val mismatch = spark.range(1).select(
