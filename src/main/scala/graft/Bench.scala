@@ -386,7 +386,7 @@ object Bench {
     // LOUD stdout notice — a run without stall transparency must say so
     // where the harness looks, not in a buried stderr warn (r16 advice).
     val stallRefPath = sys.env.get("SPARK_GRAFT_STALL_REF")
-      .getOrElse(resolveStallRefPath("bench_anchor_r17.json"))
+      .getOrElse(resolveStallRefPath("bench_anchor_r18.json"))
     val stallRef = parseStallRef(stallRefPath)
     if (stallRef.isEmpty)
       println(s"BENCH NOTE: stall reference $stallRefPath yielded no entries" +

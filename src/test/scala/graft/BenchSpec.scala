@@ -215,15 +215,15 @@ class BenchSpec extends AnyFunSuite {
     // anchor must resolve against the repo root, not the cwd
     val elsewhere = java.nio.file.Files.createTempDirectory("benchcwd")
     try {
-      val resolved = Bench.resolveStallRefPath("bench_anchor_r17.json", elsewhere)
+      val resolved = Bench.resolveStallRefPath("bench_anchor_r18.json", elsewhere)
       assert(java.nio.file.Files.isReadable(java.nio.file.Paths.get(resolved)),
         s"default anchor unresolved from $elsewhere -> $resolved")
-      assert(resolved == root.get.resolve("bench_anchor_r17.json").toString)
+      assert(resolved == root.get.resolve("bench_anchor_r18.json").toString)
       // a cwd-local file still wins over the root copy (explicit relative
       // overrides stay cwd-relative)
-      val local = elsewhere.resolve("bench_anchor_r17.json")
+      val local = elsewhere.resolve("bench_anchor_r18.json")
       java.nio.file.Files.writeString(local, """{"queries":{"q_a":1.0}}""")
-      assert(Bench.resolveStallRefPath("bench_anchor_r17.json", elsewhere)
+      assert(Bench.resolveStallRefPath("bench_anchor_r18.json", elsewhere)
         == local.toString)
       java.nio.file.Files.delete(local)
       // a name that resolves nowhere falls through unchanged (parseStallRef

@@ -45,13 +45,15 @@ import statistics
 import sys
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
-# r17 re-anchor: per-query MIN composite over the twelve r17 parity runs
-# (bench_r17_run1-12.json; per-query run validity in
-# tools/build_anchor_r17.py), anchored on the run9/run10 pair (0.19%
-# apart, untouched-query trimmed medians 0.998/1.022 — BASELINE.md r17
-# entry). History: the r16 composite (bench_r16_run1/run2 pair) and the
-# r12 map (bench_quiet_r12.json) stay on disk.
-DEFAULT_REF = str(_REPO / "bench_anchor_r17.json")
+# r18 stall/mover reference: per-query MIN composite over the r17 anchor
+# (itself the twelve-run r17 composite) and the r18 parity runs with
+# per-query build validity (tools/build_anchor_r18.py) — elementwise
+# TIGHTER than either session alone; sound because every r18 change
+# measured faster. Consistency evidence: bench_r18_run7/run8, a 0.57%
+# consecutive final-build pair (BASELINE.md r18 entry). History: the r17
+# anchor (bench_anchor_r17.json), the r16 composite, and the r12 map
+# (bench_quiet_r12.json) stay on disk.
+DEFAULT_REF = str(_REPO / "bench_anchor_r18.json")
 # The committed same-window codegen-cache A/B pair (round 14) and the
 # band that defines "insensitive": |t_c100 / t_c4096 − 1| ≤ 0.15. On the
 # 169 anchor-shared queries this yields the 31-query subset BASELINE.md's
